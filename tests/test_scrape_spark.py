@@ -1,0 +1,76 @@
+"""End-to-end Spark slice: pages → scrape → byte-identical markdown vs the
+golden ``text`` column (input_hint invariant), plus classify/canonicalize
+UDF round-trips."""
+
+from pyspark.sql import functions as F
+
+from webcrawl_spark.kernels.classify import FilterOptions
+from webcrawl_spark.kernels.scrape import ScrapeOptions
+from webcrawl_spark.operators.scrape import scrape
+
+
+def test_markdown_byte_identical(spark, pages_df):
+    out = scrape(pages_df, ScrapeOptions(formats=("markdown",)))
+    mismatches = out.filter(F.col("markdown") != F.col("text")).count()
+    assert mismatches == 0
+    assert out.count() == pages_df.count()
+
+
+def test_links_extracted(spark, pages_df, small_site):
+    out = scrape(pages_df, ScrapeOptions(formats=("links",)))
+    row = out.filter(F.col("url") == f"https://{small_site.hosts[0]}/").first()
+    # graph child links must appear among extracted links (plus /Home nav)
+    children = small_site.pages[f"https://{small_site.hosts[0]}/"].child_links
+    for child in children:
+        assert child in row["links"]
+
+
+def test_quality_columns(spark, pages_df):
+    out = scrape(pages_df, ScrapeOptions(formats=("markdown",)))
+    stats = out.groupBy("quality.content_status").count().collect()
+    statuses = {r[0] for r in stats}
+    assert "usable" in statuses  # most synthetic pages clear the thresholds
+
+
+def test_classify_udf_matches_kernel(spark, small_site):
+    from webcrawl_spark.functions import classify_links_udf
+    from webcrawl_spark.kernels.classify import classify_link
+
+    base = f"https://{small_site.hosts[0]}"
+    opts = FilterOptions(
+        base_url=base, initial_url=base + "/", max_depth=3,
+        allow_backward_crawling=True,
+    )
+    links = [
+        f"{base}/sec0", f"{base}/x.png", "mailto:a@b.c",
+        "https://twitter.com/x", f"{base}/a/b/c/d/e",
+        f"https://other-host.org/page", f"{base}/page#frag",
+    ]
+    df = spark.createDataFrame([(l,) for l in links], "link string")
+    out = df.withColumn("cls", classify_links_udf(opts)(F.col("link"))).collect()
+    for row in out:
+        ok, url, reason = classify_link(row["link"], opts)
+        assert row["cls"]["allowed"] == ok
+        assert row["cls"]["denial_reason"] == reason
+
+
+def test_canonicalize_udf(spark):
+    from webcrawl_spark.functions import canonicalize_url
+
+    df = spark.createDataFrame(
+        [("https://WWW.Ex.COM:443/p?b=2&a=1#f",), ("nonsense",)], "url string"
+    )
+    rows = df.withColumn("c", canonicalize_url("url")).collect()
+    assert rows[0]["c"] == "https://www.ex.com/p?a=1&b=2"
+    assert rows[1]["c"] == ""
+
+
+def test_scrape_plan_prunes_unused_formats(spark, pages_df):
+    """Selecting only markdown must not evaluate the links/images UDFs."""
+    out = scrape(
+        pages_df,
+        ScrapeOptions(formats=("markdown", "links", "images")),
+    ).select("url", "markdown")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "links_udf" not in plan
+    assert "images_udf" not in plan
