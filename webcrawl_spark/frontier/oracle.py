@@ -1,0 +1,200 @@
+"""In-memory crawl oracles over the same kernels — the ground truth the
+Spark engine's ordering/seen-set must match (FIXTURES.md §6).
+
+``reference_crawl`` is a faithful reimplementation of the reference's
+sequential BFS loop (apps/WebCrawl/src/services/crawlService.ts:57-134):
+FIFO queue.shift(), discovered-set dedup on the *exact resolved URL string*,
+per-page filterLinks with ``remaining = limit - discovered.size``, links
+admitted only when relativeDepth < maxDepth.
+
+``round_crawl`` generalizes the same semantics to scheduling rounds with a
+per-host politeness budget (north rule). With budget=None it emits exactly
+``reference_crawl``'s order (BFS FIFO ≡ level-order with discovery-order
+levels), which is asserted in tests.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from ..kernels.classify import FilterOptions, filter_links
+from ..kernels.crawl import page_links
+from ..kernels.urlkit import URLParseError, get_url_depth, parse_url, url_path
+
+__all__ = ["CrawlConfig", "CrawlTrace", "reference_crawl", "round_crawl"]
+
+FetchFn = Callable[[str], str | None]  # url -> html text (None = fetch error)
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    """CrawlOptions (types.ts:85-98) + north-rule politeness knobs."""
+
+    seed_url: str
+    limit: int | None = 100
+    max_depth: int = 2
+    includes: tuple[str, ...] = ()
+    excludes: tuple[str, ...] = ()
+    allow_backward_crawling: bool = False
+    allow_external_content_links: bool = False
+    allow_subdomains: bool = False
+    regex_on_full_url: bool = False
+    host_budget: int | None = None       # per-host fetches per round (None = ∞)
+    enforce_robots: bool = False          # north rule ON; reference OFF
+    robots: dict[str, str] = field(default_factory=dict)  # host -> robots.txt
+
+    @property
+    def base_url(self) -> str:
+        u = parse_url(self.seed_url)
+        return f"{u.scheme}://{u.host}" + (f":{u.port}" if u.port else "")
+
+    def adjusted_max_depth(self) -> int:
+        """getAdjustedMaxDepth (maxDepthUtils.ts:1-8)."""
+        return self.max_depth + get_url_depth(url_path(self.seed_url))
+
+    def base_depth(self) -> int:
+        return get_url_depth(url_path(self.seed_url))
+
+    def filter_options(self) -> FilterOptions:
+        """Robots semantics mirror the reference's shape: one robots body per
+        crawl, that of the seed's host (internal links are by definition on
+        the base host — crawler.rs:144-158 — so per-candidate-host lookup
+        collapses to this)."""
+        base_host = parse_url(self.seed_url).host
+        robots_txt = self.robots.get(base_host, "") if self.enforce_robots else ""
+        return FilterOptions(
+            base_url=self.base_url,
+            initial_url=self.seed_url,
+            max_depth=self.adjusted_max_depth(),
+            includes=list(self.includes),
+            excludes=list(self.excludes),
+            regex_on_full_url=self.regex_on_full_url,
+            allow_backward_crawling=self.allow_backward_crawling,
+            allow_external_content_links=self.allow_external_content_links,
+            allow_subdomains=self.allow_subdomains,
+            ignore_robots_txt=not self.enforce_robots,
+            robots_txt=robots_txt,
+        )
+
+
+@dataclass
+class CrawlTrace:
+    fetch_order: list[str] = field(default_factory=list)
+    rounds: list[list[str]] = field(default_factory=list)
+    discovered: list[str] = field(default_factory=list)  # enqueue order
+    errors: list[str] = field(default_factory=list)
+
+
+def _host_of(url: str) -> str:
+    try:
+        return parse_url(url).host
+    except URLParseError:
+        return ""
+
+
+def _looks_like_html(html: str | None) -> bool:
+    return bool(html) and html.strip().startswith("<")
+
+
+def reference_crawl(fetch: FetchFn, cfg: CrawlConfig) -> CrawlTrace:
+    """crawlService.ts:57-134, verbatim semantics."""
+    trace = CrawlTrace()
+    limit = cfg.limit if cfg.limit is not None else float("inf")
+    discovered: set[str] = set()
+    queue: list[str] = []
+
+    def enqueue(target: str) -> None:
+        if target in discovered or len(discovered) >= limit:
+            return
+        discovered.add(target)
+        queue.append(target)
+        trace.discovered.append(target)
+
+    enqueue(cfg.seed_url)
+    base_depth = cfg.base_depth()
+    processed = 0
+
+    while queue and processed < limit:
+        current = queue.pop(0)
+        processed += 1
+        html = fetch(current)
+        if html is None:
+            trace.errors.append(current)
+            continue
+        trace.fetch_order.append(current)
+        if _looks_like_html(html):
+            relative_depth = max(0, get_url_depth(url_path(current)) - base_depth)
+            links = page_links(html, current, cfg.filter_options())
+            remaining = max(0, limit - len(discovered))
+            if remaining > 0 and relative_depth < cfg.max_depth:
+                opts = cfg.filter_options()
+                opts.limit = None if remaining == float("inf") else int(remaining)
+                accepted, _ = filter_links(links, opts)
+                for link in accepted:
+                    enqueue(link)
+    return trace
+
+
+def round_crawl(fetch: FetchFn, cfg: CrawlConfig) -> CrawlTrace:
+    """Round-scheduled variant: per round, take queued URLs in seq order
+    admitting at most ``host_budget`` per host (over-budget URLs stay queued);
+    fetch in seq order; expand links in fetch order. Matches
+    ``reference_crawl`` exactly when host_budget is None."""
+    trace = CrawlTrace()
+    limit = cfg.limit if cfg.limit is not None else float("inf")
+    discovered: set[str] = set()
+    queue: list[str] = []  # (still-queued URLs in seq order)
+
+    def enqueue(target: str) -> None:
+        if target in discovered or len(discovered) >= limit:
+            return
+        discovered.add(target)
+        queue.append(target)
+        trace.discovered.append(target)
+
+    enqueue(cfg.seed_url)
+    base_depth = cfg.base_depth()
+    processed = 0
+
+    while queue and processed < limit:
+        # --- selection under politeness budget ---
+        budget = cfg.host_budget
+        per_host: dict[str, int] = {}
+        selected: list[str] = []
+        kept: list[str] = []
+        for url in queue:
+            if processed + len(selected) >= limit:
+                kept.append(url)
+                continue
+            host = _host_of(url)
+            used = per_host.get(host, 0)
+            if budget is not None and used >= budget:
+                kept.append(url)
+                continue
+            per_host[host] = used + 1
+            selected.append(url)
+        if not selected:
+            break
+        queue = kept
+        trace.rounds.append(list(selected))
+
+        # --- fetch + expand in seq order ---
+        for current in selected:
+            processed += 1
+            html = fetch(current)
+            if html is None:
+                trace.errors.append(current)
+                continue
+            trace.fetch_order.append(current)
+            if _looks_like_html(html):
+                relative_depth = max(0, get_url_depth(url_path(current)) - base_depth)
+                links = page_links(html, current, cfg.filter_options())
+                remaining = max(0, limit - len(discovered))
+                if remaining > 0 and relative_depth < cfg.max_depth:
+                    opts = cfg.filter_options()
+                    opts.limit = None if remaining == float("inf") else int(remaining)
+                    accepted, _ = filter_links(links, opts)
+                    for link in accepted:
+                        enqueue(link)
+    return trace

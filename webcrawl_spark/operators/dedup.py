@@ -1,0 +1,256 @@
+"""Deduplication operators for web-text corpora at 100 TB scale.
+
+- exact_dedup:        hash-groupBy on a normalized fingerprint (one shuffle,
+                      map-side partial aggregation).
+- minhash_lsh:        shingle → minhash signature (vectorized numpy inside an
+                      Arrow UDF) → banded LSH buckets → candidate pairs from
+                      bucket self-joins → Jaccard-verified pairs → greedy
+                      keep-min-id dedup. Bucket join keys are (band, hash) so
+                      the self-join shuffles only bucket-local rows.
+- simhash:            64-bit simhash, near-dup via banded bit-block buckets +
+                      Hamming verification (XOR popcount, JVM-side).
+- ngram_jaccard_pairs: exact n-gram Jaccard for verification workloads.
+- embedding near-dup:  see operators/similarity.py (cosine LSH).
+
+All map-side-heavy; the only shuffles are the LSH bucket groupings, keyed to
+distribute uniformly (band index ⊕ hash). Skewed mega-buckets (boilerplate
+shingles) are capped via a per-bucket size limit before the self-join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+__all__ = [
+    "exact_dedup",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "minhash_lsh_dedup",
+    "simhash_column",
+    "simhash_near_dup_pairs",
+    "ngram_jaccard_pairs",
+]
+
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep one row (lowest id) per exact normalized-text duplicate group."""
+    normalized = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    w = Window.partitionBy(F.xxhash64(normalized)).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1).drop("_rn")
+    )
+
+
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def _shingles(text: str, k: int) -> np.ndarray:
+    """Character k-shingle hashes: vectorized polynomial hash over utf-8
+    bytes (deterministic across processes — Python's hash() is salted and
+    must never reach an executor)."""
+    s = " ".join(text.lower().split()).encode("utf-8")
+    if len(s) < k:
+        s = s.ljust(k)
+    arr = np.frombuffer(s, dtype=np.uint8).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        powers = _FNV_PRIME ** np.arange(k, dtype=np.uint64)
+        idx = np.arange(len(arr) - k + 1)[:, None] + np.arange(k)[None, :]
+        h = (arr[idx] * powers[::-1][None, :]).sum(axis=1, dtype=np.uint64)
+    return np.unique(h & np.uint64(0x7FFFFFFFFFFFFFFF))
+
+
+def minhash_signatures(num_perm: int = 64, shingle_k: int = 5, seed: int = 1):
+    """(text) → array<long> minhash signature. Permutations are universal
+    hashes a*x+b mod p, vectorized over all shingles per doc."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+
+    def batch(texts: pd.Series) -> pd.Series:
+        out = []
+        for text in texts:
+            sh = _shingles(text or "", shingle_k)
+            with np.errstate(over="ignore"):
+                # (num_perm, n_shingles) — min over shingles per permutation
+                vals = (a[:, None] * sh[None, :] + b[:, None]) % _MERSENNE
+            out.append(vals.min(axis=1).astype(np.int64).tolist())
+        return pd.Series(out, dtype="object")
+
+    return pandas_udf(batch, T.ArrayType(T.LongType()))
+
+
+def _band_buckets(df: DataFrame, sig_col: str, num_perm: int, bands: int,
+                  id_col: str) -> DataFrame:
+    rows_per_band = num_perm // bands
+    pieces = []
+    for band in range(bands):
+        piece = df.select(
+            F.col(id_col).alias("doc"),
+            F.lit(band).alias("band"),
+            F.xxhash64(
+                F.slice(F.col(sig_col), band * rows_per_band + 1, rows_per_band)
+                .cast("array<string>").cast("string")
+            ).alias("bucket"),
+        )
+        pieces.append(piece)
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (doc_a < doc_b) with estimated Jaccard
+    ≥ threshold (signature agreement ratio)."""
+    sigs = df.select(
+        F.col(id_col), F.col(text_col),
+        minhash_signatures(num_perm)(F.col(text_col)).alias("sig"),
+    ).cache()
+    buckets = _band_buckets(sigs, "sig", num_perm, bands, id_col)
+    # cap pathological buckets (boilerplate shingles) before the self-join
+    w = Window.partitionBy("band", "bucket").orderBy("doc")
+    buckets = buckets.withColumn("_rn", F.row_number().over(w)) \
+                     .filter(F.col("_rn") <= max_bucket).drop("_rn")
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    cand = (
+        left.join(right, (F.col("l.band") == F.col("r.band"))
+                  & (F.col("l.bucket") == F.col("r.bucket"))
+                  & (F.col("l.doc") < F.col("r.doc")))
+        .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
+        .distinct()
+    )
+    sig_a = sigs.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"))
+    sig_b = sigs.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"))
+    return (
+        cand.join(sig_a, "doc_a").join(sig_b, "doc_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                            lambda m: m)) / F.lit(num_perm),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", **kw) -> DataFrame:
+    """Drop near-duplicates: keep a doc unless a lower-id near-dup exists
+    (greedy min-id representative — standard large-scale practice)."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, **kw)
+    losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def simhash_column(shingle_k: int = 3):
+    """(text) → bigint 64-bit simhash (token-hash bit voting)."""
+
+    import zlib
+
+    def _tok_hash(t: str) -> int:
+        raw = t.encode("utf-8")
+        return zlib.crc32(raw) | (zlib.crc32(raw + b"#") << 32)
+
+    def batch(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, text in enumerate(texts):
+            tokens = (text or "").lower().split()
+            if not tokens:
+                continue
+            hs = np.array([_tok_hash(t) for t in tokens], dtype=np.uint64)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1)
+            votes = bits.sum(axis=0) * 2 - len(hs)
+            sim = np.uint64(0)
+            for b in np.nonzero(votes > 0)[0]:
+                sim |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(sim)
+        return pd.Series(out)
+
+    return pandas_udf(batch, T.LongType())
+
+
+def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by simhash: band the 64 bits into 4 blocks (pigeonhole:
+    any pair within Hamming distance 3 agrees on ≥1 block), bucket-join, then
+    verify with JVM-side XOR popcount."""
+    sims = df.select(F.col(id_col).alias("doc"),
+                     simhash_column()(F.col(text_col)).alias("sim")).cache()
+    pieces = []
+    for block in range(4):
+        shift = block * 16
+        pieces.append(sims.select(
+            "doc", "sim", F.lit(block).alias("block"),
+            F.shiftright(F.col("sim"), shift).bitwiseAND(F.lit(0xFFFF))
+            .alias("key"),
+        ))
+    banded = pieces[0]
+    for p in pieces[1:]:
+        banded = banded.unionByName(p)
+    left, right = banded.alias("l"), banded.alias("r")
+    cand = (
+        left.join(right, (F.col("l.block") == F.col("r.block"))
+                  & (F.col("l.key") == F.col("r.key"))
+                  & (F.col("l.doc") < F.col("r.doc")))
+        .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"),
+                F.col("l.sim").alias("sim_a"), F.col("r.sim").alias("sim_b"))
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming",
+                        F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact word-n-gram Jaccard over all pairs (verification-scale only —
+    quadratic; the LSH operators are the scale path)."""
+    grams = df.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.size(F.split(F.lower(F.col(text_col)), r"\s+")) - n,
+                               F.lit(0)),
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.split(F.lower(F.col(text_col)), r"\s+"),
+                                 i + 1, n)
+                ),
+            )
+        ).alias("grams"),
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    return (
+        a.join(b, F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"),
+            (F.size(F.array_intersect("a.grams", "b.grams"))
+             / F.size(F.array_union("a.grams", "b.grams"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

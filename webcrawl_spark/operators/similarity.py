@@ -1,0 +1,141 @@
+"""Similarity search over an embedding column (array<float>).
+
+- cosine_topk:      brute-force exact top-k, entirely JVM-side
+                    (F.zip_with/F.aggregate dot product → TakeOrdered k).
+                    The correctness baseline and small-query path.
+- rp_lsh_buckets /
+  ann_topk:         random-hyperplane LSH (signed random projections):
+                    each vector → n_bits sign bits → bucket id. Queries probe
+                    their own bucket (plus optional 1-bit-flip neighbors);
+                    candidates re-ranked by exact cosine. At 100 TB this
+                    turns a full scan into a partition-pruned bucket lookup —
+                    write the bucketed table partitioned by ``bucket``.
+- embedding_near_dup_pairs: near-duplicate pairs via the same buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+__all__ = [
+    "cosine_sim_col",
+    "cosine_topk",
+    "rp_lsh_buckets",
+    "ann_topk",
+    "embedding_near_dup_pairs",
+]
+
+
+def cosine_sim_col(vec_col: str, query: list[float]):
+    """Exact cosine similarity against a literal query vector, JVM-side."""
+    q = np.asarray(query, dtype="float64")
+    qnorm = float(np.linalg.norm(q)) or 1.0
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), qlit, lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    norm = F.sqrt(F.aggregate(
+        F.transform(F.col(vec_col), lambda a: a * a),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+    return dot / (norm * F.lit(qnorm))
+
+
+def cosine_topk(df: DataFrame, query: list[float], k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Brute-force exact top-k by cosine — orderBy+limit compiles to
+    TakeOrderedAndProject (no global sort materialization)."""
+    return (
+        df.select(F.col(id_col), cosine_sim_col(vec_col, query).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_bits, dim)).astype("float64")
+
+
+def rp_lsh_bucket_udf(dim: int, n_bits: int = 12, seed: int = 7):
+    planes = _hyperplanes(dim, n_bits, seed)
+
+    def batch(vecs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype="float64") for v in vecs])
+        signs = (mat @ planes.T) > 0
+        weights = (1 << np.arange(n_bits)).astype(np.int64)
+        return pd.Series(signs @ weights)
+
+    return pandas_udf(batch, T.LongType())
+
+
+def rp_lsh_buckets(df: DataFrame, dim: int, n_bits: int = 12, seed: int = 7,
+                   vec_col: str = "embedding") -> DataFrame:
+    """Attach the LSH ``bucket`` column. At scale, persist partitioned by
+    bucket so queries prune partitions."""
+    return df.withColumn(
+        "bucket", rp_lsh_bucket_udf(dim, n_bits, seed)(F.col(vec_col))
+    )
+
+
+def _query_buckets(query: np.ndarray, planes: np.ndarray,
+                   n_bits: int, probe_flips: int) -> list[int]:
+    signs = (planes @ query) > 0
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+    base = int(signs @ weights)
+    buckets = [base]
+    if probe_flips >= 1:
+        buckets += [base ^ (1 << b) for b in range(n_bits)]
+    return buckets
+
+
+def ann_topk(df: DataFrame, query: list[float], k: int = 10, dim: int | None = None,
+             n_bits: int = 12, seed: int = 7, probe_flips: int = 1,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Approximate top-k: probe the query's LSH bucket (+ Hamming-1 buckets),
+    exact-rerank candidates. ``df`` may be pre-bucketed (has ``bucket``) or raw."""
+    q = np.asarray(query, dtype="float64")
+    dim = dim if dim is not None else len(q)
+    if "bucket" not in df.columns:
+        df = rp_lsh_buckets(df, dim, n_bits, seed, vec_col)
+    planes = _hyperplanes(dim, n_bits, seed)
+    targets = _query_buckets(q, planes, n_bits, probe_flips)
+    cand = df.filter(F.col("bucket").isin(targets))
+    return cosine_topk(cand, query, k, vec_col, id_col)
+
+
+def embedding_near_dup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
+                             n_bits: int = 10, seed: int = 7,
+                             vec_col: str = "embedding",
+                             id_col: str = "vec_id") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via bucket self-join + exact
+    cosine verification."""
+    b = rp_lsh_buckets(df, dim, n_bits, seed, vec_col).select(
+        F.col(id_col).alias("doc"), F.col(vec_col).alias("vec"), "bucket"
+    )
+    l, r = b.alias("l"), b.alias("r")
+    pairs = l.join(r, (F.col("l.bucket") == F.col("r.bucket"))
+                   & (F.col("l.doc") < F.col("r.doc")))
+    dot = F.aggregate(F.zip_with("l.vec", "r.vec", lambda a, x: a * x),
+                      F.lit(0.0), lambda acc, x: acc + x)
+
+    def norm(side: str):
+        return F.sqrt(F.aggregate(
+            F.transform(F.col(f"{side}.vec"), lambda a: a * a),
+            F.lit(0.0), lambda acc, x: acc + x,
+        ))
+
+    return (
+        pairs.select(
+            F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"),
+            (dot / (norm("l") * norm("r"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )

@@ -1,0 +1,114 @@
+"""Text-analysis operators for a training-data pipeline over the
+``documents`` table: language ID, quality scoring, token counting, document
+fingerprinting. All JVM-side native expressions (whole-stage codegen) — no
+Python in the hot path; each has an exact ANSI-SQL oracle twin in
+__spark_entry__.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "token_count",
+    "word_stats",
+    "quality_score",
+    "language_guess",
+    "fingerprint",
+    "with_text_stats",
+]
+
+# Tiny per-language stopword signatures for the n-gram/stopword heuristic.
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
+    "de": ["der", "die", "und", "das", "nicht", "ist", "ich", "ein", "mit", "zu"],
+    "fr": ["le", "la", "les", "et", "des", "est", "une", "dans", "que", "pour"],
+    "es": ["el", "la", "los", "las", "que", "de", "en", "una", "por", "con"],
+}
+
+# Whitespace + punctuation boundary — the "BPE-ish" pre-tokenizer split
+# (mirrors the common GPT-2-style pre-tokenization granularity).
+_TOKEN_SPLIT_RE = r"[^\w]+"
+
+
+def _words(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), _TOKEN_SPLIT_RE), lambda w: w != "")
+
+
+def token_count(text: Column) -> Column:
+    """Pre-tokenizer token count (word-ish units)."""
+    return F.size(_words(text))
+
+
+def word_stats(text: Column) -> dict[str, Column]:
+    words = _words(text)
+    n = F.size(words)
+    return {
+        "n_tokens": n,
+        "n_chars": F.length(text),
+        "mean_word_len": F.when(
+            n > 0,
+            F.aggregate(words, F.lit(0).cast("double"),
+                        lambda acc, w: acc + F.length(w)) / n,
+        ).otherwise(F.lit(0.0)),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic quality in [0,1]: length band, punctuation ratio,
+    alpha ratio, stopword presence. Deterministic, SQL-expressible."""
+    n_chars = F.length(text)
+    words = _words(text)
+    n_words = F.size(words)
+    stop_hits = F.size(F.array_intersect(
+        words, F.array(*[F.lit(w) for w in _LANG_MARKERS["en"]])
+    ))
+    punct = n_chars - F.length(F.regexp_replace(text, r"[.,;:!?]", ""))
+    length_ok = (n_chars >= 200) & (n_chars <= 100000)
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    score = (
+        F.when(length_ok, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when((punct_ratio > 0.001) & (punct_ratio < 0.2), F.lit(0.2))
+        .otherwise(F.lit(0.0))
+        + F.when(stop_hits >= 2, F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when(n_words >= 30, F.lit(0.2)).otherwise(F.lit(0.0))
+    )
+    return score
+
+
+def language_guess(text: Column) -> Column:
+    """Stopword-signature language ID over {en,de,fr,es}; 'und' when no
+    marker hits. Pure Column expression (greatest-score argmax)."""
+    words = _words(text)
+    scores = {
+        lang: F.size(F.array_intersect(
+            words, F.array(*[F.lit(w) for w in markers])
+        ))
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    # argmax with deterministic tie-break by language-key order (reversed
+    # fold so earlier languages win ties)
+    for lang in reversed(list(scores)):
+        out = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def fingerprint(text: Column) -> Column:
+    """64-bit document fingerprint over whitespace-normalized lowercase text
+    (rolling-hash equivalent; xxhash64 is the JVM-side stand-in)."""
+    normalized = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    return F.xxhash64(normalized)
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    text = F.col(text_col)
+    stats = word_stats(text)
+    return (
+        df.withColumn("n_tokens", stats["n_tokens"])
+        .withColumn("mean_word_len", stats["mean_word_len"])
+        .withColumn("quality", quality_score(text))
+        .withColumn("lang_guess", language_guess(text))
+        .withColumn("fingerprint", fingerprint(text))
+    )

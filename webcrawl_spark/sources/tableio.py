@@ -1,0 +1,114 @@
+"""TableIO — the Iceberg seam (SURVEY.md §7 risk 5).
+
+The north rule names Iceberg for the frontier/checkpoint tables. The sandbox
+has no Iceberg runtime jars, so this module provides the same contract —
+atomic round commits, snapshot reads, exact mid-round resume — over
+partitioned Parquet plus a JSON manifest:
+
+- every round's appends go to ``<table>/round=<N>/`` directories;
+- ``<root>/_checkpoint.json`` records the last *committed* round and is
+  replaced atomically (tmp + rename) only after all tables' round files are
+  fully written;
+- readers project only rounds ≤ committed, so a crash mid-round leaves a
+  clean prefix and the round re-runs idempotently (deterministic jobs).
+
+On a real cluster, swap TableIO for Iceberg catalog tables: ``append`` →
+``writeTo(...).append()`` in one transaction per table, ``commit_round`` →
+the Iceberg snapshot commit, ``committed_round`` → snapshot metadata. Job
+logic above this seam is unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["TableIO"]
+
+
+class TableIO:
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # --- checkpoint protocol -------------------------------------------
+    @property
+    def _ckpt_path(self) -> str:
+        return os.path.join(self.root, "_checkpoint.json")
+
+    def committed_round(self) -> int:
+        """Last committed round; -1 if fresh."""
+        try:
+            with open(self._ckpt_path) as f:
+                return int(json.load(f)["round"])
+        except (FileNotFoundError, json.JSONDecodeError, KeyError):
+            return -1
+
+    def checkpoint_meta(self) -> dict:
+        try:
+            with open(self._ckpt_path) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return {"round": -1}
+
+    def commit_round(self, round_no: int, **meta) -> None:
+        """Atomically advance the committed-round marker (the 'snapshot
+        commit'). Everything written for this round becomes visible."""
+        payload = {"round": round_no, **meta}
+        fd, tmp = tempfile.mkstemp(dir=self.root, prefix="_ckpt_tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, self._ckpt_path)
+
+    def rollback_uncommitted(self, tables: list[str]) -> None:
+        """Drop any round directories beyond the committed round (crash
+        cleanup before re-running a round)."""
+        committed = self.committed_round()
+        for table in tables:
+            tdir = os.path.join(self.root, table)
+            if not os.path.isdir(tdir):
+                continue
+            for entry in os.listdir(tdir):
+                if entry.startswith("round="):
+                    rnd = int(entry.split("=", 1)[1])
+                    if rnd > committed:
+                        shutil.rmtree(os.path.join(tdir, entry))
+
+    # --- table ops ------------------------------------------------------
+    def _table_dir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def exists(self, table: str) -> bool:
+        tdir = self._table_dir(table)
+        return os.path.isdir(tdir) and any(
+            e.startswith("round=") for e in os.listdir(tdir)
+        )
+
+    def append(self, df: DataFrame, table: str, round_no: int,
+               partition_by: list[str] | None = None) -> None:
+        """Append this round's rows. Overwrite-idempotent: re-running the
+        same round replaces its directory."""
+        path = os.path.join(self._table_dir(table), f"round={round_no}")
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+
+    def read(self, table: str, upto_round: int | None = None) -> DataFrame:
+        """Snapshot read: only committed rounds (or ≤ upto_round)."""
+        limit = self.committed_round() if upto_round is None else upto_round
+        tdir = self._table_dir(table)
+        paths = [
+            os.path.join(tdir, e)
+            for e in sorted(os.listdir(tdir)) if e.startswith("round=")
+            and int(e.split("=", 1)[1]) <= limit
+        ] if os.path.isdir(tdir) else []
+        if not paths:
+            raise FileNotFoundError(f"no committed data for table {table}")
+        df = self.spark.read.option("basePath", tdir).parquet(*paths)
+        return df
