@@ -1,38 +1,500 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps every implemented operator family from SURVEY.md §2 to a
+DataFrame query over /root/testdata tables; ``oracle_sql()`` gives the
+DuckDB twin. Column names and float rounding are aligned on both sides
+(aggregates rounded so accumulation-order float noise can't break the
+value-hash compare). Operators with no SQL expression (MinHash-LSH, SimHash,
+ANN probing, multimodal decode) are rows-only checks.
+
+Operator-family mapping (SURVEY.md §2 → query):
+  F1 predicate chain w/ denial reasons → q_admission_reasons
+  J1 anti-join dedup                   → q_frontier_antijoin
+  J5/J6 equi joins (broadcast dim)     → q_brand_revenue, q_segment_top_orders
+  W1/W2 FIFO seq + ordered limit       → q_fifo_head
+  W5 per-host top-k under budget       → q_perhost_topk
+  A1 metrics aggregation               → q_round_metrics (TPC-H Q1 shape)
+  2.6 union + dedup                    → q_union_dedup
+  U2 canonicalization analogue         → q_norm_dedup (exact dedup)
+  text ops (tokens/quality/lang/fp)    → q_token_stats, q_quality_filter,
+                                         q_lang_id, q_exact_dedup_docs
+  similarity (brute-force cosine)      → q_cosine_topk
+  streaming-ish window agg             → q_hourly_events
+  LSH dedup / simhash / ANN            → rows-only: q_minhash_dedup,
+                                         q_simhash_pairs, q_ann_topk
+  crawl engine end-to-end              → entry() (frontier round on the
+                                         synthetic site; pytest gates parity)
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+_TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+           "lineitem", "events", "documents", "embeddings")
+
+
+def _load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))
+            for n in names}
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: one politeness-budgeted frontier-style scheduling round,
+    expressed over the events stream as the candidate source — anti-join
+    'seen' users (customers with high balance), per-type top-k under budget,
+    FIFO-ordered output. Exercises the engine's core pipeline shape
+    (dedup anti-join → per-key window top-k → ordered output)."""
+    t = _load(spark, "/root/testdata/sf0.001", "events", "customer")
+    seen = t["customer"].filter(F.col("c_acctbal") > 9000) \
+                        .select(F.col("c_custkey").alias("user_id"))
+    candidates = t["events"].join(F.broadcast(seen), "user_id", "left_anti")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    return (
+        candidates.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5).drop("rn")
+        .orderBy("ts", "event_id")
+        .select("event_id", "ts", "user_id", "event_type",
+                F.round("value", 4).alias("value"))
+    )
+
+
+# --------------------------------------------------------------------------
+# queries + oracles
+# --------------------------------------------------------------------------
+
+def q_admission_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1's ordered predicate chain with first-failure denial reasons
+    (crawler.rs:266-372), over lineitem rows."""
+    li = _load(spark, sf_dir, "lineitem")["lineitem"]
+    reason = (
+        F.when(F.col("l_quantity") > 45, F.lit("DEPTH_LIMIT"))
+        .when(F.col("l_returnflag") == "R", F.lit("FILE_TYPE"))
+        .when(F.col("l_discount") > 0.08, F.lit("EXCLUDE_PATTERN"))
+        .when(F.col("l_tax") > 0.06, F.lit("ROBOTS_TXT"))
+        .otherwise(F.lit("ALLOWED"))
+    )
+    return (
+        li.select(reason.alias("denial_reason"))
+        .groupBy("denial_reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("denial_reason")
+    )
+
+
+def q_frontier_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 frontier dedup as a left anti-join: orders whose customer is
+    already in the 'seen set'."""
+    t = _load(spark, sf_dir, "orders", "customer")
+    seen = t["customer"].filter(F.col("c_acctbal") > 5000)
+    return (
+        t["orders"].join(seen, t["orders"]["o_custkey"] == seen["c_custkey"],
+                         "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_unseen"),
+             F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+    )
+
+
+def q_perhost_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 per-host top-k under politeness budget: top-3 orders per customer
+    by price (Window.partitionBy ≙ per-host budget selection)."""
+    orders = _load(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"),
+                                                F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_top"),
+             F.round(F.sum("o_totalprice"), 2).alias("top_price"))
+        .orderBy("o_custkey")
+    )
+
+
+def q_fifo_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2 FIFO ordering + limit: first 100 events in stream order."""
+    events = _load(spark, sf_dir, "events")["events"]
+    return (
+        events.orderBy("ts", "event_id")
+        .limit(100)
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+def q_round_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 metrics aggregation in TPC-H Q1 shape (pricing summary)."""
+    li = _load(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join (J6 synthetic-fetch shape): revenue per part brand."""
+    t = _load(spark, sf_dir, "lineitem", "part")
+    return (
+        t["lineitem"].join(F.broadcast(t["part"]),
+                           t["lineitem"]["l_partkey"] == t["part"]["p_partkey"])
+        .groupBy("p_brand")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+        .orderBy("p_brand")
+    )
+
+
+def q_segment_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + agg + ordered top-k (TPC-H Q3 shape)."""
+    t = _load(spark, sf_dir, "customer", "orders", "lineitem")
+    return (
+        t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+        .join(t["orders"], t["customer"]["c_custkey"] == t["orders"]["o_custkey"])
+        .join(t["lineitem"],
+              t["orders"]["o_orderkey"] == t["lineitem"]["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd")
+                .alias("o_orderdate"), "revenue")
+    )
+
+
+def q_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2.6 union + dedup: high-balance customers ∪ suppliers' nations."""
+    t = _load(spark, sf_dir, "customer", "supplier")
+    a = t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+    b = t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
+    return a.unionByName(b).distinct().orderBy("nationkey")
+
+
+def q_norm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/U2 normalize-then-dedup analogue: distinct normalized event props
+    domains per event_type."""
+    events = _load(spark, sf_dir, "events")["events"]
+    return (
+        events.select("event_type",
+                      F.lower(F.trim(F.col("props"))).alias("norm"))
+        .groupBy("event_type")
+        .agg(F.countDistinct("norm").alias("n_distinct"))
+        .orderBy("event_type")
+    )
+
+
+def q_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-analogue tumbling window: hourly event counts/values
+    (the batch twin of the structured-streaming rollup)."""
+    events = _load(spark, sf_dir, "events")["events"]
+    return (
+        events.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")),
+                          "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("hour", "event_type")
+    )
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token counting over documents (JVM-side split)."""
+    from webcrawl_spark.operators.textstats import token_count
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return (
+        docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"),
+                    F.length("text").alias("n_chars_actual"))
+        .orderBy("doc_id")
+    )
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: per-lang counts of documents passing quality ≥ 0.4."""
+    from webcrawl_spark.operators.textstats import quality_score
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return (
+        docs.withColumn("q", quality_score(F.col("text")))
+        .filter(F.col("q") >= 0.4)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_pass"))
+        .orderBy("lang")
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic distribution over documents."""
+    from webcrawl_spark.operators.textstats import language_guess
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return (
+        docs.select(language_guess(F.col("text")).alias("lang_guess"))
+        .groupBy("lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang_guess")
+    )
+
+
+def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text: kept doc_ids (lowest id per group)."""
+    from webcrawl_spark.operators.dedup import exact_dedup
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return exact_dedup(docs).select("doc_id").orderBy("doc_id")
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against a fixed unit query vector."""
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
+    dim = 64
+    query = [1.0 if i == 0 else 0.0 for i in range(dim)]
+    from webcrawl_spark.operators.similarity import cosine_sim_col
+
+    return (
+        emb.select("vec_id",
+                   F.round(cosine_sim_col("embedding", query), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(20)
+    )
+
+
+# ---- rows-only (non-SQL-expressible) ----
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webcrawl_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return minhash_lsh_dedup(docs, num_perm=32, bands=8, threshold=0.8) \
+        .select("doc_id").orderBy("doc_id")
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webcrawl_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return simhash_near_dup_pairs(docs, max_hamming=3).orderBy("doc_a", "doc_b")
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webcrawl_spark.operators.similarity import ann_topk
+
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
+    query = [1.0 if i == 0 else 0.0 for i in range(64)]
+    return ann_topk(emb, query, k=10, dim=64, n_bits=8)
+
+
+def q_image_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (stub decode): treat embeddings' byte-cast ids as
+    opaque payloads — exercises the mapInPandas schema/batching path."""
+    from webcrawl_spark.operators.multimodal import image_features
+
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
+    payloads = emb.limit(100).select(
+        F.col("vec_id").cast("string").alias("media_id"),
+        F.encode(F.col("vec_id").cast("string"), "UTF-8").alias("payload"),
+    )
+    return image_features(payloads, fake=True).orderBy("media_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q_admission_reasons": q_admission_reasons,
+        "q_frontier_antijoin": q_frontier_antijoin,
+        "q_perhost_topk": q_perhost_topk,
+        "q_fifo_head": q_fifo_head,
+        "q_round_metrics": q_round_metrics,
+        "q_brand_revenue": q_brand_revenue,
+        "q_segment_top_orders": q_segment_top_orders,
+        "q_union_dedup": q_union_dedup,
+        "q_norm_dedup": q_norm_dedup,
+        "q_hourly_events": q_hourly_events,
+        "q_token_stats": q_token_stats,
+        "q_quality_filter": q_quality_filter,
+        "q_lang_id": q_lang_id,
+        "q_exact_dedup_docs": q_exact_dedup_docs,
+        "q_cosine_topk": q_cosine_topk,
+        "q_minhash_dedup": q_minhash_dedup,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_ann_topk": q_ann_topk,
+        "q_image_plumbing": q_image_plumbing,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_WORDS_SQL = r"list_filter(regexp_split_to_array(lower({col}), '[^\w]+'), x -> x != '')"
+
+_EN_STOP = "['the','and','of','to','in','is','that','it','for','with']"
+_DE_STOP = "['der','die','und','das','nicht','ist','ich','ein','mit','zu']"
+_FR_STOP = "['le','la','les','et','des','est','une','dans','que','pour']"
+_ES_STOP = "['el','la','los','las','que','de','en','una','por','con']"
+
+
+def _quality_sql(col: str) -> str:
+    words = _WORDS_SQL.format(col=col)
+    return f"""(
+      CASE WHEN length({col}) BETWEEN 200 AND 100000 THEN 0.4 ELSE 0.0 END
+      + CASE WHEN length({col}) > 0
+             AND (length({col}) - length(regexp_replace({col}, '[.,;:!?]', '', 'g')))::DOUBLE / length({col}) > 0.001
+             AND (length({col}) - length(regexp_replace({col}, '[.,;:!?]', '', 'g')))::DOUBLE / length({col}) < 0.2
+             THEN 0.2 ELSE 0.0 END
+      + CASE WHEN len(list_intersect({words}, {_EN_STOP})) >= 2 THEN 0.2 ELSE 0.0 END
+      + CASE WHEN len({words}) >= 30 THEN 0.2 ELSE 0.0 END
+    )"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    words = _WORDS_SQL.format(col="text")
+    return {
+        "q_admission_reasons": """
+            SELECT CASE
+                     WHEN l_quantity > 45 THEN 'DEPTH_LIMIT'
+                     WHEN l_returnflag = 'R' THEN 'FILE_TYPE'
+                     WHEN l_discount > 0.08 THEN 'EXCLUDE_PATTERN'
+                     WHEN l_tax > 0.06 THEN 'ROBOTS_TXT'
+                     ELSE 'ALLOWED'
+                   END AS denial_reason,
+                   count(*) AS n
+            FROM lineitem GROUP BY 1 ORDER BY 1
+        """,
+        "q_frontier_antijoin": """
+            SELECT count(*) AS n_unseen,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders o
+            WHERE NOT EXISTS (
+              SELECT 1 FROM customer c
+              WHERE c.c_acctbal > 5000 AND c.c_custkey = o.o_custkey)
+        """,
+        "q_perhost_topk": """
+            WITH ranked AS (
+              SELECT o_custkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+              FROM orders)
+            SELECT o_custkey, count(*) AS n_top,
+                   round(sum(o_totalprice), 2) AS top_price
+            FROM ranked WHERE rk <= 3
+            GROUP BY o_custkey ORDER BY o_custkey
+        """,
+        "q_fifo_head": """
+            SELECT event_id, user_id, event_type
+            FROM events ORDER BY ts, event_id LIMIT 100
+        """,
+        "q_round_metrics": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q_brand_revenue": """
+            SELECT p_brand,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand ORDER BY p_brand
+        """,
+        "q_segment_top_orders": """
+            SELECT o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "q_union_dedup": """
+            SELECT DISTINCT nationkey FROM (
+              SELECT c_nationkey AS nationkey FROM customer
+              UNION ALL
+              SELECT s_nationkey AS nationkey FROM supplier
+            ) ORDER BY nationkey
+        """,
+        "q_norm_dedup": """
+            SELECT event_type,
+                   count(DISTINCT lower(trim(props))) AS n_distinct
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "q_hourly_events": """
+            SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+                            '%Y-%m-%d %H:%M:%S') AS hour,
+                   event_type, count(*) AS n,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q_token_stats": f"""
+            SELECT doc_id,
+                   len({words}) AS n_tokens,
+                   length(text) AS n_chars_actual
+            FROM documents ORDER BY doc_id
+        """,
+        "q_quality_filter": f"""
+            SELECT lang, count(*) AS n_pass
+            FROM documents
+            WHERE {_quality_sql('text')} >= 0.4
+            GROUP BY lang ORDER BY lang
+        """,
+        "q_lang_id": f"""
+            WITH scored AS (
+              SELECT len(list_intersect({words}, {_EN_STOP})) AS s_en,
+                     len(list_intersect({words}, {_DE_STOP})) AS s_de,
+                     len(list_intersect({words}, {_FR_STOP})) AS s_fr,
+                     len(list_intersect({words}, {_ES_STOP})) AS s_es
+              FROM documents),
+            best AS (
+              SELECT CASE
+                       WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                       WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                       WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                       ELSE 'es'
+                     END AS lang_guess
+              FROM scored)
+            SELECT lang_guess, count(*) AS n FROM best
+            GROUP BY lang_guess ORDER BY lang_guess
+        """,
+        "q_exact_dedup_docs": """
+            SELECT min(doc_id) AS doc_id
+            FROM documents
+            GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+            ORDER BY doc_id
+        """,
+        "q_cosine_topk": """
+            WITH sims AS (
+              SELECT vec_id,
+                     round(embedding[1] /
+                           sqrt(list_aggregate(list_transform(embedding, x -> x * x),
+                                               'sum')), 6) AS cosine
+              FROM embeddings)
+            SELECT vec_id, cosine FROM sims
+            ORDER BY cosine DESC, vec_id ASC LIMIT 20
+        """,
+        # q_minhash_dedup / q_simhash_pairs / q_ann_topk / q_image_plumbing:
+        # non-SQL-expressible → rows-only checks (driver contract).
+    }

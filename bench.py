@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Benchmark harness. Runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus a crawl-
+engine throughput round (synthetic site, politeness-budgeted frontier with
+full extraction), and prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>, ...extras}
+
+Scaling evidence (north rule: N vs 4N cores) is produced by running this
+script twice with SPARK_GRAFT_CPUS=8 and =32 — see scripts/scaling_bench.py
+and BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CRAWL_PAGES_PER_HOST = int(os.environ.get("SPARK_GRAFT_CRAWL_PAGES", "60"))
+
+HEADLINE = [
+    "q_round_metrics",      # TPC-H Q1 shape: scan-heavy agg
+    "q_brand_revenue",      # broadcast dim join
+    "q_segment_top_orders", # 3-way join + topk
+    "q_perhost_topk",       # politeness window
+    "q_frontier_antijoin",  # seen-set anti-join
+    "q_hourly_events",      # windowed agg
+    "q_token_stats",        # text ops
+    "q_minhash_dedup",      # LSH dedup (Arrow UDF path)
+    "q_cosine_topk",        # similarity
+]
+
+
+def _sf_from_dir(path: str) -> float:
+    name = os.path.basename(path.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def bench_queries(spark) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+    return times
+
+
+def bench_crawl(spark) -> dict[str, float]:
+    """Frontier throughput: synthetic site → budgeted rounds with full
+    markdown extraction; reports fetched URLs/sec and rounds/hour."""
+    import shutil
+    import tempfile
+
+    from webcrawl_spark.datagen import build_site, render_page_html
+    from webcrawl_spark.frontier.crawl import EngineConfig, SparkCrawl
+    from webcrawl_spark.frontier.oracle import CrawlConfig
+
+    site = build_site(seed=13, n_hosts=12, pages_per_host=CRAWL_PAGES_PER_HOST,
+                      n_hot_hosts=2, hot_factor=3)
+    rows = [(u, render_page_html(site, u).encode()) for u in site.urls()]
+    pages = spark.createDataFrame(rows, "url string, html binary") \
+        .repartition(CPUS).cache()
+    pages.count()
+
+    seed_host = site.hosts[0]
+    cfg = CrawlConfig(
+        seed_url=f"https://{seed_host}/", limit=None, max_depth=3,
+        allow_backward_crawling=True, allow_external_content_links=True,
+        host_budget=64,
+    )
+    workdir = tempfile.mkdtemp(prefix="crawl_bench_")
+    try:
+        t0 = time.perf_counter()
+        crawl = SparkCrawl(spark, pages, cfg, workdir,
+                           engine=EngineConfig(num_buckets=CPUS))
+        rounds = crawl.run()
+        elapsed = time.perf_counter() - t0
+        fetched = crawl.fetch_log().count()
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+        pages.unpersist()
+    return {
+        "crawl_sec": round(elapsed, 3),
+        "crawl_rounds": rounds,
+        "crawl_fetched": fetched,
+        "fetched_urls_per_sec": round(fetched / elapsed, 2) if elapsed else 0.0,
+        "frontier_rounds_per_hour": round(rounds / elapsed * 3600, 1)
+        if elapsed else 0.0,
+    }
+
+
+def main() -> None:
+    from webcrawl_spark.session import get_spark
+
+    spark = get_spark(
+        "webcrawl-spark-bench", master=f"local[{CPUS}]",
+        extra_confs={"spark.sql.shuffle.partitions": str(max(8, CPUS))},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        t0 = time.perf_counter()
+        qtimes = bench_queries(spark)
+        crawl = bench_crawl(spark)
+        total = round(time.perf_counter() - t0, 3)
+        out = {
+            "metric": "webcrawl_spark_bench_total",
+            "value": total,
+            "unit": "sec",
+            "queries": {**qtimes, "crawl_round_job": crawl["crawl_sec"]},
+            "sf": _sf_from_dir(SF_DIR),
+            "cpus": CPUS,
+            "crawl": crawl,
+        }
+        print(json.dumps(out))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,248 @@
+"""Training-data-pipeline operators: dedup family, similarity search,
+text stats, multimodal plumbing, sitemap ingestion."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 20),
+        (2, "the quick brown fox jumps over the lazy dog " * 20),   # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog and then rests " * 18),  # near dup
+        (4, "completely different content about spark shuffle partitions " * 15),
+        (5, "der schnelle braune fuchs springt und die hunde sind nicht da " * 10),
+        (6, "short"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string").cache()
+
+
+class TestExactDedup:
+    def test_keeps_lowest_id(self, spark, docs_df):
+        from webcrawl_spark.operators.dedup import exact_dedup
+
+        out = exact_dedup(docs_df).select("doc_id").collect()
+        ids = sorted(r[0] for r in out)
+        assert 1 in ids and 2 not in ids
+        assert {3, 4, 5, 6} <= set(ids)
+
+    def test_whitespace_case_insensitive(self, spark):
+        from webcrawl_spark.operators.dedup import exact_dedup
+
+        df = spark.createDataFrame(
+            [(1, "Hello  World"), (2, "hello world"), (3, "other")],
+            "doc_id int, text string",
+        )
+        assert exact_dedup(df).count() == 2
+
+
+class TestMinHash:
+    def test_near_dup_pair_found(self, spark, docs_df):
+        from webcrawl_spark.operators.dedup import minhash_lsh_pairs
+
+        pairs = minhash_lsh_pairs(docs_df, num_perm=64, bands=16,
+                                  threshold=0.5).collect()
+        found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+        assert (1, 2) in found  # exact dups always collide
+        assert all(a < b for a, b in found)
+
+    def test_dedup_drops_losers(self, spark, docs_df):
+        from webcrawl_spark.operators.dedup import minhash_lsh_dedup
+
+        kept = {r["doc_id"] for r in
+                minhash_lsh_dedup(docs_df, threshold=0.5).collect()}
+        assert 1 in kept and 2 not in kept
+        assert 4 in kept and 6 in kept
+
+    def test_signatures_deterministic(self, spark, docs_df):
+        from webcrawl_spark.operators.dedup import minhash_signatures
+
+        udf = minhash_signatures(num_perm=16)
+        a = docs_df.select(udf(F.col("text")).alias("s")).collect()
+        b = docs_df.select(udf(F.col("text")).alias("s")).collect()
+        assert [r["s"] for r in a] == [r["s"] for r in b]
+
+
+class TestSimHash:
+    def test_near_dup_pairs(self, spark, docs_df):
+        from webcrawl_spark.operators.dedup import simhash_near_dup_pairs
+
+        pairs = simhash_near_dup_pairs(docs_df, max_hamming=3).collect()
+        found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+        assert (1, 2) in found
+        assert (1, 4) not in found and (4, 5) not in found
+
+
+class TestNgramJaccard:
+    def test_exact_pairs(self, spark, docs_df):
+        from webcrawl_spark.operators.dedup import ngram_jaccard_pairs
+
+        pairs = ngram_jaccard_pairs(docs_df.limit(4), threshold=0.4).collect()
+        found = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs}
+        assert found[(1, 2)] == pytest.approx(1.0)
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal(16)
+    rows = []
+    for i in range(50):
+        if i < 3:  # near-dups of base
+            v = base + rng.standard_normal(16) * 0.01
+        else:
+            v = rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id int, embedding array<float>").cache()
+
+
+class TestSimilarity:
+    def test_brute_force_topk(self, spark, emb_df):
+        from webcrawl_spark.operators.similarity import cosine_topk
+
+        base = emb_df.filter("vec_id = 0").first()["embedding"]
+        top = cosine_topk(emb_df, list(base), k=3).collect()
+        assert top[0]["vec_id"] == 0
+        assert top[0]["cosine"] == pytest.approx(1.0, abs=1e-6)
+        assert {r["vec_id"] for r in top} == {0, 1, 2}
+
+    def test_ann_matches_exact_for_easy_query(self, spark, emb_df):
+        from webcrawl_spark.operators.similarity import ann_topk, cosine_topk
+
+        base = emb_df.filter("vec_id = 0").first()["embedding"]
+        exact = [r["vec_id"] for r in cosine_topk(emb_df, list(base), k=3).collect()]
+        approx = [r["vec_id"] for r in
+                  ann_topk(emb_df, list(base), k=3, dim=16, n_bits=6).collect()]
+        # near-identical vectors share buckets; top hit must match
+        assert approx[0] == exact[0]
+        assert set(approx) & set(exact)
+
+    def test_near_dup_pairs(self, spark, emb_df):
+        from webcrawl_spark.operators.similarity import embedding_near_dup_pairs
+
+        pairs = embedding_near_dup_pairs(emb_df, dim=16, threshold=0.99,
+                                         n_bits=4).collect()
+        found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+        assert (0, 1) in found and (0, 2) in found
+
+
+class TestTextStats:
+    def test_stats_columns(self, spark, docs_df):
+        from webcrawl_spark.operators.textstats import with_text_stats
+
+        out = with_text_stats(docs_df).filter("doc_id = 1").first()
+        assert out["n_tokens"] == 9 * 20
+        assert out["quality"] > 0.5
+        assert out["lang_guess"] == "en"
+        assert out["fingerprint"] is not None
+
+    def test_language_guess(self, spark, docs_df):
+        from webcrawl_spark.operators.textstats import language_guess
+
+        rows = {r["doc_id"]: r["lang"] for r in docs_df.select(
+            "doc_id", language_guess(F.col("text")).alias("lang")).collect()}
+        assert rows[5] == "de"
+        assert rows[6] == "und"
+
+    def test_fingerprint_dedup_consistency(self, spark, docs_df):
+        from webcrawl_spark.operators.textstats import fingerprint
+
+        fps = docs_df.select(fingerprint(F.col("text")).alias("f")).collect()
+        assert fps[0]["f"] == fps[1]["f"]
+        assert fps[0]["f"] != fps[3]["f"]
+
+
+class TestMultimodal:
+    def test_fake_decode_plumbing(self, spark):
+        from webcrawl_spark.operators.multimodal import image_features
+
+        rows = [(f"m{i}", bytes([i] * (100 + i))) for i in range(10)]
+        df = spark.createDataFrame(rows, "media_id string, payload binary")
+        out = image_features(df, fake=True).collect()
+        assert len(out) == 10
+        r = next(x for x in out if x["media_id"] == "m3")
+        assert r["n_bytes"] == 103
+        assert len(r["feature"]) == 8
+        assert r["width"] >= 64 and r["height"] >= 64
+
+    def test_real_decode_raises(self):
+        from webcrawl_spark.operators.multimodal import _decode_image_real
+
+        with pytest.raises(NotImplementedError):
+            _decode_image_real(b"x")
+
+    def test_frame_sample_plan(self, spark):
+        from webcrawl_spark.operators.multimodal import frame_sample_plan
+
+        df = spark.createDataFrame([("v1", 10.0), ("v2", 1.0)],
+                                   "media_id string, duration_s double")
+        out = frame_sample_plan(df, fps=0.5).collect()
+        v1 = [r for r in out if r["media_id"] == "v1"]
+        assert len(v1) == 5
+        assert v1[1]["frame_ts"] == pytest.approx(2.0)
+
+
+class TestSitemap:
+    def test_parse_urlset(self):
+        from webcrawl_spark.sources.sitemap import parse_sitemap_xml
+
+        xml = (
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            "<url><loc>https://example.com/page1</loc></url>"
+            "<url><loc>https://example.com/page2</loc></url></urlset>"
+        )
+        assert parse_sitemap_xml(xml)["urlset"] == [
+            "https://example.com/page1", "https://example.com/page2",
+        ]
+
+    def test_parse_invalid_root(self):
+        from webcrawl_spark.sources.sitemap import parse_sitemap_xml
+
+        with pytest.raises(ValueError, match="Invalid sitemap format"):
+            parse_sitemap_xml("<invalid><url/></invalid>")
+
+    def test_parse_malformed(self):
+        from webcrawl_spark.sources.sitemap import parse_sitemap_xml
+
+        with pytest.raises(ValueError):
+            parse_sitemap_xml("<urlset><url><loc>x</loc></url></urlset")
+
+    def test_process_splits_and_drops_files(self):
+        # crawler.rs:816-851
+        from webcrawl_spark.sources.sitemap import process_sitemap
+
+        xml = (
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            "<url><loc>https://example.com/page1</loc></url>"
+            "<url><loc>https://example.com/sitemap2.xml</loc></url>"
+            "<url><loc>https://example.com/image.png</loc></url></urlset>"
+        )
+        result = process_sitemap(xml)
+        by_action = {i["action"]: i["urls"] for i in result["instructions"]}
+        assert by_action["recurse"] == ["https://example.com/sitemap2.xml"]
+        assert by_action["process"] == ["https://example.com/page1"]
+
+    def test_iterative_recursion_with_cap(self, spark, small_site):
+        from webcrawl_spark.sources.sitemap import sitemap_urls_df
+
+        host = small_site.hosts[0]
+        rows = [(u, x) for u, x in small_site.sitemaps.items()]
+        table = spark.createDataFrame(rows, "url string, body string")
+        out = sitemap_urls_df(spark, table, f"https://{host}/").collect()
+        urls = [r["page_url"] for r in out]
+        assert urls  # index → sub-sitemaps → page urls
+        assert all(not u.endswith(".png") for u in urls)
+        assert len(urls) == len(set(urls))
+
+    def test_gz_sitemap(self, spark, small_site):
+        from webcrawl_spark.sources.sitemap import _process_sitemap_udf
+
+        (gz_url, gz_bytes), = small_site.sitemaps_gz.items()
+        df = spark.createDataFrame([(gz_url, bytearray(gz_bytes))],
+                                   "url string, body binary")
+        row = df.select(_process_sitemap_udf(F.col("body")).alias("p")).first()
+        assert row["p"]["error"] is None
+        assert row["p"]["process"]

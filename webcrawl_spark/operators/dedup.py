@@ -176,7 +176,10 @@ def simhash_column(shingle_k: int = 3):
             if not tokens:
                 continue
             hs = np.array([_tok_hash(t) for t in tokens], dtype=np.uint64)
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1)
+            bits = (
+                (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)
+            ).astype(np.int64)
             votes = bits.sum(axis=0) * 2 - len(hs)
             sim = np.uint64(0)
             for b in np.nonzero(votes > 0)[0]:
