@@ -61,6 +61,54 @@ def bench_queries(spark) -> dict[str, float]:
     return times
 
 
+def bench_scrape(spark) -> dict[str, float]:
+    """Sustained extraction throughput: scrape (markdown+links+quality) over
+    a dense synthetic pages table — one big Arrow-UDF stage, the engine's
+    dominant cost at 100 TB. This is the primary scaling-efficiency metric:
+    no per-round orchestration, pure parallel extraction."""
+    from pyspark.sql import functions as F
+
+    from webcrawl_spark.datagen import build_site, render_page_html
+    from webcrawl_spark.kernels.scrape import ScrapeOptions
+    from webcrawl_spark.operators.scrape import scrape
+
+    n_pages_target = int(os.environ.get("SPARK_GRAFT_SCRAPE_PAGES", "3000"))
+    site = build_site(seed=29, n_hosts=10,
+                      pages_per_host=max(10, n_pages_target // 10),
+                      n_hot_hosts=0, density=8)
+    urls = site.urls()
+    url_df = spark.createDataFrame([(u,) for u in urls], "url string") \
+        .repartition(CPUS * 2)
+
+    # distributed page rendering (pure function of (seed, url))
+    spec_bc = spark.sparkContext.broadcast(site)
+
+    @F.udf("binary")
+    def render(u):
+        return render_page_html(spec_bc.value, u).encode()
+
+    pages = url_df.withColumn("html", render(F.col("url"))).cache()
+    n = pages.count()
+    total_bytes = pages.select(F.sum(F.length("html"))).first()[0]
+
+    t0 = time.perf_counter()
+    out = scrape(pages, ScrapeOptions(formats=("markdown", "links")))
+    stats = out.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("markdown")).alias("md_bytes"),
+    ).first()
+    elapsed = time.perf_counter() - t0
+    pages.unpersist()
+    return {
+        "scrape_pages": int(stats["n"]),
+        "scrape_html_mb": round((total_bytes or 0) / 1e6, 1),
+        "scrape_sec": round(elapsed, 3),
+        "scrape_pages_per_sec": round(n / elapsed, 2) if elapsed else 0.0,
+        "scrape_mb_per_sec": round((total_bytes or 0) / 1e6 / elapsed, 2)
+        if elapsed else 0.0,
+    }
+
+
 def bench_crawl(spark) -> dict[str, float]:
     """Frontier throughput: synthetic site → budgeted rounds with full
     markdown extraction; reports fetched URLs/sec and rounds/hour."""
@@ -116,15 +164,19 @@ def main() -> None:
     try:
         t0 = time.perf_counter()
         qtimes = bench_queries(spark)
+        scrape_stats = bench_scrape(spark)
         crawl = bench_crawl(spark)
         total = round(time.perf_counter() - t0, 3)
         out = {
             "metric": "webcrawl_spark_bench_total",
             "value": total,
             "unit": "sec",
-            "queries": {**qtimes, "crawl_round_job": crawl["crawl_sec"]},
+            "queries": {**qtimes,
+                        "scrape_extraction": scrape_stats["scrape_sec"],
+                        "crawl_round_job": crawl["crawl_sec"]},
             "sf": _sf_from_dir(SF_DIR),
             "cpus": CPUS,
+            "scrape": scrape_stats,
             "crawl": crawl,
         }
         print(json.dumps(out))

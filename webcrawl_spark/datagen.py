@@ -47,6 +47,7 @@ class SiteSpec:
     robots: dict[str, str]          # host -> robots.txt body
     sitemaps: dict[str, str]        # sitemap url -> xml
     sitemaps_gz: dict[str, bytes] = field(default_factory=dict)
+    density: int = 1                # body-size multiplier (≈ real-web KB scale)
 
     def urls(self) -> list[str]:
         return sorted(self.pages)
@@ -62,6 +63,7 @@ def build_site(
     pages_per_host: int = 100,
     n_hot_hosts: int = 2,
     hot_factor: int = 6,
+    density: int = 1,
 ) -> SiteSpec:
     """Site graph: per host a path tree /sec{i}/art{j}; hot hosts get
     ``hot_factor``× the pages (skew fixture, FIXTURES.md §1)."""
@@ -88,11 +90,17 @@ def build_site(
         for s in section_urls:
             pages[s] = PageSpec(url=s, depth=1, child_links=list(article_urls[s]))
             for a in article_urls[s]:
-                # leaf pages link back up and occasionally cross-host
+                # leaf pages occasionally link cross-host: to another host's
+                # root (denied as external main page unless subdomains) and
+                # to a non-main section page (admissible when
+                # allow_external_content_links is set — crawler.rs:345-351)
                 extra: list[str] = []
                 if rng.random() < 0.3:
                     other = hosts[rng.randrange(len(hosts))]
                     extra.append(f"https://{other}/")
+                if rng.random() < 0.35:
+                    other = hosts[rng.randrange(len(hosts))]
+                    extra.append(f"https://{other}/sec0")
                 pages[a] = PageSpec(url=a, depth=2, child_links=extra)
 
         # robots: every third host disallows a section
@@ -130,7 +138,7 @@ def build_site(
         )
 
     spec = SiteSpec(seed=seed, hosts=hosts, pages=pages, robots=robots,
-                    sitemaps=sitemaps)
+                    sitemaps=sitemaps, density=density)
     # one gzipped sitemap fixture
     first = f"https://{hosts[0]}/sitemap-0.xml"
     if first in sitemaps:
@@ -168,8 +176,10 @@ def render_page_html(spec: SiteSpec, url: str) -> str:
     ]
 
     main: list[str] = [f"<h1>{title}</h1>"]
-    # body paragraphs — enough text to clear thin thresholds on most pages
-    n_paras = rng.randint(1, 4) if rng.random() < 0.15 else rng.randint(6, 12)
+    # body paragraphs — enough text to clear thin thresholds on most pages;
+    # density scales toward realistic 30-100 KB web pages for benchmarks
+    n_paras = (rng.randint(1, 4) if rng.random() < 0.15
+               else rng.randint(6, 12) * spec.density)
     for _ in range(n_paras):
         main.append(f"<p>{_sentence(rng, rng.randint(25, 60))}</p>")
     if rng.random() < 0.4:

@@ -4,7 +4,7 @@ rule).
 
 Each scheduling round is ONE DataFrame job:
 
-  frontier queued rows
+  queued frontier rows
     → per-host top-k under the politeness budget  (Window.partitionBy(host))
     → global FIFO cap                              (ordered limit)
     → synthetic fetch                              (join pages on url)
@@ -12,31 +12,35 @@ Each scheduling round is ONE DataFrame job:
     → link expansion L2 + admission F1             (posexplode + classify UDF)
     → seen-set dedup                               (Bloom shard probe →
                                                     exact left anti-join)
-    → seq assignment                               (range-partitioned
-                                                    zipWithIndex — no single-
-                                                    task global sort)
-    → append frontier/fetch_log/crawl_result/metrics + merged Bloom shards
+    → seq assignment                               (driver-side in limit mode;
+                                                    range-partitioned
+                                                    zipWithIndex otherwise)
+    → append frontier/fetch_log/crawl_result/metrics + Bloom shard deltas
     → atomic round commit (checkpoint)             (TableIO)
 
+State model: the live frontier/queued DataFrames are held in memory
+(lineage truncated per round via localCheckpoint) so rounds don't re-read
+parquet; the per-round appends + the atomic commit marker ARE the
+checkpoint. Resume reconstructs the in-memory state from committed rounds
+only — a crash mid-round loses nothing (uncommitted files are rolled back
+and the round re-runs deterministically).
+
 Scale posture:
-- The frontier is partitioned by host_bucket = xxhash64(host) % B so one
-  host's URLs co-locate (politeness windows and shard probes shuffle only
-  within buckets); hot hosts are bounded by the budget top-k which AQE's
-  skew-join handling backs up.
-- The seen-set anti-join is pre-filtered by per-bucket Bloom shards
-  (frontier/bloom.py) so certainly-new candidates skip the shuffle join.
-- The `html` binary column is never shuffled: extraction projects it out
-  before link expansion (project early, join late — SURVEY.md §4).
+- frontier partitioned by host_bucket = xxhash64(host) % B so one host's
+  URLs co-locate (politeness windows and shard probes shuffle within
+  buckets); AQE skew handling backs up the explicit budget top-k.
+- the seen-set anti-join is pre-filtered by per-bucket Bloom shards
+  (frontier/bloom.py): certainly-new candidates skip the shuffle join.
+- the `html` binary column never enters a shuffle (project early).
+- the reference's global `limit` (≤10k, types.ts:86) keeps its sequential
+  cross-page admission semantics via a driver-side replay over the (small,
+  limit-bounded) candidate set; unlimited crawls (the 10^10 path) use the
+  fully distributed admission pipeline.
 
-Ordering contract (W1): fetch order must equal the in-memory oracle
-(frontier/oracle.py round_crawl; ≡ the reference's BFS FIFO when budget is
-None). Dedup key is configurable: "url" reproduces the reference's exact-
-string discovered-set; "url_canon" is the north-rule canonicalized mode.
-
-The reference's global `limit` (≤10k, types.ts:86) retains its sequential
-cross-page admission semantics via a driver-side replay over the (small,
-limit-bounded) per-round candidate set; unlimited crawls (the 10^10 path)
-use the fully distributed admission pipeline.
+Ordering contract (W1): fetch order equals the in-memory oracle
+(frontier/oracle.py round_crawl; ≡ the reference BFS FIFO when budget is
+None). Dedup key configurable: "url" = reference exact-string discovered
+set; "url_canon" = north-rule canonicalized mode.
 """
 
 from __future__ import annotations
@@ -47,7 +51,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from ..functions import CLASSIFY_SCHEMA, canonicalize_url, url_depth
+from ..functions import CLASSIFY_SCHEMA, canonicalize_url, url_depth, url_host
 from ..kernels.classify import classify_link, _build_robot, _compile_patterns
 from ..kernels.crawl import page_links
 from ..kernels.scrape import markdown_for_page
@@ -61,6 +65,11 @@ __all__ = ["SparkCrawl", "EngineConfig"]
 TABLES = ["frontier", "fetch_log", "crawl_result", "round_metrics",
           "bucket_metrics", "seen_shards"]
 
+FRONTIER_SCHEMA = (
+    "url string, url_canon string, host string, host_bucket int, "
+    "depth int, priority int, round_discovered int, seq long"
+)
+
 
 class EngineConfig:
     """Engine-level knobs layered over the semantic CrawlConfig."""
@@ -73,6 +82,7 @@ class EngineConfig:
         bloom_keys_per_shard: int = 100_000,
         bloom_fp_rate: float = 0.01,
         max_rounds: int = 1000,
+        extract_markdown: bool = True,
     ) -> None:
         self.num_buckets = num_buckets
         self.dedup_key = dedup_key
@@ -80,6 +90,7 @@ class EngineConfig:
         self.bloom_keys_per_shard = bloom_keys_per_shard
         self.bloom_fp_rate = bloom_fp_rate
         self.max_rounds = max_rounds
+        self.extract_markdown = extract_markdown
 
 
 def _crawl_links_udf(cfg: CrawlConfig):
@@ -140,10 +151,9 @@ def _markdown_udf():
 def _assign_dense_seq(df: DataFrame, order_cols: list[str], start: int) -> DataFrame:
     """Dense global sequence without a single-task global sort: range-
     partition by the order columns, sort within partitions, then
-    zipWithIndex (a count-then-offset two-pass — each task only scans its
-    own partition)."""
-    n_parts = max(1, min(df.sparkSession.sparkContext.defaultParallelism,
-                         32))
+    zipWithIndex (count-then-offset two-pass; each task scans only its own
+    partition)."""
+    n_parts = max(1, min(df.sparkSession.sparkContext.defaultParallelism, 32))
     ordered = df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols]) \
                 .sortWithinPartitions(*order_cols)
     schema = ordered.schema.add("seq", T.LongType())
@@ -167,18 +177,27 @@ class SparkCrawl:
         self.cfg = cfg
         self.engine = engine or EngineConfig()
         self.io = TableIO(spark, workdir)
+        # in-memory round state (reconstructed on resume)
+        self._frontier: DataFrame | None = None   # all discovered rows
+        self._queued: DataFrame | None = None     # not-yet-fetched rows
+        self._shards: dict[int, BloomShard] = {}
+        self._processed = 0
+        self._next_seq = 1
+        self._frontier_count = 0
+        self._done = False
 
     # --- public API ------------------------------------------------------
     def run(self, max_rounds: int | None = None) -> int:
-        """Run/resume to completion; returns the number of rounds executed
-        in this invocation."""
+        """Run/resume to completion; returns rounds executed this call."""
         self.io.rollback_uncommitted(TABLES)
+        self._load_state()
         executed = 0
-        limit = max_rounds if max_rounds is not None else self.engine.max_rounds
+        budget_rounds = (max_rounds if max_rounds is not None
+                         else self.engine.max_rounds)
         if self.io.committed_round() < 0:
             self._seed_round()
             executed += 1
-        while executed < limit:
+        while executed < budget_rounds and not self._done:
             if not self._run_round():
                 break
             executed += 1
@@ -205,71 +224,95 @@ class SparkCrawl:
             .orderBy("seq").select("url").collect()
         ]
 
-    # --- internals -------------------------------------------------------
-    def _host_col(self, url_col):
-        from ..functions import url_host
-        return url_host(url_col)
+    # --- state -----------------------------------------------------------
+    def _pin(self, df: DataFrame) -> DataFrame:
+        """Materialize + truncate lineage (rounds must not re-derive)."""
+        return df.localCheckpoint(eager=True)
 
-    def _frontier_row_df(self, rows: list[tuple], start_round: int) -> DataFrame:
-        schema = (
-            "url string, url_canon string, host string, host_bucket int, "
-            "depth int, priority int, round_discovered int, seq long"
-        )
-        return self.spark.createDataFrame(rows, schema)
-
-    def _seed_round(self) -> None:
-        """Round 0 bootstrap: frontier := {seed}."""
-        cfg, eng = self.cfg, self.engine
-        canon = urlkit.canonicalize_url(cfg.seed_url)
-        host = urlkit.url_host(cfg.seed_url)
-        depth = urlkit.get_url_depth(urlkit.url_path(cfg.seed_url))
-        seed_df = self._frontier_row_df(
-            [(cfg.seed_url, canon, host, 0, depth, 0, 0, 0)], 0
-        ).withColumn(
-            "host_bucket",
-            F.pmod(F.xxhash64("host"), F.lit(eng.num_buckets)).cast("int"),
-        )
-        self.io.append(seed_df, "frontier", 0, partition_by=["host_bucket"])
-        if eng.use_bloom:
-            self._append_shards(seed_df, 0)
-        self.io.commit_round(0, processed=0, next_seq=1, done=False)
+    def _load_state(self) -> None:
+        committed = self.io.committed_round()
+        if committed < 0:
+            return
+        meta = self.io.checkpoint_meta()
+        self._processed = int(meta.get("processed", 0))
+        self._next_seq = int(meta.get("next_seq", 1))
+        self._done = bool(meta.get("done", False))
+        frontier = self.io.read("frontier").drop("round")
+        try:
+            fetched = self.io.read("fetch_log").select("seq") \
+                .withColumnRenamed("seq", "fseq")
+            queued = frontier.join(
+                fetched, frontier["seq"] == F.col("fseq"), "left_anti")
+        except FileNotFoundError:
+            queued = frontier
+        self._frontier = self._pin(frontier)
+        self._queued = self._pin(queued)
+        self._frontier_count = self._frontier.count()
+        if self.engine.use_bloom:
+            self._shards = self._load_shards()
 
     def _dedup_col(self) -> str:
         return "url" if self.engine.dedup_key == "url" else "url_canon"
 
-    def _append_shards(self, new_frontier: DataFrame, round_no: int) -> None:
-        """Build per-bucket Bloom shards from this round's new URLs (grouped
-        map = the distributed build; merge happens at probe time)."""
-        eng = self.engine
-        dedup = self._dedup_col()
-        m_bits = bits_for(eng.bloom_keys_per_shard, eng.bloom_fp_rate)
-        k = optimal_k(m_bits, eng.bloom_keys_per_shard)
-
-        def build(pdf: pd.DataFrame) -> pd.DataFrame:
-            import numpy as np
-            shard = BloomShard(m_bits, k)
-            shard.add(pdf["dedup_hash"].to_numpy().astype(np.uint64))
-            return pd.DataFrame({
-                "host_bucket": [int(pdf["host_bucket"].iloc[0])],
-                "blob": [shard.to_bytes()],
-            })
-
-        shards = (
-            new_frontier
-            .withColumn("dedup_hash", F.xxhash64(F.col(dedup)))
-            .withColumn(
-                "host_bucket",
-                F.pmod(F.xxhash64("host"), F.lit(eng.num_buckets)).cast("int"),
-            )
-            .groupBy("host_bucket")
-            .applyInPandas(build, "host_bucket int, blob binary")
+    def _seed_round(self) -> None:
+        cfg, eng = self.cfg, self.engine
+        canon = urlkit.canonicalize_url(cfg.seed_url)
+        host = urlkit.url_host(cfg.seed_url)
+        depth = urlkit.get_url_depth(urlkit.url_path(cfg.seed_url))
+        seed_df = self.spark.createDataFrame(
+            [(cfg.seed_url, canon, host, 0, depth, 0, 0, 0)], FRONTIER_SCHEMA,
+        ).withColumn(
+            "host_bucket",
+            F.pmod(F.xxhash64("host"), F.lit(eng.num_buckets)).cast("int"),
         )
-        self.io.append(shards, "seen_shards", round_no)
+        seed_df = self._pin(seed_df)
+        self.io.append(seed_df, "frontier", 0, partition_by=["host_bucket"])
+        self._frontier = seed_df
+        self._queued = seed_df
+        self._frontier_count = 1
+        if eng.use_bloom:
+            self._update_shards(seed_df, 0)
+        self.io.commit_round(0, processed=0, next_seq=1, done=False)
+
+    # --- bloom shards ----------------------------------------------------
+    def _shard_params(self) -> tuple[int, int]:
+        m = bits_for(self.engine.bloom_keys_per_shard, self.engine.bloom_fp_rate)
+        return m, optimal_k(m, self.engine.bloom_keys_per_shard)
+
+    def _update_shards(self, new_frontier: DataFrame, round_no: int) -> None:
+        """Update resident shards with this round's keys and persist the
+        per-round shard deltas (bucket, blob) for resume. The distributed
+        treeAggregate-style build groups by bucket; deltas are unioned at
+        load time (merge = bitwise OR)."""
+        import numpy as np
+
+        dedup = self._dedup_col()
+        m_bits, k = self._shard_params()
+        rows = (
+            new_frontier.select(
+                F.col("host_bucket"),
+                F.xxhash64(F.col(dedup)).alias("dedup_hash"),
+            ).collect()
+        )
+        per_bucket: dict[int, list[int]] = {}
+        for r in rows:
+            per_bucket.setdefault(r["host_bucket"], []).append(r["dedup_hash"])
+        delta_rows = []
+        for bucket, hashes in per_bucket.items():
+            arr = np.array(hashes, dtype=np.int64).astype(np.uint64)
+            shard = self._shards.get(bucket)
+            if shard is None:
+                shard = BloomShard(m_bits, k)
+                self._shards[bucket] = shard
+            shard.add(arr)
+            delta = BloomShard.build(arr, m_bits, k)
+            delta_rows.append((bucket, delta.to_bytes()))
+        if delta_rows:
+            df = self.spark.createDataFrame(delta_rows,
+                                            "host_bucket int, blob binary")
+            self.io.append(df, "seen_shards", round_no)
 
     def _load_shards(self) -> dict[int, BloomShard]:
-        """treeAggregate-style merge of committed shards, small enough to
-        broadcast locally (per-bucket cogroup join is the cluster-scale
-        alternative; seam kept narrow on purpose)."""
         try:
             rows = self.io.read("seen_shards").groupBy("host_bucket").agg(
                 F.collect_list("blob").alias("blobs")
@@ -277,58 +320,46 @@ class SparkCrawl:
         except FileNotFoundError:
             return {}
         return {
-            r["host_bucket"]: BloomShard.from_bytes(merge_blobs(r["blobs"]))
+            r["host_bucket"]: BloomShard.from_bytes(merge_blobs(
+                [bytes(b) for b in r["blobs"]]))
             for r in rows
         }
 
+    # --- the round job ----------------------------------------------------
     def _run_round(self) -> bool:
         cfg, eng, io = self.cfg, self.engine, self.io
-        prev_round = io.committed_round()
-        meta = io.checkpoint_meta()
-        if meta.get("done"):
-            return False
-        round_no = prev_round + 1
-        processed = int(meta.get("processed", 0))
-        next_seq = int(meta.get("next_seq", 1))
+        round_no = io.committed_round() + 1
         limit = cfg.limit
-
-        frontier = io.read("frontier")
-        try:
-            fetched_log = io.read("fetch_log")
-            queued = frontier.join(
-                fetched_log.select("seq").withColumnRenamed("seq", "fseq"),
-                frontier["seq"] == F.col("fseq"), "left_anti",
-            )
-        except FileNotFoundError:
-            queued = frontier
+        assert self._queued is not None and self._frontier is not None
 
         # ---- selection: per-host budget top-k, then global FIFO cap ----
+        queued = self._queued
         if cfg.host_budget is not None:
             w = Window.partitionBy("host").orderBy("priority", "seq")
-            queued = (
+            picked = (
                 queued.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") <= cfg.host_budget).drop("_rn")
             )
-        if limit is not None:
-            remaining_fetches = limit - processed
-            if remaining_fetches <= 0:
-                io.commit_round(round_no, processed=processed,
-                                next_seq=next_seq, done=True)
-                return False
-            selected = queued.orderBy("priority", "seq").limit(remaining_fetches)
         else:
-            selected = queued
-        selected = selected.cache()
+            picked = queued
+        if limit is not None:
+            remaining_fetches = limit - self._processed
+            if remaining_fetches <= 0:
+                self._done = True
+                io.commit_round(round_no, processed=self._processed,
+                                next_seq=self._next_seq, done=True)
+                return False
+            picked = picked.orderBy("priority", "seq").limit(remaining_fetches)
+        selected = self._pin(picked)
         n_selected = selected.count()
         if n_selected == 0:
-            io.commit_round(round_no, processed=processed,
-                            next_seq=next_seq, done=True)
+            self._done = True
+            io.commit_round(round_no, processed=self._processed,
+                            next_seq=self._next_seq, done=True)
             return False
 
-        # ---- synthetic fetch: join pages on exact url ----
-        pages = self.pages.select(
-            F.col("url").alias("page_url"), F.col("html"),
-        )
+        # ---- synthetic fetch (join pages on exact url) + extraction ----
+        pages = self.pages.select(F.col("url").alias("page_url"), F.col("html"))
         fetched = (
             selected.join(pages, selected["url"] == pages["page_url"], "left")
             .drop("page_url")
@@ -340,19 +371,26 @@ class SparkCrawl:
             .withColumn("status",
                         F.when(F.col("html").isNotNull(), 200).otherwise(404))
             .drop("html")
-        ).cache()
+        )
+        fetched = self._pin(fetched)
 
-        # ---- extraction (the byte-identical surface) ----
-        result = fetched.select(
-            "url", "url_canon", "host", "depth", "seq", "status",
-            _markdown_udf()(F.col("html_text"), F.col("url")).alias("markdown"),
-        ).withColumn("round", F.lit(round_no))
+        result_cols = ["url", "url_canon", "host", "depth", "seq", "status"]
+        if eng.extract_markdown:
+            result = fetched.select(
+                *result_cols,
+                _markdown_udf()(F.col("html_text"), F.col("url"))
+                .alias("markdown"),
+            ).withColumn("round", F.lit(round_no))
+        else:
+            result = fetched.select(*result_cols) \
+                .withColumn("round", F.lit(round_no))
         io.append(result, "crawl_result", round_no)
 
-        log_df = fetched.select(
-            "url", "url_canon", "host", "depth", "priority", "seq", "status",
-        ).withColumn("round", F.lit(round_no))
-        io.append(log_df, "fetch_log", round_no)
+        io.append(
+            fetched.select("url", "url_canon", "host", "depth", "priority",
+                           "seq", "status").withColumn("round", F.lit(round_no)),
+            "fetch_log", round_no,
+        )
 
         # ---- link expansion (L2) + admission (F1) ----
         base_depth = cfg.base_depth()
@@ -361,19 +399,13 @@ class SparkCrawl:
             & (F.greatest(url_depth(F.col("url")) - F.lit(base_depth), F.lit(0))
                < F.lit(cfg.max_depth))
         )
-        cand = (
-            expandable
-            .select(
-                F.col("seq").alias("source_seq"),
-                F.posexplode(_crawl_links_udf(cfg)(F.col("html_text"),
-                                                   F.col("url")))
-                .alias("link_pos", "link"),
-            )
+        cand = expandable.select(
+            F.col("seq").alias("source_seq"),
+            F.posexplode(_crawl_links_udf(cfg)(F.col("html_text"), F.col("url")))
+            .alias("link_pos", "link"),
         )
-        cls = cand.withColumn("c", _classify_f1_udf(cfg)(F.col("link")))
-        denial_stats = (
-            cls.filter(~F.col("c.allowed"))
-            .groupBy(F.col("c.denial_reason").alias("denial_reason")).count()
+        cls = self._pin(
+            cand.withColumn("c", _classify_f1_udf(cfg)(F.col("link")))
         )
         allowed = (
             cls.filter(F.col("c.allowed"))
@@ -386,22 +418,15 @@ class SparkCrawl:
                          .withColumn("dedup_hash", F.xxhash64("dedup_key"))
 
         # ---- seen-set check: Bloom probe → exact anti-join ----
-        frontier_keys = frontier.select(
-            F.xxhash64(F.col(dedup)).alias("seen_hash"),
-            F.col(dedup).alias("seen_key"),
-        )
+        frontier_keys = self._frontier.select(F.col(dedup).alias("seen_key"))
         if eng.use_bloom:
-            shards = self._load_shards()
-            num_buckets = eng.num_buckets
             bc = self.spark.sparkContext.broadcast(
-                {b: s.to_bytes() for b, s in shards.items()}
+                {b: s.to_bytes() for b, s in self._shards.items()}
             )
-
-            # bucket computed JVM-side for consistency with shard build
             allowed = allowed.withColumn(
-                "host_bucket",
-                F.pmod(F.xxhash64(self._host_col(F.col("link"))),
-                       F.lit(num_buckets)).cast("int"),
+                "cand_bucket",
+                F.pmod(F.xxhash64(url_host(F.col("link"))),
+                       F.lit(eng.num_buckets)).cast("int"),
             )
 
             @pandas_udf(T.BooleanType())
@@ -410,19 +435,19 @@ class SparkCrawl:
                 blobs = bc.value
                 h = hashes.to_numpy().astype(np.uint64)
                 b = buckets.to_numpy()
-                out = np.ones(len(h), dtype=bool)  # unknown bucket → maybe
+                out = np.ones(len(h), dtype=bool)
                 for bucket in np.unique(b):
                     mask = b == bucket
                     blob = blobs.get(int(bucket))
                     if blob is None:
-                        out[mask] = False  # no shard yet → definitely new
+                        out[mask] = False  # no shard → definitely new
                     else:
                         shard = BloomShard.from_bytes(blob)
                         out[mask] = shard.contains(h[mask])
                 return pd.Series(out)
 
             allowed = allowed.withColumn(
-                "maybe_seen", probe(F.col("dedup_hash"), F.col("host_bucket"))
+                "maybe_seen", probe(F.col("dedup_hash"), F.col("cand_bucket"))
             )
             surely_new = allowed.filter(~F.col("maybe_seen")) \
                                 .withColumn("is_seen", F.lit(False))
@@ -436,99 +461,108 @@ class SparkCrawl:
             flagged = surely_new.unionByName(checked)
         else:
             flagged = allowed.join(
-                frontier_keys.withColumn("is_seen_j", F.lit(True)).drop("seen_hash"),
+                frontier_keys.withColumn("is_seen_j", F.lit(True)),
                 allowed["dedup_key"] == F.col("seen_key"), "left",
             ).withColumn(
                 "is_seen", F.coalesce(F.col("is_seen_j"), F.lit(False))
             ).drop("is_seen_j", "seen_key")
 
-        # ---- admission ----
+        # ---- admission + new frontier rows ----
         if limit is not None:
-            admitted_df = self._admit_with_limit_replay(
-                flagged, frontier, limit, round_no
-            )
+            new_rows, n_new = self._admit_with_limit_replay(flagged, limit,
+                                                            round_no)
         else:
             new_only = flagged.filter(~F.col("is_seen"))
             w_first = Window.partitionBy("dedup_key").orderBy(
-                "source_seq", "link_pos"
-            )
-            admitted_df = (
+                "source_seq", "link_pos")
+            admitted = (
                 new_only.withColumn("_rn", F.row_number().over(w_first))
                 .filter(F.col("_rn") == 1).drop("_rn")
                 .select("source_seq", "link_pos", "link", "url_canon")
             )
+            cols = admitted.select(
+                F.col("link").alias("url"),
+                F.col("url_canon"),
+                url_host(F.col("link")).alias("host"),
+                F.pmod(F.xxhash64(url_host(F.col("link"))),
+                       F.lit(eng.num_buckets)).cast("int").alias("host_bucket"),
+                url_depth(F.col("link")).alias("depth"),
+                F.lit(0).alias("priority"),
+                F.lit(round_no).alias("round_discovered"),
+                F.col("source_seq"), F.col("link_pos"),
+            )
+            new_rows = self._pin(
+                _assign_dense_seq(cols, ["source_seq", "link_pos"],
+                                  self._next_seq)
+                .drop("source_seq", "link_pos")
+            )
+            n_new = new_rows.count()
 
-        # ---- frontier append with dense seq ----
-        new_rows = admitted_df.select(
-            F.col("link").alias("url"),
-            F.col("url_canon"),
-            self._host_col(F.col("link")).alias("host"),
-            F.pmod(F.xxhash64(self._host_col(F.col("link"))),
-                   F.lit(eng.num_buckets)).cast("int").alias("host_bucket"),
-            url_depth(F.col("link")).alias("depth"),
-            F.lit(0).alias("priority"),
-            F.lit(round_no).alias("round_discovered"),
-            F.col("source_seq"), F.col("link_pos"),
-        )
-        with_seq = _assign_dense_seq(
-            new_rows, ["source_seq", "link_pos"], next_seq
-        ).drop("source_seq", "link_pos")
-        with_seq = with_seq.cache()
-        n_new = with_seq.count()
-        io.append(with_seq, "frontier", round_no, partition_by=["host_bucket"])
+        io.append(new_rows, "frontier", round_no, partition_by=["host_bucket"])
         if eng.use_bloom and n_new:
-            self._append_shards(with_seq, round_no)
+            self._update_shards(new_rows, round_no)
 
-        # ---- per-round metrics + lineage ----
-        denials = {r["denial_reason"]: r["count"] for r in denial_stats.collect()}
-        metrics_rows = [(
-            round_no, n_selected, n_new, processed + n_selected,
-            str(denials),
-        )]
-        metrics_df = self.spark.createDataFrame(
-            metrics_rows,
-            "round int, fetched long, new_urls long, processed long, denials string",
+        # ---- per-round metrics + per-bucket lineage ----
+        denials = {
+            r["denial_reason"]: r["count"]
+            for r in cls.filter(~F.col("c.allowed"))
+            .groupBy(F.col("c.denial_reason").alias("denial_reason"))
+            .count().collect()
+        }
+        io.append(
+            self.spark.createDataFrame(
+                [(round_no, n_selected, n_new, self._processed + n_selected,
+                  str(denials))],
+                "round int, fetched long, new_urls long, processed long, "
+                "denials string",
+            ),
+            "round_metrics", round_no,
         )
-        io.append(metrics_df, "round_metrics", round_no)
-        bucket_metrics = (
-            with_seq.groupBy("host_bucket").count()
-            .withColumn("round", F.lit(round_no))
+        io.append(
+            new_rows.groupBy("host_bucket").count()
+            .withColumn("round", F.lit(round_no)),
+            "bucket_metrics", round_no,
         )
-        io.append(bucket_metrics, "bucket_metrics", round_no)
 
+        # ---- commit + in-memory state advance ----
         io.commit_round(
             round_no,
-            processed=processed + n_selected,
-            next_seq=next_seq + n_new,
+            processed=self._processed + n_selected,
+            next_seq=self._next_seq + n_new,
             done=False,
         )
-        selected.unpersist()
-        fetched.unpersist()
-        with_seq.unpersist()
+        self._processed += n_selected
+        self._next_seq += n_new
+        self._frontier_count += n_new
+        self._frontier = self._pin(self._frontier.unionByName(new_rows))
+        sel_seqs = selected.select(F.col("seq").alias("fseq"))
+        self._queued = self._pin(
+            self._queued.join(sel_seqs, self._queued["seq"] == F.col("fseq"),
+                              "left_anti").unionByName(new_rows)
+        )
         return True
 
     def _admit_with_limit_replay(
-        self, flagged: DataFrame, frontier: DataFrame, limit: int,
-        round_no: int,
-    ) -> DataFrame:
+        self, flagged: DataFrame, limit: int, round_no: int,
+    ) -> tuple[DataFrame, int]:
         """Sequential cross-page admission semantics (crawlService.ts:57-66 +
         crawler.rs:267-269): per source page in seq order, accepted links
         (dups included) consume the per-page ``remaining`` budget; only
-        unseen ones join the frontier. The candidate set is bounded by the
-        API page limit (≤10k), so the replay is a small driver computation.
-        """
-        discovered_count = frontier.count()
+        unseen ones join the frontier. Candidate set is bounded by the API
+        page limit (≤10k) → small driver replay; seqs assigned inline."""
         rows = (
             flagged.select("source_seq", "link_pos", "link", "url_canon",
                            "dedup_key", "is_seen")
             .orderBy("source_seq", "link_pos").collect()
         )
+        eng = self.engine
         admitted: list[tuple] = []
         round_new: set[str] = set()
-        total = discovered_count
+        total = self._frontier_count
         cur_seq = None
         acc = 0
         remaining = limit - total
+        seq = self._next_seq
         for r in rows:
             if r["source_seq"] != cur_seq:
                 cur_seq = r["source_seq"]
@@ -539,14 +573,17 @@ class SparkCrawl:
             acc += 1
             if not r["is_seen"] and r["dedup_key"] not in round_new:
                 round_new.add(r["dedup_key"])
-                admitted.append(
-                    (r["source_seq"], r["link_pos"], r["link"], r["url_canon"])
-                )
+                link = r["link"]
+                admitted.append((
+                    link, r["url_canon"], urlkit.url_host(link), 0,
+                    urlkit.get_url_depth(urlkit.url_path(link)), 0,
+                    round_no, seq,
+                ))
+                seq += 1
                 total += 1
-        if not admitted:
-            return self.spark.createDataFrame(
-                [], "source_seq long, link_pos int, link string, url_canon string"
-            )
-        return self.spark.createDataFrame(
-            admitted, "source_seq long, link_pos int, link string, url_canon string"
+        df = self.spark.createDataFrame(admitted, FRONTIER_SCHEMA)
+        df = df.withColumn(
+            "host_bucket",
+            F.pmod(F.xxhash64("host"), F.lit(eng.num_buckets)).cast("int"),
         )
+        return self._pin(df), len(admitted)
