@@ -72,13 +72,13 @@ def bench_scrape(spark) -> dict[str, float]:
     from webcrawl_spark.kernels.scrape import ScrapeOptions
     from webcrawl_spark.operators.scrape import scrape
 
-    n_pages_target = int(os.environ.get("SPARK_GRAFT_SCRAPE_PAGES", "3000"))
+    n_pages_target = int(os.environ.get("SPARK_GRAFT_SCRAPE_PAGES", "8000"))
     site = build_site(seed=29, n_hosts=10,
                       pages_per_host=max(10, n_pages_target // 10),
                       n_hot_hosts=0, density=8)
     urls = site.urls()
     url_df = spark.createDataFrame([(u,) for u in urls], "url string") \
-        .repartition(CPUS * 2)
+        .repartition(CPUS * 4)
 
     # distributed page rendering (pure function of (seed, url))
     spec_bc = spark.sparkContext.broadcast(site)

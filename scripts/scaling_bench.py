@@ -24,6 +24,7 @@ def run_bench(cpus: int, pages_per_host: int) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_CRAWL_PAGES"] = str(pages_per_host)
+    env.setdefault("SPARK_GRAFT_SCRAPE_PAGES", "24000")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True, text=True, env=env, cwd=REPO, timeout=3600,

@@ -107,10 +107,14 @@ class Element(Node):
         return [c for c in self.children if isinstance(c, Element)]
 
     def descendants(self):
-        for child in list(self.children):
-            yield child
-            if isinstance(child, Element):
-                yield from child.descendants()
+        # iterative DFS (document order); snapshot children so callers may
+        # detach during iteration
+        stack = list(reversed(self.children))
+        while stack:
+            node = stack.pop()
+            yield node
+            if isinstance(node, Element) and node.children:
+                stack.extend(reversed(node.children))
 
     def text_contents(self) -> str:
         return "".join(c.text_contents() for c in self.children)
@@ -126,20 +130,18 @@ class Element(Node):
         """Document-order matches for a CSS selector subset: tag, .class,
         #id, [attr], [attr=v], [attr*=v], [attr^=v], [attr$=v], compounds,
         descendant combinator, comma groups."""
-        groups = [_parse_compound_chain(s) for s in _split_selector_list(selector)]
+        groups = _parsed_groups(selector)
         out: list[Element] = []
-        seen: set[int] = set()
         for node in self.descendants():
-            if isinstance(node, Element) and id(node) not in seen:
+            if isinstance(node, Element):
                 for chain in groups:
                     if _matches_chain(node, chain, scope=self):
                         out.append(node)
-                        seen.add(id(node))
                         break
         return out
 
     def select_first(self, selector: str) -> "Element | None":
-        groups = [_parse_compound_chain(s) for s in _split_selector_list(selector)]
+        groups = _parsed_groups(selector)
         for node in self.descendants():
             if isinstance(node, Element):
                 for chain in groups:
@@ -149,8 +151,7 @@ class Element(Node):
 
     def matches(self, selector: str) -> bool:
         return any(
-            _matches_compound(self, _parse_compound_chain(s)[-1])
-            for s in _split_selector_list(selector)
+            _matches_compound(self, chain[-1]) for chain in _parsed_groups(selector)
         )
 
     def __repr__(self) -> str:
@@ -205,8 +206,19 @@ def _serialize_node(node: Node, out: list[str]) -> None:
 
 # --- selector parsing ----------------------------------------------------
 
+from functools import lru_cache
+
+
 def _split_selector_list(selector: str) -> list[str]:
     return [s.strip() for s in selector.split(",") if s.strip()]
+
+
+@lru_cache(maxsize=512)
+def _parsed_groups(selector: str) -> tuple:
+    return tuple(
+        tuple(_parse_compound(tok) for tok in s.split())
+        for s in _split_selector_list(selector)
+    )
 
 
 def _parse_compound(token: str) -> dict:

@@ -27,9 +27,11 @@ from __future__ import annotations
 import re
 
 from .dom import Comment, Document, Element, Text, parse_html
+from .dom import _matches_chain, _parsed_groups
 from .urlkit import URLParseError, join_url, parse_url
 
 __all__ = [
+    "transform_document",
     "extract_base_href",
     "extract_raw_links",
     "extract_links",
@@ -69,6 +71,51 @@ _STYLE_URL_RE = re.compile(r"""url\(['"]?([^'")]+)['"]?\)""")
 _CHARSET_RE = re.compile(
     r"""<meta[^>]+charset\s*=\s*["']?\s*([\w-]+)""", re.IGNORECASE
 )
+
+_STRIP_TAGS = frozenset({"head", "meta", "noscript", "style", "script"})
+
+# pre-split EXCLUDE_NON_MAIN_TAGS (all simple selectors) for one-pass match
+_BOILER_TAGS = frozenset(s for s in EXCLUDE_NON_MAIN_TAGS if s[0] not in ".#")
+_BOILER_CLASSES = frozenset(s[1:] for s in EXCLUDE_NON_MAIN_TAGS if s[0] == ".")
+_BOILER_IDS = frozenset(s[1:] for s in EXCLUDE_NON_MAIN_TAGS if s[0] == "#")
+_FORCE_CLASSES = frozenset(s[1:] for s in FORCE_INCLUDE_MAIN_TAGS if s[0] == ".")
+_FORCE_IDS = frozenset(s[1:] for s in FORCE_INCLUDE_MAIN_TAGS if s[0] == "#")
+
+
+def _walk_elements(root: Element, visit) -> None:
+    """DFS over elements; ``visit`` returns True when it detached the node
+    (its subtree is then skipped, matching per-selector re-selection)."""
+    stack = [c for c in reversed(root.children) if isinstance(c, Element)]
+    while stack:
+        node = stack.pop()
+        if not visit(node) and node.children:
+            stack.extend(c for c in reversed(node.children)
+                         if isinstance(c, Element))
+
+
+def _is_boiler(el: Element) -> bool:
+    if el.tag in _BOILER_TAGS:
+        return True
+    el_id = el.attrs.get("id")
+    if el_id is not None and el_id in _BOILER_IDS:
+        return True
+    cls = el.attrs.get("class")
+    if cls and not _BOILER_CLASSES.isdisjoint(cls.split()):
+        return True
+    return False
+
+
+def _contains_force_include(el: Element) -> bool:
+    """Any *descendant* matching FORCE_INCLUDE_MAIN_TAGS (html.rs:499-504 —
+    kuchikiki select searches descendants)."""
+    for d in el.descendants():
+        if isinstance(d, Element):
+            if d.attrs.get("id") in _FORCE_IDS:
+                return True
+            cls = d.attrs.get("class")
+            if cls and not _FORCE_CLASSES.isdisjoint(cls.split()):
+                return True
+    return False
 
 
 def _base_href_from_document(doc: Document, page_url: str) -> str:
@@ -159,7 +206,23 @@ def transform_html(
     exclude_tags: list[str] | None = None,
     only_main_content: bool = True,
 ) -> str:
-    """html.rs:398-614. Returns the serialized transformed document.
+    """html.rs:398-614. Returns the serialized transformed document."""
+    return transform_document(
+        html, url, include_tags=include_tags, exclude_tags=exclude_tags,
+        only_main_content=only_main_content,
+    ).serialize()
+
+
+def transform_document(
+    html: str,
+    url: str,
+    include_tags: list[str] | None = None,
+    exclude_tags: list[str] | None = None,
+    only_main_content: bool = True,
+) -> Document:
+    """transform_html returning the DOM (serialize↔reparse verified
+    round-trip-identical on the corpus; the markdown path consumes the tree
+    directly to skip a full reparse).
 
     omce_signatures are intentionally unsupported: the service never passes
     them (SURVEY.md §2.7 X1 step 4)."""
@@ -178,24 +241,35 @@ def transform_html(
                 root.append(tag)
         doc = new_doc
 
-    # html.rs:426-440
-    for sel in ("head", "meta", "noscript", "style", "script"):
-        for el in doc.select(sel):
-            el.detach()
+    # Pass A — html.rs:426-440 head/meta/noscript/style/script strip, then
+    # html.rs:486-490 exclude_tags (fused single walk; detached subtrees are
+    # skipped exactly as per-selector re-selection would skip them)
+    exclude_groups = [_parsed_groups(sel) for sel in exclude_tags]
 
-    # html.rs:486-490
-    for sel in exclude_tags:
-        for el in doc.select(sel):
+    def _pass_a(el: Element) -> bool:
+        if el.tag in _STRIP_TAGS:
             el.detach()
-
-    # html.rs:492-509
-    if only_main_content:
-        for sel in EXCLUDE_NON_MAIN_TAGS:
-            for el in doc.select(sel):
-                if el.parent is None:
-                    continue  # already detached inside a removed subtree
-                if not any(el.select_first(f) is not None for f in FORCE_INCLUDE_MAIN_TAGS):
+            return True
+        for groups in exclude_groups:
+            for chain in groups:
+                if _matches_chain(el, chain, scope=doc):
                     el.detach()
+                    return True
+        return False
+
+    _walk_elements(doc, _pass_a)
+
+    # Pass B — html.rs:492-509 boilerplate removal with force-include
+    if only_main_content:
+        def _pass_b(el: Element) -> bool:
+            if not _is_boiler(el):
+                return False
+            if _contains_force_include(el):
+                return False
+            el.detach()
+            return True
+
+        _walk_elements(doc, _pass_b)
 
     # html.rs:511-576 — srcset → biggest source into src
     for img in doc.select("img[srcset]"):
@@ -234,7 +308,7 @@ def transform_html(
             except URLParseError:
                 pass
 
-    return doc.serialize()
+    return doc
 
 
 # --- images (L3) -----------------------------------------------------------

@@ -73,7 +73,14 @@ _ESCAPES: list[tuple[re.Pattern[str], str]] = [
 ]
 
 
+# cheap pre-check: if a text node contains none of the characters any escape
+# rule could fire on, skip the 13 substitutions (the common case)
+_ESCAPE_TRIGGER = re.compile(r"[\\*`\[\]_~#>=+.-]")
+
+
 def _escape(text: str) -> str:
+    if not _ESCAPE_TRIGGER.search(text):
+        return text
     for pattern, repl in _ESCAPES:
         text = pattern.sub(repl, text)
     return text
@@ -498,8 +505,8 @@ class _Converter:
 
 
 def _join(left: str, right: str) -> str:
-    s1 = re.sub(r"\n+$", "", left)
-    s2 = re.sub(r"^\n+", "", right)
+    s1 = left.rstrip("\n")
+    s2 = right.lstrip("\n")
     nls = max(len(left) - len(s1), len(right) - len(s2))
     return s1 + "\n\n"[:nls] + s2
 
@@ -562,49 +569,29 @@ def html_to_markdown(html: str) -> str:
     return post_process_markdown(md)
 
 
+_BRACKET_SPLIT = re.compile(r"([\[\]])")
+# html.rs:957-998 — [Skip to Content](#...) with ASCII case-insensitive
+# label; unclosed parens never match (kept, like the reference scanner)
+_SKIP_LINK_RE = re.compile(r"\[skip to content\]\(#[^)]*\)", re.IGNORECASE)
+
+
 def post_process_markdown(markdown: str) -> str:
-    """html.rs:917-955 bracket-newline escaping + skip-link removal."""
-    link_open_count = 0
-    out_chars: list[str] = []
-    for ch in markdown:
-        if ch == "[":
-            link_open_count += 1
-        elif ch == "]":
-            link_open_count = max(0, link_open_count - 1)
-        if link_open_count > 0 and ch == "\n":
-            out_chars.append("\\")
-            out_chars.append("\n")
-        else:
-            out_chars.append(ch)
-    return _remove_skip_to_content_links("".join(out_chars))
-
-
-def _remove_skip_to_content_links(text: str) -> str:
-    """html.rs:957-998 — drop [Skip to Content](#...) (label ASCII
-    case-insensitive)."""
-    label = "skip to content"
-    out: list[str] = []
-    i, n = 0, len(text)
-    while i < n:
-        if text[i] == "[":
-            label_end = i + 1 + len(label)
-            if (
-                label_end <= n
-                and text[i + 1:label_end].lower() == label
-                and text[label_end:label_end + 2] == "]("
-                and label_end + 2 < n
-                and text[label_end + 2] == "#"
-            ):
-                j = label_end + 3
-                closed = False
-                while j < n:
-                    if text[j] == ")":
-                        i = j + 1
-                        closed = True
-                        break
-                    j += 1
-                if closed:
-                    continue
-        out.append(text[i])
-        i += 1
-    return "".join(out)
+    """html.rs:917-955 bracket-newline escaping (token-wise bracket-depth
+    scan, equivalent to the reference's char loop) + skip-link removal."""
+    if "[" in markdown:
+        depth = 0
+        out: list[str] = []
+        for token in _BRACKET_SPLIT.split(markdown):
+            if token == "[":
+                depth += 1
+                out.append(token)
+            elif token == "]":
+                depth = max(0, depth - 1)
+                out.append(token)
+            elif depth > 0 and "\n" in token:
+                out.append(token.replace("\n", "\\\n"))
+            else:
+                out.append(token)
+        markdown = "".join(out)
+        markdown = _SKIP_LINK_RE.sub("", markdown)
+    return markdown

@@ -16,8 +16,15 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from .gatekeeper import GatekeeperResult, Thresholds, evaluate_gatekeeper
-from .htmlkit import decode_html, extract_images, extract_links, extract_metadata, transform_html
-from .markdown import html_to_markdown
+from .htmlkit import (
+    decode_html,
+    extract_images,
+    extract_links,
+    extract_metadata,
+    transform_document,
+    transform_html,
+)
+from .markdown import markdown_from_dom, post_process_markdown
 from .urlkit import URLParseError
 
 __all__ = ["ScrapeOptions", "ScrapedDocument", "scrape_page", "markdown_for_page"]
@@ -59,18 +66,24 @@ def markdown_for_page(
 ) -> str:
     """X1+X2+X3 with the X4 empty-retry: build at onlyMainContent, and if
     the result trims to empty rebuild with onlyMainContent=False
-    (scrapeURL/index.ts:174-198)."""
-    cleaned = transform_html(
-        html, url, include_tags=include_tags, exclude_tags=exclude_tags,
-        only_main_content=only_main_content,
-    )
-    md = html_to_markdown(cleaned)
-    if only_main_content and not md.strip():
-        cleaned = transform_html(
+    (scrapeURL/index.ts:174-198).
+
+    Consumes the transformed DOM directly (serialize→reparse verified
+    round-trip-identical on the corpus — tests/test_htmlkit.py)."""
+
+    def _build(main_only: bool) -> str:
+        doc = transform_document(
             html, url, include_tags=include_tags, exclude_tags=exclude_tags,
-            only_main_content=False,
+            only_main_content=main_only,
         )
-        md = html_to_markdown(cleaned)
+        body = doc.body
+        if body is None:
+            return ""
+        return post_process_markdown(markdown_from_dom(body))
+
+    md = _build(only_main_content)
+    if only_main_content and not md.strip():
+        md = _build(False)
     return md
 
 
