@@ -161,11 +161,14 @@ def main() -> None:
         extra_confs={"spark.sql.shuffle.partitions": str(max(8, CPUS))},
     )
     spark.sparkContext.setLogLevel("ERROR")
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
     try:
         t0 = time.perf_counter()
-        qtimes = bench_queries(spark)
-        scrape_stats = bench_scrape(spark)
-        crawl = bench_crawl(spark)
+        qtimes = bench_queries(spark) if only in ("", "queries") else {}
+        scrape_stats = (bench_scrape(spark)
+                        if only in ("", "scrape") else {"scrape_sec": 0.0})
+        crawl = (bench_crawl(spark)
+                 if only in ("", "crawl") else {"crawl_sec": 0.0})
         total = round(time.perf_counter() - t0, 3)
         out = {
             "metric": "webcrawl_spark_bench_total",

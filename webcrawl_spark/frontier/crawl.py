@@ -255,13 +255,28 @@ class SparkCrawl:
         return "url" if self.engine.dedup_key == "url" else "url_canon"
 
     def _seed_round(self) -> None:
+        """Round 0: seed URL first, then sitemap-contributed URLs
+        (tryGetSitemap semantics via sources/seeding.py — shared verbatim
+        with the oracle, so seeding order matches by construction)."""
         cfg, eng = self.cfg, self.engine
-        canon = urlkit.canonicalize_url(cfg.seed_url)
-        host = urlkit.url_host(cfg.seed_url)
-        depth = urlkit.get_url_depth(urlkit.url_path(cfg.seed_url))
-        seed_df = self.spark.createDataFrame(
-            [(cfg.seed_url, canon, host, 0, depth, 0, 0, 0)], FRONTIER_SCHEMA,
-        ).withColumn(
+        seeds: list[str] = [cfg.seed_url]
+        if cfg.use_sitemap and cfg.sitemaps:
+            from ..sources.seeding import sitemap_seed_list
+
+            limit = cfg.limit if cfg.limit is not None else float("inf")
+            seen = {cfg.seed_url}
+            for url in sitemap_seed_list(cfg.sitemaps.get, cfg):
+                if url not in seen and len(seeds) < limit:
+                    seen.add(url)
+                    seeds.append(url)
+        rows = [
+            (
+                url, urlkit.canonicalize_url(url), urlkit.url_host(url), 0,
+                urlkit.get_url_depth(urlkit.url_path(url)), 0, 0, seq,
+            )
+            for seq, url in enumerate(seeds)
+        ]
+        seed_df = self.spark.createDataFrame(rows, FRONTIER_SCHEMA).withColumn(
             "host_bucket",
             F.pmod(F.xxhash64("host"), F.lit(eng.num_buckets)).cast("int"),
         )
@@ -269,10 +284,12 @@ class SparkCrawl:
         self.io.append(seed_df, "frontier", 0, partition_by=["host_bucket"])
         self._frontier = seed_df
         self._queued = seed_df
-        self._frontier_count = 1
+        self._frontier_count = len(rows)
+        self._processed = 0
+        self._next_seq = len(rows)
         if eng.use_bloom:
             self._update_shards(seed_df, 0)
-        self.io.commit_round(0, processed=0, next_seq=1, done=False)
+        self.io.commit_round(0, processed=0, next_seq=len(rows), done=False)
 
     # --- bloom shards ----------------------------------------------------
     def _shard_params(self) -> tuple[int, int]:

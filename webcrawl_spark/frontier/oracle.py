@@ -43,6 +43,8 @@ class CrawlConfig:
     host_budget: int | None = None       # per-host fetches per round (None = ∞)
     enforce_robots: bool = False          # north rule ON; reference OFF
     robots: dict[str, str] = field(default_factory=dict)  # host -> robots.txt
+    use_sitemap: bool = False            # tryGetSitemap pre-seeding
+    sitemaps: dict[str, str] = field(default_factory=dict)  # sitemap url -> xml
 
     @property
     def base_url(self) -> str:
@@ -97,6 +99,16 @@ def _looks_like_html(html: str | None) -> bool:
     return bool(html) and html.strip().startswith("<")
 
 
+def _seed(enqueue, cfg: CrawlConfig) -> None:
+    """crawlService.ts:66-74: seed first, then sitemap batches."""
+    enqueue(cfg.seed_url)
+    if cfg.use_sitemap and cfg.sitemaps:
+        from ..sources.seeding import sitemap_seed_list
+
+        for url in sitemap_seed_list(cfg.sitemaps.get, cfg):
+            enqueue(url)
+
+
 def reference_crawl(fetch: FetchFn, cfg: CrawlConfig) -> CrawlTrace:
     """crawlService.ts:57-134, verbatim semantics."""
     trace = CrawlTrace()
@@ -111,7 +123,7 @@ def reference_crawl(fetch: FetchFn, cfg: CrawlConfig) -> CrawlTrace:
         queue.append(target)
         trace.discovered.append(target)
 
-    enqueue(cfg.seed_url)
+    _seed(enqueue, cfg)
     base_depth = cfg.base_depth()
     processed = 0
 
@@ -153,7 +165,7 @@ def round_crawl(fetch: FetchFn, cfg: CrawlConfig) -> CrawlTrace:
         queue.append(target)
         trace.discovered.append(target)
 
-    enqueue(cfg.seed_url)
+    _seed(enqueue, cfg)
     base_depth = cfg.base_depth()
     processed = 0
 

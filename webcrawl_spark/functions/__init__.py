@@ -99,6 +99,52 @@ def url_depth(urls: pd.Series) -> pd.Series:
     )
 
 
+def engine_choice_col(url: Column) -> Column:
+    """S5 engine fallback choice collapsed to a deterministic CASE on the
+    URL extension (WC/scraper/scrapeURL/index.ts:55-83 feature flags +
+    engines/index.ts:54-78 ordering): document → pdf → fetch. The playwright
+    branch never applies (no rendering in this engine)."""
+    path = F.lower(F.regexp_extract(url, r"^[a-z]+://[^/]+([^?#]*)", 1))
+    return (
+        F.when(path.rlike(r"\.pdf$"), F.lit("pdf"))
+        .when(path.rlike(r"\.(docx|odt|rtf|xlsx)$"), F.lit("document"))
+        .otherwise(F.lit("fetch"))
+    )
+
+
+def blocklist_filter(url: Column, blocked_hosts: list[str] | None = None,
+                     allowed_keywords: list[str] | None = None) -> Column:
+    """F3 URL blocklist (WC/scraper/WebScraper/utils/blocklist.ts:10-85):
+    exact/subdomain host match blocks unless an allowed keyword appears in
+    the URL. The reference initializes the blob EMPTY, so default is a
+    no-op (returns true)."""
+    blocked_hosts = blocked_hosts or []
+    allowed_keywords = allowed_keywords or []
+    if not blocked_hosts:
+        return F.lit(True)
+    host = F.lower(F.regexp_extract(url, r"^[a-z]+://([^/:?#]+)", 1))
+    blocked = F.lit(False)
+    for b in blocked_hosts:
+        b = b.lower()
+        blocked = blocked | (host == b) | host.endswith("." + b)
+    allowed = F.lit(False)
+    for kw in allowed_keywords:
+        allowed = allowed | F.lower(url).contains(kw.lower())
+    return ~blocked | allowed
+
+
+def rewrite_url_udf():
+    """F5 — vectorized rewriteUrl; returns the rewritten URL or the
+    original when no rewrite applies."""
+    from ..kernels.rewrite import rewrite_url
+
+    @pandas_udf(T.StringType())
+    def _rewrite(urls: pd.Series) -> pd.Series:
+        return urls.map(lambda u: (rewrite_url(u) or u) if u else u)
+
+    return _rewrite
+
+
 CLASSIFY_SCHEMA = T.StructType([
     T.StructField("allowed", T.BooleanType()),
     T.StructField("url", T.StringType()),

@@ -526,7 +526,34 @@ def visible_text(html: str) -> tuple[str, int]:
 
 
 def get_inner_text(html: str) -> str:
-    """html.rs:631-648 — body text contents."""
+    """html.rs:631-648 (get_inner_json) — body text contents."""
     doc = parse_html(html)
     body = doc.body
     return body.text_contents() if body is not None else ""
+
+
+def extract_attributes(
+    html: str, selectors: list[tuple[str, str]]
+) -> list[dict]:
+    """U4 — html.rs:671-717: generic {selector, attribute} extraction with a
+    ``data-`` fallback; invalid selectors yield empty value lists."""
+    doc = parse_html(html)
+    results = []
+    for selector, attribute in selectors:
+        values: list[str] = []
+        try:
+            elements = doc.select(selector)
+        except Exception:
+            elements = []
+        for el in elements:
+            value = el.get(attribute)
+            if value is not None:
+                values.append(value)
+                continue
+            if not attribute.startswith("data-"):
+                value = el.get(f"data-{attribute}")
+                if value is not None:
+                    values.append(value)
+        results.append({"selector": selector, "attribute": attribute,
+                        "values": values})
+    return results
