@@ -278,6 +278,25 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_engpicker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 engpicker per-URL verdicts (Levenshtein similarity) over document
+    pairs synthesized deterministically from the documents table."""
+    from webcrawl_spark.operators.engpicker import engpicker_url_verdicts
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    pairs = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.when(F.col("doc_id") % 17 == 0, F.lit(None))
+        .otherwise(F.col("text")).alias("cdp_markdown"),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(""))
+        .when(F.col("doc_id") % 3 == 0,
+              F.expr("substring(text, 1, greatest(length(text) - 8, 1))"))
+        .otherwise(F.col("text")).alias("tls_markdown"),
+    )
+    return engpicker_url_verdicts(pairs, similarity_threshold=0.9) \
+        .orderBy(F.col("url").cast("long"))
+
+
 # ---- rows-only (non-SQL-expressible) ----
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -333,6 +352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": q_lang_id,
         "q_exact_dedup_docs": q_exact_dedup_docs,
         "q_cosine_topk": q_cosine_topk,
+        "q_engpicker": q_engpicker,
         "q_minhash_dedup": q_minhash_dedup,
         "q_simhash_pairs": q_simhash_pairs,
         "q_ann_topk": q_ann_topk,
@@ -494,6 +514,31 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings)
             SELECT vec_id, cosine FROM sims
             ORDER BY cosine DESC, vec_id ASC LIMIT 20
+        """,
+        "q_engpicker": """
+            WITH pairs AS (
+              SELECT CAST(doc_id AS VARCHAR) AS url,
+                     CASE WHEN doc_id % 17 = 0 THEN NULL ELSE text END AS cdp,
+                     CASE WHEN doc_id % 13 = 0 THEN ''
+                          WHEN doc_id % 3 = 0
+                          THEN substring(text, 1, greatest(length(text) - 8, 1))
+                          ELSE text END AS tls
+              FROM documents),
+            scored AS (
+              SELECT url,
+                     (cdp IS NULL OR length(cdp) = 0) AS cdp_failed,
+                     (tls IS NULL OR length(tls) = 0) AS tls_failed,
+                     CASE WHEN greatest(length(cdp), length(tls)) > 0
+                          THEN 1.0 - levenshtein(cdp, tls)::DOUBLE
+                                     / greatest(length(cdp), length(tls))
+                          ELSE 1.0 END AS sim
+              FROM pairs)
+            SELECT url, cdp_failed,
+                   CASE WHEN cdp_failed OR tls_failed THEN NULL
+                        ELSE round(sim, 6) END AS similarity,
+                   CASE WHEN cdp_failed OR tls_failed THEN FALSE
+                        ELSE sim >= 0.9 END AS tls_client_sufficient
+            FROM scored ORDER BY CAST(url AS BIGINT)
         """,
         # q_minhash_dedup / q_simhash_pairs / q_ann_topk / q_image_plumbing:
         # non-SQL-expressible → rows-only checks (driver contract).

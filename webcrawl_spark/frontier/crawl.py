@@ -63,7 +63,7 @@ from .oracle import CrawlConfig
 __all__ = ["SparkCrawl", "EngineConfig"]
 
 TABLES = ["frontier", "fetch_log", "crawl_result", "round_metrics",
-          "bucket_metrics", "seen_shards"]
+          "bucket_metrics", "seen_shards", "host_budget"]
 
 FRONTIER_SCHEMA = (
     "url string, url_canon string, host string, host_bucket int, "
@@ -180,6 +180,7 @@ class SparkCrawl:
         # in-memory round state (reconstructed on resume)
         self._frontier: DataFrame | None = None   # all discovered rows
         self._queued: DataFrame | None = None     # not-yet-fetched rows
+        self._host_tokens: DataFrame | None = None  # (host, tokens) bucket state
         self._shards: dict[int, BloomShard] = {}
         self._processed = 0
         self._next_seq = 1
@@ -250,6 +251,16 @@ class SparkCrawl:
         self._frontier_count = self._frontier.count()
         if self.engine.use_bloom:
             self._shards = self._load_shards()
+        if self.cfg.budget_capacity is not None:
+            try:
+                tokens = self.io.read("host_budget")
+                latest = tokens.agg(F.max("round")).first()[0]
+                self._host_tokens = self._pin(
+                    tokens.filter(F.col("round") == latest)
+                    .select("host", "tokens")
+                )
+            except FileNotFoundError:
+                self._host_tokens = None
 
     def _dedup_col(self) -> str:
         return "url" if self.engine.dedup_key == "url" else "url_canon"
@@ -290,6 +301,20 @@ class SparkCrawl:
         if eng.use_bloom:
             self._update_shards(seed_df, 0)
         self.io.commit_round(0, processed=0, next_seq=len(rows), done=False)
+
+    def _refill_col(self):
+        """Per-host budget refill as a Column over ``host`` (overrides map →
+        default; null = unlimited)."""
+        cfg = self.cfg
+        base = (F.lit(float(cfg.host_budget)) if cfg.host_budget is not None
+                else F.lit(None).cast("double"))
+        if cfg.host_budget_overrides:
+            mapping = F.create_map(*[
+                F.lit(x) for kv in cfg.host_budget_overrides.items()
+                for x in (kv[0], float(kv[1]))
+            ])
+            return F.coalesce(mapping[F.col("host")].cast("double"), base)
+        return base
 
     # --- bloom shards ----------------------------------------------------
     def _shard_params(self) -> tuple[int, int]:
@@ -351,11 +376,39 @@ class SparkCrawl:
 
         # ---- selection: per-host budget top-k, then global FIFO cap ----
         queued = self._queued
-        if cfg.host_budget is not None:
+        use_budget = cfg.host_budget is not None or cfg.host_budget_overrides
+        use_bucket = cfg.budget_capacity is not None and use_budget
+        avail = None
+        if use_bucket:
+            # token-bucket: refill hosts with queued work, cap at capacity
+            hosts = queued.select("host").distinct()
+            prev = (self._host_tokens if self._host_tokens is not None
+                    else self.spark.createDataFrame([], "host string, tokens double"))
+            avail = (
+                hosts.join(prev, "host", "left")
+                .withColumn("tokens", F.coalesce(F.col("tokens"), F.lit(0.0)))
+                .withColumn(
+                    "allowance",
+                    F.when(self._refill_col().isNull(),
+                           F.lit(None).cast("double"))
+                    .otherwise(F.least(F.lit(float(cfg.budget_capacity)),
+                                       F.col("tokens") + self._refill_col())),
+                )
+            )
+            avail = self._pin(avail)
+        if use_budget:
             w = Window.partitionBy("host").orderBy("priority", "seq")
+            if use_bucket:
+                queued_a = queued.join(avail.select("host", "allowance"),
+                                       "host", "left")
+                allowance = F.col("allowance")
+            else:
+                queued_a = queued.withColumn("allowance", self._refill_col())
+                allowance = F.col("allowance")
             picked = (
-                queued.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") <= cfg.host_budget).drop("_rn")
+                queued_a.withColumn("_rn", F.row_number().over(w))
+                .filter(allowance.isNull() | (F.col("_rn") <= allowance))
+                .drop("_rn", "allowance")
             )
         else:
             picked = queued
@@ -374,6 +427,28 @@ class SparkCrawl:
             io.commit_round(round_no, processed=self._processed,
                             next_seq=self._next_seq, done=True)
             return False
+
+        if use_bucket:
+            # consume tokens: new state = allowance - used (finite hosts);
+            # hosts without queued work keep their banked tokens untouched
+            used = selected.groupBy("host").agg(
+                F.count(F.lit(1)).cast("double").alias("used"))
+            spent = (
+                avail.join(used, "host", "left")
+                .withColumn("used", F.coalesce(F.col("used"), F.lit(0.0)))
+                .filter(F.col("allowance").isNotNull())
+                .select("host",
+                        (F.col("allowance") - F.col("used")).alias("tokens"))
+            )
+            untouched = (
+                self._host_tokens.join(queued.select("host").distinct(),
+                                       "host", "left_anti")
+                if self._host_tokens is not None else
+                self.spark.createDataFrame([], "host string, tokens double")
+            )
+            self._host_tokens = self._pin(spent.unionByName(untouched))
+            io.append(self._host_tokens.withColumn("round", F.lit(round_no)),
+                      "host_budget", round_no)
 
         # ---- synthetic fetch (join pages on exact url) + extraction ----
         pages = self.pages.select(F.col("url").alias("page_url"), F.col("html"))

@@ -40,11 +40,19 @@ class CrawlConfig:
     allow_external_content_links: bool = False
     allow_subdomains: bool = False
     regex_on_full_url: bool = False
-    host_budget: int | None = None       # per-host fetches per round (None = ∞)
+    host_budget: int | None = None       # per-round refill per host (None = ∞)
+    budget_capacity: int | None = None   # token-bucket cap (None = no carry,
+    #                                      i.e. plain per-round budget)
+    host_budget_overrides: dict[str, int] = field(default_factory=dict)
     enforce_robots: bool = False          # north rule ON; reference OFF
     robots: dict[str, str] = field(default_factory=dict)  # host -> robots.txt
     use_sitemap: bool = False            # tryGetSitemap pre-seeding
     sitemaps: dict[str, str] = field(default_factory=dict)  # sitemap url -> xml
+
+    def refill_for(self, host: str) -> int | None:
+        if host in self.host_budget_overrides:
+            return self.host_budget_overrides[host]
+        return self.host_budget
 
     @property
     def base_url(self) -> str:
@@ -168,10 +176,21 @@ def round_crawl(fetch: FetchFn, cfg: CrawlConfig) -> CrawlTrace:
     _seed(enqueue, cfg)
     base_depth = cfg.base_depth()
     processed = 0
+    tokens: dict[str, float] = {}  # token-bucket state (carry-over mode)
+    use_bucket = cfg.budget_capacity is not None
 
     while queue and processed < limit:
-        # --- selection under politeness budget ---
-        budget = cfg.host_budget
+        # --- selection under politeness budget / token bucket ---
+        if use_bucket:
+            # refill each host with queued work once (accumulate up to cap;
+            # idle hosts do not bank tokens)
+            for h in {_host_of(url) for url in queue}:
+                refill = cfg.refill_for(h)
+                if refill is None:
+                    tokens[h] = float("inf")
+                else:
+                    tokens[h] = min(cfg.budget_capacity,
+                                    tokens.get(h, 0) + refill)
         per_host: dict[str, int] = {}
         selected: list[str] = []
         kept: list[str] = []
@@ -181,11 +200,16 @@ def round_crawl(fetch: FetchFn, cfg: CrawlConfig) -> CrawlTrace:
                 continue
             host = _host_of(url)
             used = per_host.get(host, 0)
-            if budget is not None and used >= budget:
+            allowance = tokens.get(host) if use_bucket else cfg.refill_for(host)
+            if allowance is not None and used >= allowance:
                 kept.append(url)
                 continue
             per_host[host] = used + 1
             selected.append(url)
+        if use_bucket:
+            for h, used in per_host.items():
+                if tokens.get(h, 0) != float("inf"):
+                    tokens[h] = tokens.get(h, 0) - used
         if not selected:
             break
         queue = kept
