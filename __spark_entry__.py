@@ -322,6 +322,36 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk(emb, query, k=10, dim=64, n_bits=8)
 
 
+def q_crawl_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl engine itself (rows-only): a politeness-budgeted frontier
+    crawl over a small deterministic synthetic site, returning the ordered
+    fetch log. Full ordering/seen-set parity vs the reference-semantics
+    oracle is gated separately by pytest (tests/test_frontier.py)."""
+    import shutil
+    import tempfile
+
+    from webcrawl_spark.datagen import build_site, render_page_html
+    from webcrawl_spark.frontier.crawl import SparkCrawl
+    from webcrawl_spark.frontier.oracle import CrawlConfig
+
+    site = build_site(seed=5, n_hosts=2, pages_per_host=18, n_hot_hosts=0)
+    rows = [(u, render_page_html(site, u).encode()) for u in site.urls()]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    cfg = CrawlConfig(seed_url=f"https://{site.hosts[0]}/", limit=15,
+                      max_depth=3, allow_backward_crawling=True,
+                      host_budget=4)
+    workdir = tempfile.mkdtemp(prefix="q_crawl_round_")
+    try:
+        crawl = SparkCrawl(spark, pages, cfg, workdir)
+        crawl.run()
+        log = crawl.fetch_log().orderBy("seq") \
+            .select("url", "host", "depth", "round", "seq", "status")
+        out = spark.createDataFrame(log.collect(), log.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
 def q_image_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing (stub decode): treat embeddings' byte-cast ids as
     opaque payloads — exercises the mapInPandas schema/batching path."""
@@ -356,6 +386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_dedup": q_minhash_dedup,
         "q_simhash_pairs": q_simhash_pairs,
         "q_ann_topk": q_ann_topk,
+        "q_crawl_round": q_crawl_round,
         "q_image_plumbing": q_image_plumbing,
     }
 

@@ -94,15 +94,18 @@ class EngineConfig:
 
 
 def _crawl_links_udf(cfg: CrawlConfig):
-    """(html_text, url) → array<string> — L2 (kernels/crawl.py)."""
+    """(html binary, url) → array<string> — L2 (kernels/crawl.py); decodes
+    in Python (U5), skipping JVM string materialization."""
     opts = cfg.filter_options()
 
     def batch(htmls: pd.Series, urls: pd.Series) -> pd.Series:
+        from ..functions import _as_text
         out = []
         for html, url in zip(htmls, urls):
-            if html and html.strip().startswith("<"):
+            text = _as_text(html)
+            if text and text.strip().startswith("<"):
                 try:
-                    out.append(page_links(html, url, opts))
+                    out.append(page_links(text, url, opts))
                 except Exception:
                     out.append([])
             else:
@@ -134,13 +137,15 @@ def _classify_f1_udf(cfg: CrawlConfig):
 
 def _markdown_udf():
     def batch(htmls: pd.Series, urls: pd.Series) -> pd.Series:
+        from ..functions import _as_text
         out = []
         for html, url in zip(htmls, urls):
-            if not html:
+            text = _as_text(html)
+            if not text:
                 out.append("")
                 continue
             try:
-                out.append(markdown_for_page(html, url))
+                out.append(markdown_for_page(text, url))
             except Exception:
                 out.append("")
         return pd.Series(out, dtype="object")
@@ -222,7 +227,7 @@ class SparkCrawl:
         return [
             r["url"]
             for r in self.fetch_log().filter(F.col("status") == 200)
-            .orderBy("seq").select("url").collect()
+            .orderBy("round", "priority", "seq").select("url").collect()
         ]
 
     # --- state -----------------------------------------------------------
@@ -283,7 +288,8 @@ class SparkCrawl:
         rows = [
             (
                 url, urlkit.canonicalize_url(url), urlkit.url_host(url), 0,
-                urlkit.get_url_depth(urlkit.url_path(url)), 0, 0, seq,
+                urlkit.get_url_depth(urlkit.url_path(url)),
+                cfg.priority_of(url), 0, seq,
             )
             for seq, url in enumerate(seeds)
         ]
@@ -301,6 +307,20 @@ class SparkCrawl:
         if eng.use_bloom:
             self._update_shards(seed_df, 0)
         self.io.commit_round(0, processed=0, next_seq=len(rows), done=False)
+
+    def _priority_col(self, depth_col, host_col):
+        """north_star priority = depth + host-rank (0 in FIFO mode)."""
+        cfg = self.cfg
+        if not cfg.priority_mode:
+            return F.lit(0)
+        rank = F.lit(0)
+        if cfg.host_rank:
+            mapping = F.create_map(*[
+                F.lit(x) for kv in cfg.host_rank.items()
+                for x in (kv[0], int(kv[1]))
+            ])
+            rank = F.coalesce(mapping[host_col].cast("int"), F.lit(0))
+        return (depth_col + rank).cast("int")
 
     def _refill_col(self):
         """Per-host budget refill as a Column over ``host`` (overrides map →
@@ -455,14 +475,8 @@ class SparkCrawl:
         fetched = (
             selected.join(pages, selected["url"] == pages["page_url"], "left")
             .drop("page_url")
-            .withColumn(
-                "html_text",
-                F.when(F.col("html").isNotNull(),
-                       F.decode(F.col("html"), "UTF-8")),
-            )
             .withColumn("status",
                         F.when(F.col("html").isNotNull(), 200).otherwise(404))
-            .drop("html")
         )
         fetched = self._pin(fetched)
 
@@ -470,7 +484,7 @@ class SparkCrawl:
         if eng.extract_markdown:
             result = fetched.select(
                 *result_cols,
-                _markdown_udf()(F.col("html_text"), F.col("url"))
+                _markdown_udf()(F.col("html"), F.col("url"))
                 .alias("markdown"),
             ).withColumn("round", F.lit(round_no))
         else:
@@ -492,8 +506,9 @@ class SparkCrawl:
                < F.lit(cfg.max_depth))
         )
         cand = expandable.select(
+            F.col("priority").alias("source_priority"),
             F.col("seq").alias("source_seq"),
-            F.posexplode(_crawl_links_udf(cfg)(F.col("html_text"), F.col("url")))
+            F.posexplode(_crawl_links_udf(cfg)(F.col("html"), F.col("url")))
             .alias("link_pos", "link"),
         )
         cls = self._pin(
@@ -501,7 +516,7 @@ class SparkCrawl:
         )
         allowed = (
             cls.filter(F.col("c.allowed"))
-            .select("source_seq", "link_pos", "link")
+            .select("source_priority", "source_seq", "link_pos", "link")
             .withColumn("url_canon", canonicalize_url(F.col("link")))
         )
         dedup = self._dedup_col()
@@ -566,11 +581,12 @@ class SparkCrawl:
         else:
             new_only = flagged.filter(~F.col("is_seen"))
             w_first = Window.partitionBy("dedup_key").orderBy(
-                "source_seq", "link_pos")
+                "source_priority", "source_seq", "link_pos")
             admitted = (
                 new_only.withColumn("_rn", F.row_number().over(w_first))
                 .filter(F.col("_rn") == 1).drop("_rn")
-                .select("source_seq", "link_pos", "link", "url_canon")
+                .select("source_priority", "source_seq", "link_pos", "link",
+                        "url_canon")
             )
             cols = admitted.select(
                 F.col("link").alias("url"),
@@ -579,14 +595,17 @@ class SparkCrawl:
                 F.pmod(F.xxhash64(url_host(F.col("link"))),
                        F.lit(eng.num_buckets)).cast("int").alias("host_bucket"),
                 url_depth(F.col("link")).alias("depth"),
-                F.lit(0).alias("priority"),
+                self._priority_col(url_depth(F.col("link")),
+                                   url_host(F.col("link"))).alias("priority"),
                 F.lit(round_no).alias("round_discovered"),
-                F.col("source_seq"), F.col("link_pos"),
+                F.col("source_priority"), F.col("source_seq"),
+                F.col("link_pos"),
             )
             new_rows = self._pin(
-                _assign_dense_seq(cols, ["source_seq", "link_pos"],
-                                  self._next_seq)
-                .drop("source_seq", "link_pos")
+                _assign_dense_seq(
+                    cols, ["source_priority", "source_seq", "link_pos"],
+                    self._next_seq)
+                .drop("source_priority", "source_seq", "link_pos")
             )
             n_new = new_rows.count()
 
@@ -643,9 +662,9 @@ class SparkCrawl:
         unseen ones join the frontier. Candidate set is bounded by the API
         page limit (≤10k) → small driver replay; seqs assigned inline."""
         rows = (
-            flagged.select("source_seq", "link_pos", "link", "url_canon",
-                           "dedup_key", "is_seen")
-            .orderBy("source_seq", "link_pos").collect()
+            flagged.select("source_priority", "source_seq", "link_pos",
+                           "link", "url_canon", "dedup_key", "is_seen")
+            .orderBy("source_priority", "source_seq", "link_pos").collect()
         )
         eng = self.engine
         admitted: list[tuple] = []
@@ -668,8 +687,8 @@ class SparkCrawl:
                 link = r["link"]
                 admitted.append((
                     link, r["url_canon"], urlkit.url_host(link), 0,
-                    urlkit.get_url_depth(urlkit.url_path(link)), 0,
-                    round_no, seq,
+                    urlkit.get_url_depth(urlkit.url_path(link)),
+                    self.cfg.priority_of(link), round_no, seq,
                 ))
                 seq += 1
                 total += 1

@@ -48,6 +48,15 @@ class CrawlConfig:
     robots: dict[str, str] = field(default_factory=dict)  # host -> robots.txt
     use_sitemap: bool = False            # tryGetSitemap pre-seeding
     sitemaps: dict[str, str] = field(default_factory=dict)  # sitemap url -> xml
+    priority_mode: bool = False          # north star: priority = depth+host-rank
+    host_rank: dict[str, int] = field(default_factory=dict)
+
+    def priority_of(self, url: str) -> int:
+        """north_star priority = url depth + host rank (0 in FIFO mode)."""
+        if not self.priority_mode:
+            return 0
+        host = _host_of(url)
+        return get_url_depth(url_path(url)) + self.host_rank.get(host, 0)
 
     def refill_for(self, host: str) -> int | None:
         if host in self.host_budget_overrides:
@@ -165,11 +174,13 @@ def round_crawl(fetch: FetchFn, cfg: CrawlConfig) -> CrawlTrace:
     limit = cfg.limit if cfg.limit is not None else float("inf")
     discovered: set[str] = set()
     queue: list[str] = []  # (still-queued URLs in seq order)
+    seq_of: dict[str, int] = {}
 
     def enqueue(target: str) -> None:
         if target in discovered or len(discovered) >= limit:
             return
         discovered.add(target)
+        seq_of[target] = len(seq_of)
         queue.append(target)
         trace.discovered.append(target)
 
@@ -180,6 +191,9 @@ def round_crawl(fetch: FetchFn, cfg: CrawlConfig) -> CrawlTrace:
     use_bucket = cfg.budget_capacity is not None
 
     while queue and processed < limit:
+        # --- selection order: (priority, seq) — FIFO when priority off ---
+        if cfg.priority_mode:
+            queue.sort(key=lambda u: (cfg.priority_of(u), seq_of[u]))
         # --- selection under politeness budget / token bucket ---
         if use_bucket:
             # refill each host with queued work once (accumulate up to cap;

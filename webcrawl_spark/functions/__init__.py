@@ -194,20 +194,34 @@ def decode_html_udf(raw: pd.Series) -> pd.Series:
     return raw.map(lambda b: decode_html(bytes(b)) if b is not None else None)
 
 
+def _as_text(html) -> str | None:
+    """Accept either raw bytes (decoded with charset sniffing, U5) or an
+    already-decoded string. Passing the binary column straight into each
+    extraction UDF avoids materializing a JVM string and re-shipping it
+    through Arrow between UDF stages (scale note: halves JVM memory traffic
+    for the dominant column)."""
+    if html is None:
+        return None
+    if isinstance(html, (bytes, bytearray)):
+        return decode_html(bytes(html))
+    return html
+
+
 def markdown_udf(include_tags: tuple[str, ...] = (),
                  exclude_tags: tuple[str, ...] = (),
                  only_main_content: bool = True):
-    """X1+X2+X3+X4 fused: (html, url) → markdown."""
+    """U5+X1+X2+X3+X4 fused: (html binary|string, url) → markdown."""
 
     def batch(htmls: pd.Series, urls: pd.Series) -> pd.Series:
         out = []
         for html, url in zip(htmls, urls):
-            if not html:
+            text = _as_text(html)
+            if not text:
                 out.append("")
                 continue
             try:
                 out.append(markdown_for_page(
-                    html, url, include_tags=list(include_tags),
+                    text, url, include_tags=list(include_tags),
                     exclude_tags=list(exclude_tags),
                     only_main_content=only_main_content,
                 ))
@@ -223,7 +237,8 @@ def links_udf(htmls: pd.Series, urls: pd.Series) -> pd.Series:
     out = []
     for html, url in zip(htmls, urls):
         try:
-            out.append(extract_links(html, url) if html else [])
+            text = _as_text(html)
+            out.append(extract_links(text, url) if text else [])
         except Exception:
             out.append([])
     return pd.Series(out, dtype="object")
@@ -234,7 +249,8 @@ def images_udf(htmls: pd.Series, urls: pd.Series) -> pd.Series:
     out = []
     for html, url in zip(htmls, urls):
         try:
-            out.append(extract_images(html, url) if html else [])
+            text = _as_text(html)
+            out.append(extract_images(text, url) if text else [])
         except Exception:
             out.append([])
     return pd.Series(out, dtype="object")
@@ -247,8 +263,9 @@ def metadata_json_udf(htmls: pd.Series) -> pd.Series:
     out = []
     for html in htmls:
         try:
-            out.append(json.dumps(extract_metadata(html), ensure_ascii=False,
-                                  sort_keys=True) if html else "{}")
+            text = _as_text(html)
+            out.append(json.dumps(extract_metadata(text), ensure_ascii=False,
+                                  sort_keys=True) if text else "{}")
         except Exception:
             out.append("{}")
     return pd.Series(out, dtype="object")
@@ -271,7 +288,7 @@ def gatekeeper_udf(thresholds: Thresholds = Thresholds()):
         rows = []
         for url, status, html in zip(urls, statuses, htmls):
             status = int(status) if status is not None else 200
-            r = evaluate_gatekeeper(url or "", status, html or "",
+            r = evaluate_gatekeeper(url or "", status, _as_text(html) or "",
                                     thresholds=thresholds)
             usable = r.content_status == "usable" or (
                 not (200 <= status < 300 or status == 304)

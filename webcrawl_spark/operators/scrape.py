@@ -37,9 +37,10 @@ def scrape(
     ``raw_html``, ``metadata_json``, plus gatekeeper struct ``quality``.
     """
     url = F.col(url_col)
-    decoded = decode_html_udf(F.col(html_col))
-    out = pages.withColumn("_html_text", decoded)
-    html_text = F.col("_html_text")
+    # each format UDF consumes the binary html column directly and decodes
+    # in Python (U5) — no JVM string materialization, no inter-UDF shipping
+    html = F.col(html_col)
+    out = pages
 
     if "markdown" in options.formats:
         out = out.withColumn(
@@ -47,20 +48,20 @@ def scrape(
             markdown_udf(
                 options.include_tags, options.exclude_tags,
                 options.only_main_content,
-            )(html_text, url),
+            )(html, url),
         )
     if "links" in options.formats:
-        out = out.withColumn("links", links_udf(html_text, url))
+        out = out.withColumn("links", links_udf(html, url))
     if "images" in options.formats:
-        out = out.withColumn("images", images_udf(html_text, url))
+        out = out.withColumn("images", images_udf(html, url))
     if "rawHtml" in options.formats:
-        out = out.withColumn("raw_html", html_text)
-    out = out.withColumn("metadata_json", metadata_json_udf(html_text))
+        out = out.withColumn("raw_html", decode_html_udf(html))
+    out = out.withColumn("metadata_json", metadata_json_udf(html))
 
     status = (
         F.col(status_col) if status_col is not None else F.lit(200)
     ).cast("int")
     out = out.withColumn(
-        "quality", gatekeeper_udf(options.thresholds)(url, status, html_text)
+        "quality", gatekeeper_udf(options.thresholds)(url, status, html)
     )
-    return out.drop("_html_text")
+    return out
