@@ -91,13 +91,20 @@ def bench_scrape(spark) -> dict[str, float]:
     n = pages.count()
     total_bytes = pages.select(F.sum(F.length("html"))).first()[0]
 
-    t0 = time.perf_counter()
     out = scrape(pages, ScrapeOptions(formats=("markdown", "links")))
-    stats = out.select(
+    agg = out.select(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.length("markdown")).alias("md_bytes"),
-    ).first()
-    elapsed = time.perf_counter() - t0
+    )
+    # warm (python workers + codegen), then best-of-2 to shed VM noise
+    warm_n = max(200, n // 20)
+    scrape(pages.limit(warm_n), ScrapeOptions(formats=("markdown",))) \
+        .select(F.sum(F.length("markdown"))).first()
+    elapsed = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        stats = agg.first()
+        elapsed = min(elapsed, time.perf_counter() - t0)
     pages.unpersist()
     return {
         "scrape_pages": int(stats["n"]),

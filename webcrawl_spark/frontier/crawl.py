@@ -12,18 +12,21 @@ Each scheduling round is ONE DataFrame job:
     → link expansion L2 + admission F1             (posexplode + classify UDF)
     → seen-set dedup                               (Bloom shard probe →
                                                     exact left anti-join)
-    → seq assignment                               (driver-side in limit mode;
-                                                    range-partitioned
-                                                    zipWithIndex otherwise)
-    → append frontier/fetch_log/crawl_result/metrics + Bloom shard deltas
+    → seq assignment                               (driver-side for small /
+                                                    limit rounds; range-
+                                                    partitioned zipWithIndex
+                                                    for big rounds)
+    → append frontier + crawl_result (fetch_log is a columnar projection
+      of crawl_result) + driver-side JSON round metrics
     → atomic round commit (checkpoint)             (TableIO)
 
-State model: the live frontier/queued DataFrames are held in memory
-(lineage truncated per round via localCheckpoint) so rounds don't re-read
-parquet; the per-round appends + the atomic commit marker ARE the
-checkpoint. Resume reconstructs the in-memory state from committed rounds
-only — a crash mid-round loses nothing (uncommitted files are rolled back
-and the round re-runs deterministically).
+State model: the frontier and fetched-seq sets live in memory as lists of
+per-round pinned (localCheckpoint) parts; the cumulative union is a lazy
+narrow plan, compacted when the list grows. Bloom shards are
+driver-resident and rebuilt from the committed frontier on resume. The
+per-round appends + the atomic commit marker ARE the checkpoint: a crash
+mid-round loses nothing (uncommitted files are rolled back and the round
+re-runs deterministically).
 
 Scale posture:
 - frontier partitioned by host_bucket = xxhash64(host) % B so one host's
@@ -57,13 +60,15 @@ from ..kernels.crawl import page_links
 from ..kernels.scrape import markdown_for_page
 from ..kernels import urlkit
 from ..sources.tableio import TableIO
-from .bloom import BloomShard, bits_for, merge_blobs, optimal_k
+from .bloom import BloomShard, bits_for, optimal_k
 from .oracle import CrawlConfig
 
 __all__ = ["SparkCrawl", "EngineConfig"]
 
-TABLES = ["frontier", "fetch_log", "crawl_result", "round_metrics",
-          "bucket_metrics", "seen_shards", "host_budget"]
+# fetch_log is a projection of crawl_result (columnar reads prune the
+# markdown column away); bloom shards are rebuilt from the frontier table on
+# resume rather than persisted per round.
+TABLES = ["frontier", "crawl_result", "round_metrics", "host_budget"]
 
 FRONTIER_SCHEMA = (
     "url string, url_canon string, host string, host_bucket int, "
@@ -83,6 +88,7 @@ class EngineConfig:
         bloom_fp_rate: float = 0.01,
         max_rounds: int = 1000,
         extract_markdown: bool = True,
+        small_round_threshold: int = 5000,
     ) -> None:
         self.num_buckets = num_buckets
         self.dedup_key = dedup_key
@@ -91,6 +97,10 @@ class EngineConfig:
         self.bloom_fp_rate = bloom_fp_rate
         self.max_rounds = max_rounds
         self.extract_markdown = extract_markdown
+        # rounds with fewer fetches than this use the driver-side admission
+        # path even without a limit (identical result, none of the
+        # distributed-dedup fixed cost); big rounds stay fully distributed
+        self.small_round_threshold = small_round_threshold
 
 
 def _crawl_links_udf(cfg: CrawlConfig):
@@ -182,9 +192,13 @@ class SparkCrawl:
         self.cfg = cfg
         self.engine = engine or EngineConfig()
         self.io = TableIO(spark, workdir)
-        # in-memory round state (reconstructed on resume)
-        self._frontier: DataFrame | None = None   # all discovered rows
-        self._queued: DataFrame | None = None     # not-yet-fetched rows
+        # in-memory round state (reconstructed on resume). The frontier and
+        # fetched-seq sets are kept as lists of per-round PINNED parts; the
+        # union is a lazy narrow plan (no per-round pin of the cumulative
+        # state — unions over pinned parts cost nothing until used, and the
+        # part list is compacted when it grows).
+        self._frontier_parts: list[DataFrame] = []
+        self._fetched_seq_parts: list[DataFrame] = []
         self._host_tokens: DataFrame | None = None  # (host, tokens) bucket state
         self._shards: dict[int, BloomShard] = {}
         self._processed = 0
@@ -210,7 +224,12 @@ class SparkCrawl:
         return executed
 
     def fetch_log(self) -> DataFrame:
-        return self.io.read("fetch_log")
+        """Projection of crawl_result (parquet column pruning skips the
+        markdown payload entirely)."""
+        return self.io.read("crawl_result").select(
+            "url", "url_canon", "host", "depth", "priority", "seq", "status",
+            "round",
+        )
 
     def frontier(self) -> DataFrame:
         return self.io.read("frontier")
@@ -219,7 +238,17 @@ class SparkCrawl:
         return self.io.read("crawl_result")
 
     def metrics(self) -> DataFrame:
-        return self.io.read("round_metrics")
+        """Per-round metrics + per-bucket lineage (driver-side JSON rows)."""
+        records = self.io.read_json("round_metrics")
+        rows = [
+            (r["round"], r["fetched"], r["new_urls"], r["processed"],
+             str(r.get("denials", {})), str(r.get("bucket_new_counts", {})))
+            for r in records
+        ]
+        return self.spark.createDataFrame(
+            rows, "round int, fetched long, new_urls long, processed long, "
+                  "denials string, bucket_new_counts string",
+        )
 
     def fetch_order(self) -> list[str]:
         """Materialized successful-fetch sequence (ordering-contract probe;
@@ -232,8 +261,37 @@ class SparkCrawl:
 
     # --- state -----------------------------------------------------------
     def _pin(self, df: DataFrame) -> DataFrame:
-        """Materialize + truncate lineage (rounds must not re-derive)."""
+        """Materialize + truncate lineage (rounds must not re-derive).
+        localCheckpoint has a ~1s fixed cost per call in local mode but is
+        predictable; cache()-based pinning was measured strictly worse
+        (lazy-recompute storms through round-local lineage)."""
         return df.localCheckpoint(eager=True)
+
+    def _frontier_df(self) -> DataFrame:
+        out = self._frontier_parts[0]
+        for part in self._frontier_parts[1:]:
+            out = out.unionByName(part)
+        return out
+
+    def _queued_df(self) -> DataFrame:
+        frontier = self._frontier_df()
+        if not self._fetched_seq_parts:
+            return frontier
+        fetched = self._fetched_seq_parts[0]
+        for part in self._fetched_seq_parts[1:]:
+            fetched = fetched.unionByName(part)
+        return frontier.join(fetched, frontier["seq"] == fetched["fseq"],
+                             "left_anti")
+
+    def _compact_parts(self) -> None:
+        """Bound plan growth: fold the part lists into one pinned part."""
+        if len(self._frontier_parts) > 24:
+            self._frontier_parts = [self._pin(self._frontier_df())]
+        if len(self._fetched_seq_parts) > 24:
+            fetched = self._fetched_seq_parts[0]
+            for part in self._fetched_seq_parts[1:]:
+                fetched = fetched.unionByName(part)
+            self._fetched_seq_parts = [self._pin(fetched)]
 
     def _load_state(self) -> None:
         committed = self.io.committed_round()
@@ -243,26 +301,24 @@ class SparkCrawl:
         self._processed = int(meta.get("processed", 0))
         self._next_seq = int(meta.get("next_seq", 1))
         self._done = bool(meta.get("done", False))
-        frontier = self.io.read("frontier").drop("round")
+        frontier = self._pin(self.io.read("frontier").drop("round"))
+        self._frontier_parts = [frontier]
         try:
-            fetched = self.io.read("fetch_log").select("seq") \
-                .withColumnRenamed("seq", "fseq")
-            queued = frontier.join(
-                fetched, frontier["seq"] == F.col("fseq"), "left_anti")
+            fetched = self.io.read("crawl_result").select(
+                F.col("seq").alias("fseq"))
+            self._fetched_seq_parts = [self._pin(fetched)]
         except FileNotFoundError:
-            queued = frontier
-        self._frontier = self._pin(frontier)
-        self._queued = self._pin(queued)
-        self._frontier_count = self._frontier.count()
+            self._fetched_seq_parts = []
+        self._frontier_count = frontier.count()
         if self.engine.use_bloom:
-            self._shards = self._load_shards()
+            self._shards = self._rebuild_shards(frontier)
         if self.cfg.budget_capacity is not None:
             try:
                 tokens = self.io.read("host_budget")
                 latest = tokens.agg(F.max("round")).first()[0]
                 self._host_tokens = self._pin(
                     tokens.filter(F.col("round") == latest)
-                    .select("host", "tokens")
+                    .select("host", "tokens"),
                 )
             except FileNotFoundError:
                 self._host_tokens = None
@@ -299,8 +355,8 @@ class SparkCrawl:
         )
         seed_df = self._pin(seed_df)
         self.io.append(seed_df, "frontier", 0, partition_by=["host_bucket"])
-        self._frontier = seed_df
-        self._queued = seed_df
+        self._frontier_parts = [seed_df]
+        self._fetched_seq_parts = []
         self._frontier_count = len(rows)
         self._processed = 0
         self._next_seq = len(rows)
@@ -342,10 +398,10 @@ class SparkCrawl:
         return m, optimal_k(m, self.engine.bloom_keys_per_shard)
 
     def _update_shards(self, new_frontier: DataFrame, round_no: int) -> None:
-        """Update resident shards with this round's keys and persist the
-        per-round shard deltas (bucket, blob) for resume. The distributed
-        treeAggregate-style build groups by bucket; deltas are unioned at
-        load time (merge = bitwise OR)."""
+        """Update resident shards with this round's keys (driver-resident;
+        exact state is the frontier table, so shards rebuild on resume —
+        no per-round persistence needed). Also records per-bucket counts
+        for the round's bucket lineage metrics."""
         import numpy as np
 
         dedup = self._dedup_col()
@@ -359,7 +415,9 @@ class SparkCrawl:
         per_bucket: dict[int, list[int]] = {}
         for r in rows:
             per_bucket.setdefault(r["host_bucket"], []).append(r["dedup_hash"])
-        delta_rows = []
+        self._last_bucket_counts = {
+            b: len(hs) for b, hs in per_bucket.items()
+        }
         for bucket, hashes in per_bucket.items():
             arr = np.array(hashes, dtype=np.int64).astype(np.uint64)
             shard = self._shards.get(bucket)
@@ -367,35 +425,46 @@ class SparkCrawl:
                 shard = BloomShard(m_bits, k)
                 self._shards[bucket] = shard
             shard.add(arr)
-            delta = BloomShard.build(arr, m_bits, k)
-            delta_rows.append((bucket, delta.to_bytes()))
-        if delta_rows:
-            df = self.spark.createDataFrame(delta_rows,
-                                            "host_bucket int, blob binary")
-            self.io.append(df, "seen_shards", round_no)
 
-    def _load_shards(self) -> dict[int, BloomShard]:
-        try:
-            rows = self.io.read("seen_shards").groupBy("host_bucket").agg(
-                F.collect_list("blob").alias("blobs")
-            ).collect()
-        except FileNotFoundError:
-            return {}
+    def _rebuild_shards(self, frontier: DataFrame) -> dict[int, BloomShard]:
+        """Resume path: rebuild the per-bucket shards from the committed
+        frontier via a grouped-map (the treeAggregate-style distributed
+        build), then merge driver-side."""
+        import numpy as np
+
+        dedup = self._dedup_col()
+        m_bits, k = self._shard_params()
+
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            shard = BloomShard(m_bits, k)
+            shard.add(pdf["dedup_hash"].to_numpy().astype(np.uint64))
+            return pd.DataFrame({
+                "host_bucket": [int(pdf["host_bucket"].iloc[0])],
+                "blob": [shard.to_bytes()],
+            })
+
+        rows = (
+            frontier.select(
+                "host_bucket", F.xxhash64(F.col(dedup)).alias("dedup_hash"))
+            .groupBy("host_bucket")
+            .applyInPandas(build, "host_bucket int, blob binary")
+            .collect()
+        )
         return {
-            r["host_bucket"]: BloomShard.from_bytes(merge_blobs(
-                [bytes(b) for b in r["blobs"]]))
+            r["host_bucket"]: BloomShard.from_bytes(bytes(r["blob"]))
             for r in rows
         }
 
     # --- the round job ----------------------------------------------------
     def _run_round(self) -> bool:
         cfg, eng, io = self.cfg, self.engine, self.io
+        self._last_bucket_counts = {}
         round_no = io.committed_round() + 1
         limit = cfg.limit
-        assert self._queued is not None and self._frontier is not None
+        assert self._frontier_parts
 
         # ---- selection: per-host budget top-k, then global FIFO cap ----
-        queued = self._queued
+        queued = self._queued_df()
         use_budget = cfg.host_budget is not None or cfg.host_budget_overrides
         use_bucket = cfg.budget_capacity is not None and use_budget
         avail = None
@@ -442,6 +511,11 @@ class SparkCrawl:
             picked = picked.orderBy("priority", "seq").limit(remaining_fetches)
         selected = self._pin(picked)
         n_selected = selected.count()
+        # size-aware narrowing: small rounds don't need 32-way stages (the
+        # per-stage python-worker round trip dominates tiny partitions)
+        parts = max(1, min(32, n_selected // 64 + 1))
+        if parts < selected.rdd.getNumPartitions():
+            selected = selected.coalesce(parts)
         if n_selected == 0:
             self._done = True
             io.commit_round(round_no, processed=self._processed,
@@ -480,7 +554,8 @@ class SparkCrawl:
         )
         fetched = self._pin(fetched)
 
-        result_cols = ["url", "url_canon", "host", "depth", "seq", "status"]
+        result_cols = ["url", "url_canon", "host", "depth", "priority",
+                       "seq", "status"]
         if eng.extract_markdown:
             result = fetched.select(
                 *result_cols,
@@ -491,12 +566,6 @@ class SparkCrawl:
             result = fetched.select(*result_cols) \
                 .withColumn("round", F.lit(round_no))
         io.append(result, "crawl_result", round_no)
-
-        io.append(
-            fetched.select("url", "url_canon", "host", "depth", "priority",
-                           "seq", "status").withColumn("round", F.lit(round_no)),
-            "fetch_log", round_no,
-        )
 
         # ---- link expansion (L2) + admission (F1) ----
         base_depth = cfg.base_depth()
@@ -525,7 +594,7 @@ class SparkCrawl:
                          .withColumn("dedup_hash", F.xxhash64("dedup_key"))
 
         # ---- seen-set check: Bloom probe → exact anti-join ----
-        frontier_keys = self._frontier.select(F.col(dedup).alias("seen_key"))
+        frontier_keys = self._frontier_df().select(F.col(dedup).alias("seen_key"))
         if eng.use_bloom:
             bc = self.spark.sparkContext.broadcast(
                 {b: s.to_bytes() for b, s in self._shards.items()}
@@ -578,6 +647,8 @@ class SparkCrawl:
         if limit is not None:
             new_rows, n_new = self._admit_with_limit_replay(flagged, limit,
                                                             round_no)
+        elif n_selected < eng.small_round_threshold:
+            new_rows, n_new = self._admit_small_round(flagged, round_no)
         else:
             new_only = flagged.filter(~F.col("is_seen"))
             w_first = Window.partitionBy("dedup_key").orderBy(
@@ -620,19 +691,17 @@ class SparkCrawl:
             .groupBy(F.col("c.denial_reason").alias("denial_reason"))
             .count().collect()
         }
-        io.append(
-            self.spark.createDataFrame(
-                [(round_no, n_selected, n_new, self._processed + n_selected,
-                  str(denials))],
-                "round int, fetched long, new_urls long, processed long, "
-                "denials string",
-            ),
+        bucket_counts = getattr(self, "_last_bucket_counts", {})
+        io.append_json(
+            {
+                "round": round_no, "fetched": n_selected, "new_urls": n_new,
+                "processed": self._processed + n_selected,
+                "denials": denials,
+                "bucket_new_counts": {
+                    str(k): v for k, v in sorted(bucket_counts.items())
+                },
+            },
             "round_metrics", round_no,
-        )
-        io.append(
-            new_rows.groupBy("host_bucket").count()
-            .withColumn("round", F.lit(round_no)),
-            "bucket_metrics", round_no,
         )
 
         # ---- commit + in-memory state advance ----
@@ -645,13 +714,45 @@ class SparkCrawl:
         self._processed += n_selected
         self._next_seq += n_new
         self._frontier_count += n_new
-        self._frontier = self._pin(self._frontier.unionByName(new_rows))
-        sel_seqs = selected.select(F.col("seq").alias("fseq"))
-        self._queued = self._pin(
-            self._queued.join(sel_seqs, self._queued["seq"] == F.col("fseq"),
-                              "left_anti").unionByName(new_rows)
-        )
+        self._frontier_parts.append(new_rows)
+        self._fetched_seq_parts.append(
+            selected.select(F.col("seq").alias("fseq")))
+        self._compact_parts()
         return True
+
+    def _admit_small_round(self, flagged: DataFrame,
+                           round_no: int) -> tuple[DataFrame, int]:
+        """Unlimited-crawl admission for small rounds, on the driver:
+        first-occurrence-wins over (source_priority, source_seq, link_pos) —
+        bitwise-identical to the distributed window+zipWithIndex path,
+        without its per-round fixed cost."""
+        rows = (
+            flagged.filter(~F.col("is_seen"))
+            .select("source_priority", "source_seq", "link_pos", "link",
+                    "url_canon", "dedup_key")
+            .orderBy("source_priority", "source_seq", "link_pos").collect()
+        )
+        seen: set[str] = set()
+        admitted: list[tuple] = []
+        seq = self._next_seq
+        for r in rows:
+            if r["dedup_key"] in seen:
+                continue
+            seen.add(r["dedup_key"])
+            link = r["link"]
+            admitted.append((
+                link, r["url_canon"], urlkit.url_host(link), 0,
+                urlkit.get_url_depth(urlkit.url_path(link)),
+                self.cfg.priority_of(link), round_no, seq,
+            ))
+            seq += 1
+        df = self.spark.createDataFrame(admitted, FRONTIER_SCHEMA).coalesce(
+            max(1, len(admitted) // 2048 + 1)
+        ).withColumn(
+            "host_bucket",
+            F.pmod(F.xxhash64("host"), F.lit(self.engine.num_buckets)).cast("int"),
+        )
+        return self._pin(df), len(admitted)
 
     def _admit_with_limit_replay(
         self, flagged: DataFrame, limit: int, round_no: int,
@@ -692,7 +793,9 @@ class SparkCrawl:
                 ))
                 seq += 1
                 total += 1
-        df = self.spark.createDataFrame(admitted, FRONTIER_SCHEMA)
+        df = self.spark.createDataFrame(admitted, FRONTIER_SCHEMA).coalesce(
+            max(1, len(admitted) // 2048 + 1)
+        )
         df = df.withColumn(
             "host_bucket",
             F.pmod(F.xxhash64("host"), F.lit(eng.num_buckets)).cast("int"),

@@ -66,8 +66,8 @@ class TableIO:
         os.replace(tmp, self._ckpt_path)
 
     def rollback_uncommitted(self, tables: list[str]) -> None:
-        """Drop any round directories beyond the committed round (crash
-        cleanup before re-running a round)."""
+        """Drop any round directories/files beyond the committed round
+        (crash cleanup before re-running a round)."""
         committed = self.committed_round()
         for table in tables:
             tdir = os.path.join(self.root, table)
@@ -75,9 +75,33 @@ class TableIO:
                 continue
             for entry in os.listdir(tdir):
                 if entry.startswith("round="):
-                    rnd = int(entry.split("=", 1)[1])
+                    rnd = int(entry.split("=", 1)[1].split(".")[0])
                     if rnd > committed:
-                        shutil.rmtree(os.path.join(tdir, entry))
+                        path = os.path.join(tdir, entry)
+                        if os.path.isdir(path):
+                            shutil.rmtree(path)
+                        else:
+                            os.remove(path)
+
+    # --- driver-side JSON rows (metrics-scale data; no Spark job) --------
+    def append_json(self, record: dict, table: str, round_no: int) -> None:
+        tdir = self._table_dir(table)
+        os.makedirs(tdir, exist_ok=True)
+        with open(os.path.join(tdir, f"round={round_no}.json"), "w") as f:
+            json.dump(record, f)
+
+    def read_json(self, table: str, upto_round: int | None = None) -> list[dict]:
+        limit = self.committed_round() if upto_round is None else upto_round
+        tdir = self._table_dir(table)
+        out = []
+        if os.path.isdir(tdir):
+            for entry in sorted(os.listdir(tdir)):
+                if entry.startswith("round=") and entry.endswith(".json"):
+                    rnd = int(entry.split("=", 1)[1].split(".")[0])
+                    if rnd <= limit:
+                        with open(os.path.join(tdir, entry)) as f:
+                            out.append(json.load(f))
+        return out
 
     # --- table ops ------------------------------------------------------
     def _table_dir(self, table: str) -> str:
