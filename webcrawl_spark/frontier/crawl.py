@@ -378,6 +378,22 @@ class SparkCrawl:
             rank = F.coalesce(mapping[host_col].cast("int"), F.lit(0))
         return (depth_col + rank).cast("int")
 
+    def _allowance_upper_bound(self) -> int | None:
+        """Largest possible per-host selection this round (None = unlimited
+        for some host): bounds the local pre-top-k used for skew control."""
+        cfg = self.cfg
+        if cfg.host_budget is None and not cfg.host_budget_overrides:
+            return None
+        candidates = list(cfg.host_budget_overrides.values())
+        if cfg.host_budget is not None:
+            candidates.append(cfg.host_budget)
+        elif cfg.host_budget_overrides:
+            return None  # default is unlimited for non-override hosts
+        bound = max(candidates)
+        if cfg.budget_capacity is not None:
+            bound = max(bound, cfg.budget_capacity)
+        return int(bound)
+
     def _refill_col(self):
         """Per-host budget refill as a Column over ``host`` (overrides map →
         default; null = unlimited)."""
@@ -486,14 +502,29 @@ class SparkCrawl:
             )
             avail = self._pin(avail)
         if use_budget:
-            w = Window.partitionBy("host").orderBy("priority", "seq")
             if use_bucket:
                 queued_a = queued.join(avail.select("host", "allowance"),
                                        "host", "left")
-                allowance = F.col("allowance")
             else:
                 queued_a = queued.withColumn("allowance", self._refill_col())
-                allowance = F.col("allowance")
+            allowance = F.col("allowance")
+
+            # hot-host skew bound (north rule): before the per-host window
+            # shuffle, keep only each host's local top-(cap) rows per input
+            # partition — a hot host then ships at most cap × P rows into
+            # the shuffle instead of its entire queued backlog.
+            cap_bound = self._allowance_upper_bound()
+            if cap_bound is not None:
+                w_local = Window.partitionBy(
+                    F.spark_partition_id(), "host"
+                ).orderBy("priority", "seq")
+                queued_a = (
+                    queued_a.withColumn("_lrn", F.row_number().over(w_local))
+                    .filter(allowance.isNull() | (F.col("_lrn") <= cap_bound))
+                    .drop("_lrn")
+                )
+
+            w = Window.partitionBy("host").orderBy("priority", "seq")
             picked = (
                 queued_a.withColumn("_rn", F.row_number().over(w))
                 .filter(allowance.isNull() | (F.col("_rn") <= allowance))
