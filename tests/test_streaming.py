@@ -34,6 +34,44 @@ class TestStreamScrape:
         assert all(r["markdown"] == r["text"] for r in got)
 
 
+class TestStatefulSessions:
+    def test_host_sessionization(self, spark, tmp_path):
+        """applyInPandasWithState custom stateful operator: sessions close
+        either by event-time gap within a batch or by processing-time
+        timeout for the pending tail."""
+        import time as _time
+
+        from webcrawl_spark.streaming import stream_host_sessions
+
+        base = dt.datetime(2025, 6, 1, 12, 0, 0)
+        rows = [(f"https://a.com/p{i}", "a.com", 200,
+                 base + dt.timedelta(seconds=2 * i)) for i in range(5)]
+        rows += [(f"https://a.com/q{i}", "a.com", 200 if i else 500,
+                  base + dt.timedelta(seconds=300 + 2 * i)) for i in range(4)]
+        src = str(tmp_path / "fetch_sessions")
+        df = spark.createDataFrame(
+            rows, "url string, host string, status int, fetched_at timestamp")
+        df.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(df.schema).parquet(src)
+        out = stream_host_sessions(stream, gap_seconds=3)
+        q = (out.writeStream.format("memory").queryName("host_sessions")
+             .outputMode("append").trigger(availableNow=True).start())
+        got = []
+        deadline = _time.time() + 90
+        while _time.time() < deadline:
+            got = spark.sql(
+                "select * from host_sessions order by session_start").collect()
+            if len(got) >= 2 or not q.isActive:
+                break
+            _time.sleep(2)
+        q.stop()
+        assert len(got) == 2
+        first, second = got
+        assert first["n_fetches"] == 5 and first["n_ok"] == 5
+        assert second["n_fetches"] == 4 and second["n_ok"] == 3
+        assert first["session_end"] < second["session_start"]
+
+
 class TestStreamMetrics:
     def test_windowed_rollup(self, spark):
         from webcrawl_spark.streaming import stream_fetch_metrics

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from .kernels.scrape import ScrapeOptions
 from .operators.scrape import scrape
 
-__all__ = ["stream_scrape", "stream_fetch_metrics"]
+__all__ = ["stream_scrape", "stream_fetch_metrics", "stream_host_sessions"]
 
 
 def stream_scrape(pages_stream: DataFrame,
@@ -34,6 +34,75 @@ def stream_scrape(pages_stream: DataFrame,
     """Extraction over a streaming pages DataFrame. The scrape operator is
     stateless column logic, so it applies to streaming plans unchanged."""
     return scrape(pages_stream, options)
+
+
+def stream_host_sessions(
+    fetch_events: DataFrame,
+    gap_seconds: float = 60.0,
+    ts_col: str = "fetched_at",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-host
+    fetch *sessions* — bursts of fetches separated by ≥ gap_seconds emit a
+    session row (host, start, end, n_fetches, n_ok). This is the
+    crawl-monitoring shape the watermarked rollup can't express (sessions
+    have data-dependent extents), demonstrating the engine's custom
+    stateful-operator path."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    output_schema = T.StructType([
+        T.StructField("host", T.StringType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_fetches", T.LongType()),
+        T.StructField("n_ok", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("start_ts", T.DoubleType()),
+        T.StructField("last_ts", T.DoubleType()),
+        T.StructField("n_fetches", T.LongType()),
+        T.StructField("n_ok", T.LongType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        host = key[0]
+        sessions = []
+        if state.hasTimedOut:
+            start_ts, last_ts, n, n_ok = state.get
+            sessions.append((host, pd.Timestamp(start_ts, unit="s"),
+                             pd.Timestamp(last_ts, unit="s"), n, n_ok))
+            state.remove()
+        else:
+            rows = pd.concat(list(pdfs))
+            rows = rows.sort_values(ts_col)
+            ts = rows[ts_col].astype("int64").to_numpy() / 1e9
+            ok = (rows["status"] == 200).to_numpy()
+            if state.exists:
+                start_ts, last_ts, n, n_ok = state.get
+            else:
+                start_ts, last_ts, n, n_ok = float(ts[0]), float(ts[0]), 0, 0
+            for i in range(len(ts)):
+                if ts[i] - last_ts > gap_seconds and n > 0:
+                    sessions.append((host, pd.Timestamp(start_ts, unit="s"),
+                                     pd.Timestamp(last_ts, unit="s"), n, n_ok))
+                    start_ts, n, n_ok = float(ts[i]), 0, 0
+                last_ts = float(ts[i])
+                n += 1
+                n_ok += int(ok[i])
+            state.update((start_ts, last_ts, int(n), int(n_ok)))
+            state.setTimeoutDuration(int(gap_seconds * 1000))
+        yield pd.DataFrame(sessions, columns=[f.name for f in output_schema])
+
+    return (
+        fetch_events.withWatermark(ts_col, watermark)
+        .groupBy("host")
+        .applyInPandasWithState(
+            update, output_schema, state_schema, "append",
+            GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
 
 
 def stream_fetch_metrics(
