@@ -362,7 +362,16 @@ def q_image_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").cast("string").alias("media_id"),
         F.encode(F.col("vec_id").cast("string"), "UTF-8").alias("payload"),
     )
-    return image_features(payloads, fake=True).orderBy("media_id")
+    # the driver's canonicalization sorts/hashes column values, so the
+    # array<float> feature column is projected to a stable string encoding
+    out = image_features(payloads, fake=True)
+    return out.select(
+        "media_id", "width", "height", "n_bytes", "format",
+        F.concat_ws(
+            ",",
+            F.transform("feature", lambda x: F.round(x, 5).cast("string")),
+        ).alias("feature_csv"),
+    ).orderBy("media_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

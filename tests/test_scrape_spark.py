@@ -32,6 +32,20 @@ def test_quality_columns(spark, pages_df):
     assert "usable" in statuses  # most synthetic pages clear the thresholds
 
 
+def test_html_format_byte_identical_to_kernel(spark, pages_df):
+    """Format "html" (cleaned transformHtml output, types.ts:3-16) wired
+    through scrape() must match the kernel byte-for-byte (the kernel itself
+    is golden-tested in test_htmlkit/test_goldens)."""
+    from webcrawl_spark.kernels.htmlkit import decode_html, transform_html
+
+    out = scrape(pages_df, ScrapeOptions(formats=("html",)))
+    rows = out.select("url", "html", "html_clean").collect()
+    assert rows
+    for r in rows:
+        expected = transform_html(decode_html(bytes(r["html"])), r["url"])
+        assert r["html_clean"] == expected
+
+
 def test_classify_udf_matches_kernel(spark, small_site):
     from webcrawl_spark.functions import classify_links_udf
     from webcrawl_spark.kernels.classify import classify_link

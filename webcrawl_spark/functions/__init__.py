@@ -48,6 +48,7 @@ __all__ = [
     "classify_links_udf",
     "filter_url_udf",
     "decode_html_udf",
+    "transform_html_udf",
     "markdown_udf",
     "links_udf",
     "images_udf",
@@ -205,6 +206,34 @@ def _as_text(html) -> str | None:
     if isinstance(html, (bytes, bytearray)):
         return decode_html(bytes(html))
     return html
+
+
+def transform_html_udf(include_tags: tuple[str, ...] = (),
+                       exclude_tags: tuple[str, ...] = (),
+                       only_main_content: bool = True):
+    """Format "html" = transformHtml output (FormatObject, types.ts:3-16):
+    the cleaned DOM serialized back to HTML. (html binary|string, url) →
+    cleaned html string."""
+    from ..kernels.htmlkit import transform_html
+
+    def batch(htmls: pd.Series, urls: pd.Series) -> pd.Series:
+        out = []
+        for html, url in zip(htmls, urls):
+            text = _as_text(html)
+            if not text:
+                out.append(None)
+                continue
+            try:
+                out.append(transform_html(
+                    text, url, include_tags=list(include_tags),
+                    exclude_tags=list(exclude_tags),
+                    only_main_content=only_main_content,
+                ))
+            except Exception:
+                out.append(None)
+        return pd.Series(out, dtype="object")
+
+    return pandas_udf(batch, T.StringType())
 
 
 def markdown_udf(include_tags: tuple[str, ...] = (),

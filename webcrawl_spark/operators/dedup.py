@@ -119,8 +119,10 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-duplicate pairs (doc_a < doc_b) with estimated Jaccard
     ≥ threshold (signature agreement ratio)."""
+    # cache only (id, sig): at 100 TB the text column would dominate the
+    # cached footprint and nothing downstream of the signature needs it
     sigs = df.select(
-        F.col(id_col), F.col(text_col),
+        F.col(id_col),
         minhash_signatures(num_perm)(F.col(text_col)).alias("sig"),
     ).cache()
     buckets = _band_buckets(sigs, "sig", num_perm, bands, id_col)

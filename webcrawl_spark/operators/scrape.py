@@ -18,6 +18,7 @@ from ..functions import (
     links_udf,
     markdown_udf,
     metadata_json_udf,
+    transform_html_udf,
 )
 from ..kernels.scrape import ScrapeOptions
 
@@ -46,6 +47,16 @@ def scrape(
         out = out.withColumn(
             "markdown",
             markdown_udf(
+                options.include_tags, options.exclude_tags,
+                options.only_main_content,
+            )(html, url),
+        )
+    if "html" in options.formats:
+        # cleaned-html format (types.ts:3-16 FormatObject "html"):
+        # transformHtml output as its own column
+        out = out.withColumn(
+            "html_clean",
+            transform_html_udf(
                 options.include_tags, options.exclude_tags,
                 options.only_main_content,
             )(html, url),
