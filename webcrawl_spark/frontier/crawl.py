@@ -2,38 +2,45 @@
 DataFrame jobs (SURVEY.md §3.1 "Spark re-expression", BASELINE.json north
 rule).
 
-Each scheduling round is ONE DataFrame job:
+Each scheduling round is ONE DataFrame job chain:
 
   queued frontier rows
     → per-host top-k under the politeness budget  (Window.partitionBy(host))
     → global FIFO cap                              (ordered limit)
-    → synthetic fetch                              (join pages on url)
-    → extraction (markdown byte-identical)         (Arrow UDFs)
-    → link expansion L2 + admission F1             (posexplode + classify UDF)
-    → seen-set dedup                               (Bloom shard probe →
-                                                    exact left anti-join)
-    → seq assignment                               (driver-side for small /
-                                                    limit rounds; range-
-                                                    partitioned zipWithIndex
-                                                    for big rounds)
-    → append frontier + crawl_result (fetch_log is a columnar projection
-      of crawl_result) + driver-side JSON round metrics
-    → atomic round commit (checkpoint)             (TableIO)
+    → synthetic fetch + extraction + link lineage  (ONE pass: join pages,
+      markdown + link extraction Arrow UDFs in the same stage, written to
+      crawl_result — the fetch-lineage checkpoint table)
+    → admission F1                                 (classify UDF)
+    → seen-set dedup                               (per-bucket Bloom shard
+                                                    cogroup probe → exact
+                                                    left anti-join)
+    → dense seq assignment                         (native: per-group offsets
+                                                    + row_number — no RDD, no
+                                                    per-row Python)
+    → append frontier + per-round metrics, atomic round commit (TableIO)
 
-State model: the frontier and fetched-seq sets live in memory as lists of
-per-round pinned (localCheckpoint) parts; the cumulative union is a lazy
-narrow plan, compacted when the list grows. Bloom shards are
-driver-resident and rebuilt from the committed frontier on resume. The
-per-round appends + the atomic commit marker ARE the checkpoint: a crash
-mid-round loses nothing (uncommitted files are rolled back and the round
-re-runs deterministically).
+State model (round 2): ALL cross-round state is file-backed in TableIO
+tables — frontier, crawl_result (fetch lineage incl. discovered links),
+host_budget, bloom_shards, round_metrics. Reads are lazy snapshot scans
+bounded to committed rounds, so plan depth is constant, resume needs no
+reconstruction, and nothing crawl-sized ever lives on the driver. The only
+driver-resident values are three integers (processed, next_seq,
+frontier_count) mirrored in the checkpoint metadata.
+
+Bloom shard lifecycle (all executor-side):
+- build/update: cogroup(previous shard blobs, this round's new url-hashes)
+  by host_bucket → applyInPandas merge → append to the bloom_shards table.
+  No driver collect, no global broadcast; each task touches one bucket.
+- probe: cogroup(candidates by cand_bucket, shard blobs by host_bucket) →
+  vectorized numpy membership per bucket. Certainly-new candidates skip the
+  exact anti-join shuffle entirely.
+- resume: read the latest committed bloom_shards round — no rebuild scan of
+  the frontier.
 
 Scale posture:
 - frontier partitioned by host_bucket = xxhash64(host) % B so one host's
   URLs co-locate (politeness windows and shard probes shuffle within
   buckets); AQE skew handling backs up the explicit budget top-k.
-- the seen-set anti-join is pre-filtered by per-bucket Bloom shards
-  (frontier/bloom.py): certainly-new candidates skip the shuffle join.
 - the `html` binary column never enters a shuffle (project early).
 - the reference's global `limit` (≤10k, types.ts:86) keeps its sequential
   cross-page admission semantics via a driver-side replay over the (small,
@@ -49,7 +56,7 @@ set; "url_canon" = north-rule canonicalized mode.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
@@ -66,13 +73,20 @@ from .oracle import CrawlConfig
 __all__ = ["SparkCrawl", "EngineConfig"]
 
 # fetch_log is a projection of crawl_result (columnar reads prune the
-# markdown column away); bloom shards are rebuilt from the frontier table on
-# resume rather than persisted per round.
-TABLES = ["frontier", "crawl_result", "round_metrics", "host_budget"]
+# markdown/links columns away); bloom shards persist per round so resume
+# never rescans the frontier.
+TABLES = ["frontier", "crawl_result", "round_metrics", "host_budget",
+          "bloom_shards"]
 
 FRONTIER_SCHEMA = (
     "url string, url_canon string, host string, host_bucket int, "
     "depth int, priority int, round_discovered int, seq long"
+)
+
+# columns flowing through classification → bloom probe → admission
+_CAND_SCHEMA = (
+    "source_priority int, source_seq long, link_pos int, link string, "
+    "url_canon string, dedup_key string, dedup_hash long, cand_bucket int"
 )
 
 
@@ -105,7 +119,8 @@ class EngineConfig:
 
 def _crawl_links_udf(cfg: CrawlConfig):
     """(html binary, url) → array<string> — L2 (kernels/crawl.py); decodes
-    in Python (U5), skipping JVM string materialization."""
+    in Python (U5), skipping JVM string materialization. Null html (fetch
+    error, non-html, or depth-guarded via a null-projected input) → []."""
     opts = cfg.filter_options()
 
     def batch(htmls: pd.Series, urls: pd.Series) -> pd.Series:
@@ -163,19 +178,38 @@ def _markdown_udf():
     return pandas_udf(batch, T.StringType())
 
 
-def _assign_dense_seq(df: DataFrame, order_cols: list[str], start: int) -> DataFrame:
-    """Dense global sequence without a single-task global sort: range-
-    partition by the order columns, sort within partitions, then
-    zipWithIndex (count-then-offset two-pass; each task scans only its own
-    partition)."""
-    n_parts = max(1, min(df.sparkSession.sparkContext.defaultParallelism, 32))
-    ordered = df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols]) \
-                .sortWithinPartitions(*order_cols)
-    schema = ordered.schema.add("seq", T.LongType())
-    rdd = ordered.rdd.zipWithIndex().map(
-        lambda pair: (*pair[0], start + pair[1])
+def _assign_dense_seq(df: DataFrame, start: int) -> DataFrame:
+    """Dense global sequence in (source_priority, source_seq, link_pos)
+    order, fully native (no RDD, no per-row Python):
+
+    1. per-group counts, group = (source_priority, source_seq) — one page's
+       admitted links;
+    2. running-sum offsets over the *groups* (a single-task window over one
+       row per fetched page — bounded by the round's fetch count, tiny
+       relative to the link rows);
+    3. seq = start + group_offset + row_number within group by link_pos.
+
+    Every admitted link row stays JVM-side; only group-level rows pass
+    through the global window."""
+    counts = df.groupBy("source_priority", "source_seq").agg(
+        F.count(F.lit(1)).alias("_cnt"))
+    w_groups = Window.orderBy("source_priority", "source_seq") \
+                     .rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "source_priority", "source_seq",
+        F.coalesce(F.sum("_cnt").over(w_groups), F.lit(0)).alias("_offset"),
     )
-    return df.sparkSession.createDataFrame(rdd, schema)
+    w_in_group = Window.partitionBy("source_priority", "source_seq") \
+                       .orderBy("link_pos")
+    return (
+        df.join(F.broadcast(offsets), ["source_priority", "source_seq"])
+        .withColumn(
+            "seq",
+            (F.lit(start) + F.col("_offset")
+             + F.row_number().over(w_in_group) - 1).cast("long"),
+        )
+        .drop("_offset")
+    )
 
 
 class SparkCrawl:
@@ -192,15 +226,8 @@ class SparkCrawl:
         self.cfg = cfg
         self.engine = engine or EngineConfig()
         self.io = TableIO(spark, workdir)
-        # in-memory round state (reconstructed on resume). The frontier and
-        # fetched-seq sets are kept as lists of per-round PINNED parts; the
-        # union is a lazy narrow plan (no per-round pin of the cumulative
-        # state — unions over pinned parts cost nothing until used, and the
-        # part list is compacted when it grows).
-        self._frontier_parts: list[DataFrame] = []
-        self._fetched_seq_parts: list[DataFrame] = []
-        self._host_tokens: DataFrame | None = None  # (host, tokens) bucket state
-        self._shards: dict[int, BloomShard] = {}
+        # the only driver-resident state: three counters (mirrored in the
+        # checkpoint metadata); everything else lives in TableIO tables
         self._processed = 0
         self._next_seq = 1
         self._frontier_count = 0
@@ -225,7 +252,7 @@ class SparkCrawl:
 
     def fetch_log(self) -> DataFrame:
         """Projection of crawl_result (parquet column pruning skips the
-        markdown payload entirely)."""
+        markdown/links payloads entirely)."""
         return self.io.read("crawl_result").select(
             "url", "url_canon", "host", "depth", "priority", "seq", "status",
             "round",
@@ -261,37 +288,23 @@ class SparkCrawl:
 
     # --- state -----------------------------------------------------------
     def _pin(self, df: DataFrame) -> DataFrame:
-        """Materialize + truncate lineage (rounds must not re-derive).
-        localCheckpoint has a ~1s fixed cost per call in local mode but is
-        predictable; cache()-based pinning was measured strictly worse
-        (lazy-recompute storms through round-local lineage)."""
+        """Materialize + truncate lineage for a DF consumed by multiple
+        downstream jobs within one round. Only two per round survive the
+        round-2 restructure: the classified candidates and the probed set."""
         return df.localCheckpoint(eager=True)
 
     def _frontier_df(self) -> DataFrame:
-        out = self._frontier_parts[0]
-        for part in self._frontier_parts[1:]:
-            out = out.unionByName(part)
-        return out
+        """Committed frontier snapshot (rounds ≤ committed — during round N
+        that is exactly the state as-of round start)."""
+        return self.io.read("frontier").drop("round")
 
     def _queued_df(self) -> DataFrame:
         frontier = self._frontier_df()
-        if not self._fetched_seq_parts:
+        if not self.io.exists("crawl_result"):
             return frontier
-        fetched = self._fetched_seq_parts[0]
-        for part in self._fetched_seq_parts[1:]:
-            fetched = fetched.unionByName(part)
+        fetched = self.io.read("crawl_result").select(F.col("seq").alias("fseq"))
         return frontier.join(fetched, frontier["seq"] == fetched["fseq"],
                              "left_anti")
-
-    def _compact_parts(self) -> None:
-        """Bound plan growth: fold the part lists into one pinned part."""
-        if len(self._frontier_parts) > 24:
-            self._frontier_parts = [self._pin(self._frontier_df())]
-        if len(self._fetched_seq_parts) > 24:
-            fetched = self._fetched_seq_parts[0]
-            for part in self._fetched_seq_parts[1:]:
-                fetched = fetched.unionByName(part)
-            self._fetched_seq_parts = [self._pin(fetched)]
 
     def _load_state(self) -> None:
         committed = self.io.committed_round()
@@ -301,30 +314,17 @@ class SparkCrawl:
         self._processed = int(meta.get("processed", 0))
         self._next_seq = int(meta.get("next_seq", 1))
         self._done = bool(meta.get("done", False))
-        frontier = self._pin(self.io.read("frontier").drop("round"))
-        self._frontier_parts = [frontier]
-        try:
-            fetched = self.io.read("crawl_result").select(
-                F.col("seq").alias("fseq"))
-            self._fetched_seq_parts = [self._pin(fetched)]
-        except FileNotFoundError:
-            self._fetched_seq_parts = []
-        self._frontier_count = frontier.count()
-        if self.engine.use_bloom:
-            self._shards = self._rebuild_shards(frontier)
-        if self.cfg.budget_capacity is not None:
-            try:
-                tokens = self.io.read("host_budget")
-                latest = tokens.agg(F.max("round")).first()[0]
-                self._host_tokens = self._pin(
-                    tokens.filter(F.col("round") == latest)
-                    .select("host", "tokens"),
-                )
-            except FileNotFoundError:
-                self._host_tokens = None
+        self._frontier_count = int(meta.get("frontier_count",
+                                            self._next_seq))
 
     def _dedup_col(self) -> str:
         return "url" if self.engine.dedup_key == "url" else "url_canon"
+
+    def _commit(self, round_no: int, done: bool) -> None:
+        self.io.commit_round(
+            round_no, processed=self._processed, next_seq=self._next_seq,
+            frontier_count=self._frontier_count, done=done,
+        )
 
     def _seed_round(self) -> None:
         """Round 0: seed URL first, then sitemap-contributed URLs
@@ -353,16 +353,13 @@ class SparkCrawl:
             "host_bucket",
             F.pmod(F.xxhash64("host"), F.lit(eng.num_buckets)).cast("int"),
         )
-        seed_df = self._pin(seed_df)
         self.io.append(seed_df, "frontier", 0, partition_by=["host_bucket"])
-        self._frontier_parts = [seed_df]
-        self._fetched_seq_parts = []
+        if eng.use_bloom:
+            self._write_shards(self.io.read_round("frontier", 0), None, 0)
         self._frontier_count = len(rows)
         self._processed = 0
         self._next_seq = len(rows)
-        if eng.use_bloom:
-            self._update_shards(seed_df, 0)
-        self.io.commit_round(0, processed=0, next_seq=len(rows), done=False)
+        self._commit(0, done=False)
 
     def _priority_col(self, depth_col, host_col):
         """north_star priority = depth + host-rank (0 in FIFO mode)."""
@@ -408,76 +405,89 @@ class SparkCrawl:
             return F.coalesce(mapping[F.col("host")].cast("double"), base)
         return base
 
-    # --- bloom shards ----------------------------------------------------
+    # --- bloom shards (file-backed, executor-side lifecycle) --------------
     def _shard_params(self) -> tuple[int, int]:
         m = bits_for(self.engine.bloom_keys_per_shard, self.engine.bloom_fp_rate)
         return m, optimal_k(m, self.engine.bloom_keys_per_shard)
 
-    def _update_shards(self, new_frontier: DataFrame, round_no: int) -> None:
-        """Update resident shards with this round's keys (driver-resident;
-        exact state is the frontier table, so shards rebuild on resume —
-        no per-round persistence needed). Also records per-bucket counts
-        for the round's bucket lineage metrics."""
+    def _shards_df(self) -> DataFrame | None:
+        """Latest committed shard set (host_bucket, blob), or None."""
+        latest = self.io.latest_round("bloom_shards")
+        if latest is None:
+            return None
+        return self.io.read_round("bloom_shards", latest)
+
+    def _write_shards(self, new_rows: DataFrame, shards: DataFrame | None,
+                      round_no: int) -> None:
+        """bloom_shards[round] = merge(bloom_shards[previous], new url
+        hashes), entirely executor-side: a cogroup by bucket where each task
+        deserializes its bucket's blob, adds the bucket's new hashes, and
+        re-serializes. The north rule's 'one filter shard per host-hash
+        partition' with the treeAggregate merge replaced by the cheaper
+        per-bucket incremental update (a global merge never materializes)."""
         import numpy as np
 
-        dedup = self._dedup_col()
         m_bits, k = self._shard_params()
-        rows = (
-            new_frontier.select(
-                F.col("host_bucket"),
-                F.xxhash64(F.col(dedup)).alias("dedup_hash"),
-            ).collect()
-        )
-        per_bucket: dict[int, list[int]] = {}
-        for r in rows:
-            per_bucket.setdefault(r["host_bucket"], []).append(r["dedup_hash"])
-        self._last_bucket_counts = {
-            b: len(hs) for b, hs in per_bucket.items()
-        }
-        for bucket, hashes in per_bucket.items():
-            arr = np.array(hashes, dtype=np.int64).astype(np.uint64)
-            shard = self._shards.get(bucket)
-            if shard is None:
+        dedup = self._dedup_col()
+        hashes = new_rows.select(
+            "host_bucket", F.xxhash64(F.col(dedup)).alias("dedup_hash"))
+        if shards is None:
+            shards = self.spark.createDataFrame(
+                [], "host_bucket int, blob binary")
+
+        def merge(key, old: pd.DataFrame, new: pd.DataFrame) -> pd.DataFrame:
+            if len(old):
+                shard = BloomShard.from_bytes(bytes(old["blob"].iloc[0]))
+            else:
                 shard = BloomShard(m_bits, k)
-                self._shards[bucket] = shard
-            shard.add(arr)
+            if len(new):
+                shard.add(new["dedup_hash"].to_numpy().astype(np.uint64))
+            return pd.DataFrame({"host_bucket": [int(key[0])],
+                                 "blob": [shard.to_bytes()]})
 
-    def _rebuild_shards(self, frontier: DataFrame) -> dict[int, BloomShard]:
-        """Resume path: rebuild the per-bucket shards from the committed
-        frontier via a grouped-map (the treeAggregate-style distributed
-        build), then merge driver-side."""
+        updated = (
+            shards.groupBy("host_bucket")
+            .cogroup(hashes.groupBy("host_bucket"))
+            .applyInPandas(merge, "host_bucket int, blob binary")
+        )
+        self.io.append(updated, "bloom_shards", round_no)
+
+    def _bloom_probe(self, allowed: DataFrame, shards: DataFrame) -> DataFrame:
+        """Candidates + maybe_seen, via a bucket-local cogroup against the
+        shard table — no driver collect, no global broadcast; each task sees
+        one bucket's candidates and that bucket's blob."""
         import numpy as np
 
-        dedup = self._dedup_col()
-        m_bits, k = self._shard_params()
+        def probe(key, cand: pd.DataFrame, shard: pd.DataFrame) -> pd.DataFrame:
+            if not len(cand):
+                out = cand.copy()
+                out["maybe_seen"] = pd.Series([], dtype=bool)
+                return out
+            out = cand.copy()
+            if not len(shard):
+                out["maybe_seen"] = False  # no shard → definitely new
+            else:
+                blob = BloomShard.from_bytes(bytes(shard["blob"].iloc[0]))
+                h = cand["dedup_hash"].to_numpy().astype(np.uint64)
+                out["maybe_seen"] = blob.contains(h)
+            return out
 
-        def build(pdf: pd.DataFrame) -> pd.DataFrame:
-            shard = BloomShard(m_bits, k)
-            shard.add(pdf["dedup_hash"].to_numpy().astype(np.uint64))
-            return pd.DataFrame({
-                "host_bucket": [int(pdf["host_bucket"].iloc[0])],
-                "blob": [shard.to_bytes()],
-            })
-
-        rows = (
-            frontier.select(
-                "host_bucket", F.xxhash64(F.col(dedup)).alias("dedup_hash"))
-            .groupBy("host_bucket")
-            .applyInPandas(build, "host_bucket int, blob binary")
-            .collect()
+        return (
+            allowed.groupBy("cand_bucket")
+            .cogroup(shards.groupBy("host_bucket"))
+            .applyInPandas(probe, _CAND_SCHEMA + ", maybe_seen boolean")
         )
-        return {
-            r["host_bucket"]: BloomShard.from_bytes(bytes(r["blob"]))
-            for r in rows
-        }
 
     # --- the round job ----------------------------------------------------
     def _run_round(self) -> bool:
         cfg, eng, io = self.cfg, self.engine, self.io
-        self._last_bucket_counts = {}
         round_no = io.committed_round() + 1
         limit = cfg.limit
-        assert self._frontier_parts
+
+        if limit is not None and limit - self._processed <= 0:
+            self._done = True
+            self._commit(round_no, done=True)
+            return False
 
         # ---- selection: per-host budget top-k, then global FIFO cap ----
         queued = self._queued_df()
@@ -485,10 +495,18 @@ class SparkCrawl:
         use_bucket = cfg.budget_capacity is not None and use_budget
         avail = None
         if use_bucket:
-            # token-bucket: refill hosts with queued work, cap at capacity
+            # token-bucket: refill hosts with queued work, cap at capacity.
+            # Lazy plan (evaluated in the selection job and again in the tiny
+            # token-update job — both deterministic over committed files).
             hosts = queued.select("host").distinct()
-            prev = (self._host_tokens if self._host_tokens is not None
-                    else self.spark.createDataFrame([], "host string, tokens double"))
+            try:
+                prev = self.io.read_round(
+                    "host_budget",
+                    self.io.latest_round("host_budget"),
+                ).select("host", "tokens")
+            except (FileNotFoundError, TypeError):
+                prev = self.spark.createDataFrame(
+                    [], "host string, tokens double")
             avail = (
                 hosts.join(prev, "host", "left")
                 .withColumn("tokens", F.coalesce(F.col("tokens"), F.lit(0.0)))
@@ -500,7 +518,6 @@ class SparkCrawl:
                                        F.col("tokens") + self._refill_col())),
                 )
             )
-            avail = self._pin(avail)
         if use_budget:
             if use_bucket:
                 queued_a = queued.join(avail.select("host", "allowance"),
@@ -533,30 +550,54 @@ class SparkCrawl:
         else:
             picked = queued
         if limit is not None:
-            remaining_fetches = limit - self._processed
-            if remaining_fetches <= 0:
-                self._done = True
-                io.commit_round(round_no, processed=self._processed,
-                                next_seq=self._next_seq, done=True)
-                return False
-            picked = picked.orderBy("priority", "seq").limit(remaining_fetches)
-        selected = self._pin(picked)
-        n_selected = selected.count()
-        # size-aware narrowing: small rounds don't need 32-way stages (the
-        # per-stage python-worker round trip dominates tiny partitions)
-        parts = max(1, min(32, n_selected // 64 + 1))
-        if parts < selected.rdd.getNumPartitions():
-            selected = selected.coalesce(parts)
+            picked = picked.orderBy("priority", "seq") \
+                           .limit(limit - self._processed)
+
+        # ---- ONE extraction pass: fetch join + markdown + link lineage ----
+        # markdown and link extraction run in the same stage over the same
+        # decoded page; crawl_result is the fetch-lineage checkpoint table
+        # (links discovered per fetch ride along as an array column that
+        # parquet column pruning skips for fetch_log readers).
+        pages = self.pages.select(F.col("url").alias("page_url"), F.col("html"))
+        base_depth = cfg.base_depth()
+        fetched = (
+            picked.join(pages, picked["url"] == pages["page_url"], "left")
+            .drop("page_url")
+            .withColumn("status",
+                        F.when(F.col("html").isNotNull(), 200).otherwise(404))
+        )
+        expandable = (
+            (F.col("status") == 200)
+            & (F.greatest(url_depth(F.col("url")) - F.lit(base_depth), F.lit(0))
+               < F.lit(cfg.max_depth))
+        )
+        result_cols = ["url", "url_canon", "host", "host_bucket", "depth",
+                       "priority", "seq", "status"]
+        combined = fetched.select(
+            *result_cols,
+            *([
+                _markdown_udf()(F.col("html"), F.col("url")).alias("markdown")
+            ] if eng.extract_markdown else []),
+            # depth/status guard applied by projecting html to null so the
+            # link UDF does no work for non-expandable rows
+            _crawl_links_udf(cfg)(
+                F.when(expandable, F.col("html")), F.col("url")
+            ).alias("links"),
+        ).withColumn("round", F.lit(round_no))
+        obs = Observation(f"round_{round_no}")
+        combined = combined.observe(obs, F.count(F.lit(1)).alias("n_selected"))
+        io.append(combined, "crawl_result", round_no)
+        n_selected = int(obs.get["n_selected"])
         if n_selected == 0:
             self._done = True
-            io.commit_round(round_no, processed=self._processed,
-                            next_seq=self._next_seq, done=True)
+            self._commit(round_no, done=True)
             return False
+        combined_file = io.read_round("crawl_result", round_no)
 
         if use_bucket:
             # consume tokens: new state = allowance - used (finite hosts);
             # hosts without queued work keep their banked tokens untouched
-            used = selected.groupBy("host").agg(
+            used = combined_file.groupBy("host").agg(
                 F.count(F.lit(1)).cast("double").alias("used"))
             spent = (
                 avail.join(used, "host", "left")
@@ -565,51 +606,19 @@ class SparkCrawl:
                 .select("host",
                         (F.col("allowance") - F.col("used")).alias("tokens"))
             )
-            untouched = (
-                self._host_tokens.join(queued.select("host").distinct(),
-                                       "host", "left_anti")
-                if self._host_tokens is not None else
-                self.spark.createDataFrame([], "host string, tokens double")
+            untouched = prev.join(queued.select("host").distinct(),
+                                  "host", "left_anti")
+            io.append(
+                spent.unionByName(untouched).withColumn("round",
+                                                        F.lit(round_no)),
+                "host_budget", round_no,
             )
-            self._host_tokens = self._pin(spent.unionByName(untouched))
-            io.append(self._host_tokens.withColumn("round", F.lit(round_no)),
-                      "host_budget", round_no)
 
-        # ---- synthetic fetch (join pages on exact url) + extraction ----
-        pages = self.pages.select(F.col("url").alias("page_url"), F.col("html"))
-        fetched = (
-            selected.join(pages, selected["url"] == pages["page_url"], "left")
-            .drop("page_url")
-            .withColumn("status",
-                        F.when(F.col("html").isNotNull(), 200).otherwise(404))
-        )
-        fetched = self._pin(fetched)
-
-        result_cols = ["url", "url_canon", "host", "depth", "priority",
-                       "seq", "status"]
-        if eng.extract_markdown:
-            result = fetched.select(
-                *result_cols,
-                _markdown_udf()(F.col("html"), F.col("url"))
-                .alias("markdown"),
-            ).withColumn("round", F.lit(round_no))
-        else:
-            result = fetched.select(*result_cols) \
-                .withColumn("round", F.lit(round_no))
-        io.append(result, "crawl_result", round_no)
-
-        # ---- link expansion (L2) + admission (F1) ----
-        base_depth = cfg.base_depth()
-        expandable = fetched.filter(
-            (F.col("status") == 200)
-            & (F.greatest(url_depth(F.col("url")) - F.lit(base_depth), F.lit(0))
-               < F.lit(cfg.max_depth))
-        )
-        cand = expandable.select(
+        # ---- admission (F1) over the link lineage ----
+        cand = combined_file.select(
             F.col("priority").alias("source_priority"),
             F.col("seq").alias("source_seq"),
-            F.posexplode(_crawl_links_udf(cfg)(F.col("html"), F.col("url")))
-            .alias("link_pos", "link"),
+            F.posexplode("links").alias("link_pos", "link"),
         )
         cls = self._pin(
             cand.withColumn("c", _classify_f1_udf(cfg)(F.col("link")))
@@ -621,44 +630,24 @@ class SparkCrawl:
         )
         dedup = self._dedup_col()
         dedup_col = F.col("link") if dedup == "url" else F.col("url_canon")
-        allowed = allowed.withColumn("dedup_key", dedup_col) \
-                         .withColumn("dedup_hash", F.xxhash64("dedup_key"))
-
-        # ---- seen-set check: Bloom probe → exact anti-join ----
-        frontier_keys = self._frontier_df().select(F.col(dedup).alias("seen_key"))
-        if eng.use_bloom:
-            bc = self.spark.sparkContext.broadcast(
-                {b: s.to_bytes() for b, s in self._shards.items()}
-            )
-            allowed = allowed.withColumn(
+        allowed = (
+            allowed.withColumn("dedup_key", dedup_col)
+            .withColumn("dedup_hash", F.xxhash64("dedup_key"))
+            .withColumn(
                 "cand_bucket",
                 F.pmod(F.xxhash64(url_host(F.col("link"))),
                        F.lit(eng.num_buckets)).cast("int"),
             )
+        )
 
-            @pandas_udf(T.BooleanType())
-            def probe(hashes: pd.Series, buckets: pd.Series) -> pd.Series:
-                import numpy as np
-                blobs = bc.value
-                h = hashes.to_numpy().astype(np.uint64)
-                b = buckets.to_numpy()
-                out = np.ones(len(h), dtype=bool)
-                for bucket in np.unique(b):
-                    mask = b == bucket
-                    blob = blobs.get(int(bucket))
-                    if blob is None:
-                        out[mask] = False  # no shard → definitely new
-                    else:
-                        shard = BloomShard.from_bytes(blob)
-                        out[mask] = shard.contains(h[mask])
-                return pd.Series(out)
-
-            allowed = allowed.withColumn(
-                "maybe_seen", probe(F.col("dedup_hash"), F.col("cand_bucket"))
-            )
-            surely_new = allowed.filter(~F.col("maybe_seen")) \
-                                .withColumn("is_seen", F.lit(False))
-            to_check = allowed.filter(F.col("maybe_seen"))
+        # ---- seen-set check: bucket-local Bloom probe → exact anti-join ----
+        frontier_keys = self._frontier_df().select(F.col(dedup).alias("seen_key"))
+        shards = self._shards_df() if eng.use_bloom else None
+        if shards is not None:
+            probed = self._pin(self._bloom_probe(allowed, shards))
+            surely_new = probed.filter(~F.col("maybe_seen")) \
+                               .withColumn("is_seen", F.lit(False))
+            to_check = probed.filter(F.col("maybe_seen"))
             checked = to_check.join(
                 frontier_keys.withColumn("is_seen_j", F.lit(True)),
                 to_check["dedup_key"] == frontier_keys["seen_key"], "left",
@@ -676,44 +665,16 @@ class SparkCrawl:
 
         # ---- admission + new frontier rows ----
         if limit is not None:
-            new_rows, n_new = self._admit_with_limit_replay(flagged, limit,
-                                                            round_no)
+            n_new = self._admit_with_limit_replay(flagged, limit, round_no)
         elif n_selected < eng.small_round_threshold:
-            new_rows, n_new = self._admit_small_round(flagged, round_no)
+            n_new = self._admit_small_round(flagged, round_no)
         else:
-            new_only = flagged.filter(~F.col("is_seen"))
-            w_first = Window.partitionBy("dedup_key").orderBy(
-                "source_priority", "source_seq", "link_pos")
-            admitted = (
-                new_only.withColumn("_rn", F.row_number().over(w_first))
-                .filter(F.col("_rn") == 1).drop("_rn")
-                .select("source_priority", "source_seq", "link_pos", "link",
-                        "url_canon")
-            )
-            cols = admitted.select(
-                F.col("link").alias("url"),
-                F.col("url_canon"),
-                url_host(F.col("link")).alias("host"),
-                F.pmod(F.xxhash64(url_host(F.col("link"))),
-                       F.lit(eng.num_buckets)).cast("int").alias("host_bucket"),
-                url_depth(F.col("link")).alias("depth"),
-                self._priority_col(url_depth(F.col("link")),
-                                   url_host(F.col("link"))).alias("priority"),
-                F.lit(round_no).alias("round_discovered"),
-                F.col("source_priority"), F.col("source_seq"),
-                F.col("link_pos"),
-            )
-            new_rows = self._pin(
-                _assign_dense_seq(
-                    cols, ["source_priority", "source_seq", "link_pos"],
-                    self._next_seq)
-                .drop("source_priority", "source_seq", "link_pos")
-            )
-            n_new = new_rows.count()
+            n_new = self._admit_distributed(flagged, round_no)
 
-        io.append(new_rows, "frontier", round_no, partition_by=["host_bucket"])
+        new_rows_file = (io.read_round("frontier", round_no)
+                         if n_new else None)
         if eng.use_bloom and n_new:
-            self._update_shards(new_rows, round_no)
+            self._write_shards(new_rows_file, shards, round_no)
 
         # ---- per-round metrics + per-bucket lineage ----
         denials = {
@@ -722,7 +683,10 @@ class SparkCrawl:
             .groupBy(F.col("c.denial_reason").alias("denial_reason"))
             .count().collect()
         }
-        bucket_counts = getattr(self, "_last_bucket_counts", {})
+        bucket_counts = ({
+            int(r["host_bucket"]): r["count"]
+            for r in new_rows_file.groupBy("host_bucket").count().collect()
+        } if n_new else {})
         io.append_json(
             {
                 "round": round_no, "fetched": n_selected, "new_urls": n_new,
@@ -735,28 +699,53 @@ class SparkCrawl:
             "round_metrics", round_no,
         )
 
-        # ---- commit + in-memory state advance ----
-        io.commit_round(
-            round_no,
-            processed=self._processed + n_selected,
-            next_seq=self._next_seq + n_new,
-            done=False,
-        )
+        # ---- commit + counter advance ----
         self._processed += n_selected
         self._next_seq += n_new
         self._frontier_count += n_new
-        self._frontier_parts.append(new_rows)
-        self._fetched_seq_parts.append(
-            selected.select(F.col("seq").alias("fseq")))
-        self._compact_parts()
+        self._commit(round_no, done=False)
         return True
 
-    def _admit_small_round(self, flagged: DataFrame,
-                           round_no: int) -> tuple[DataFrame, int]:
+    def _admit_distributed(self, flagged: DataFrame, round_no: int) -> int:
+        """Unlimited-crawl admission, fully distributed: first-occurrence
+        window dedup, then the native dense-seq assignment."""
+        eng, io = self.engine, self.io
+        new_only = flagged.filter(~F.col("is_seen"))
+        w_first = Window.partitionBy("dedup_key").orderBy(
+            "source_priority", "source_seq", "link_pos")
+        admitted = (
+            new_only.withColumn("_rn", F.row_number().over(w_first))
+            .filter(F.col("_rn") == 1).drop("_rn")
+            .select("source_priority", "source_seq", "link_pos", "link",
+                    "url_canon")
+        )
+        cols = admitted.select(
+            F.col("link").alias("url"),
+            F.col("url_canon"),
+            url_host(F.col("link")).alias("host"),
+            F.pmod(F.xxhash64(url_host(F.col("link"))),
+                   F.lit(eng.num_buckets)).cast("int").alias("host_bucket"),
+            url_depth(F.col("link")).alias("depth"),
+            self._priority_col(url_depth(F.col("link")),
+                               url_host(F.col("link"))).alias("priority"),
+            F.lit(round_no).alias("round_discovered"),
+            F.col("source_priority"), F.col("source_seq"), F.col("link_pos"),
+        )
+        # pinned: consumed by both the offsets broadcast and the final write
+        # (without this the exact anti-join upstream would run twice)
+        cols = self._pin(cols)
+        new_rows = _assign_dense_seq(cols, self._next_seq) \
+            .drop("source_priority", "source_seq", "link_pos")
+        obs = Observation(f"admit_{round_no}")
+        new_rows = new_rows.observe(obs, F.count(F.lit(1)).alias("n_new"))
+        io.append(new_rows, "frontier", round_no, partition_by=["host_bucket"])
+        return int(obs.get["n_new"])
+
+    def _admit_small_round(self, flagged: DataFrame, round_no: int) -> int:
         """Unlimited-crawl admission for small rounds, on the driver:
         first-occurrence-wins over (source_priority, source_seq, link_pos) —
-        bitwise-identical to the distributed window+zipWithIndex path,
-        without its per-round fixed cost."""
+        bitwise-identical to the distributed path, without its per-round
+        fixed cost."""
         rows = (
             flagged.filter(~F.col("is_seen"))
             .select("source_priority", "source_seq", "link_pos", "link",
@@ -777,17 +766,12 @@ class SparkCrawl:
                 self.cfg.priority_of(link), round_no, seq,
             ))
             seq += 1
-        df = self.spark.createDataFrame(admitted, FRONTIER_SCHEMA).coalesce(
-            max(1, len(admitted) // 2048 + 1)
-        ).withColumn(
-            "host_bucket",
-            F.pmod(F.xxhash64("host"), F.lit(self.engine.num_buckets)).cast("int"),
-        )
-        return self._pin(df), len(admitted)
+        self._write_admitted(admitted, round_no)
+        return len(admitted)
 
     def _admit_with_limit_replay(
         self, flagged: DataFrame, limit: int, round_no: int,
-    ) -> tuple[DataFrame, int]:
+    ) -> int:
         """Sequential cross-page admission semantics (crawlService.ts:57-66 +
         crawler.rs:267-269): per source page in seq order, accepted links
         (dups included) consume the per-page ``remaining`` budget; only
@@ -798,7 +782,6 @@ class SparkCrawl:
                            "link", "url_canon", "dedup_key", "is_seen")
             .orderBy("source_priority", "source_seq", "link_pos").collect()
         )
-        eng = self.engine
         admitted: list[tuple] = []
         round_new: set[str] = set()
         total = self._frontier_count
@@ -824,11 +807,15 @@ class SparkCrawl:
                 ))
                 seq += 1
                 total += 1
+        self._write_admitted(admitted, round_no)
+        return len(admitted)
+
+    def _write_admitted(self, admitted: list[tuple], round_no: int) -> None:
         df = self.spark.createDataFrame(admitted, FRONTIER_SCHEMA).coalesce(
             max(1, len(admitted) // 2048 + 1)
-        )
-        df = df.withColumn(
+        ).withColumn(
             "host_bucket",
-            F.pmod(F.xxhash64("host"), F.lit(eng.num_buckets)).cast("int"),
+            F.pmod(F.xxhash64("host"), F.lit(self.engine.num_buckets))
+            .cast("int"),
         )
-        return self._pin(df), len(admitted)
+        self.io.append(df, "frontier", round_no, partition_by=["host_bucket"])

@@ -123,6 +123,27 @@ class TableIO:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
 
+    def read_round(self, table: str, round_no: int) -> DataFrame:
+        """Read exactly one round's files (partition discovery restores any
+        partitionBy columns)."""
+        path = os.path.join(self._table_dir(table), f"round={round_no}")
+        if not os.path.isdir(path):
+            raise FileNotFoundError(f"no data for {table} round={round_no}")
+        return self.spark.read.parquet(path)
+
+    def latest_round(self, table: str, upto_round: int | None = None) -> int | None:
+        """Greatest committed round this table has data for (None if none)."""
+        limit = self.committed_round() if upto_round is None else upto_round
+        tdir = self._table_dir(table)
+        best = None
+        if os.path.isdir(tdir):
+            for entry in os.listdir(tdir):
+                if entry.startswith("round="):
+                    rnd = int(entry.split("=", 1)[1].split(".")[0])
+                    if rnd <= limit and (best is None or rnd > best):
+                        best = rnd
+        return best
+
     def read(self, table: str, upto_round: int | None = None) -> DataFrame:
         """Snapshot read: only committed rounds (or ≤ upto_round)."""
         limit = self.committed_round() if upto_round is None else upto_round
