@@ -297,6 +297,41 @@ def q_engpicker(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("url").cast("long"))
 
 
+def q_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/U6 PDF engine end-to-end: synthesize deterministic PDFs from the
+    documents table (fixed 100-char line layout, 40 lines/page, title
+    'doc-<id>'), run the pdf scrape engine (page count, Info title,
+    HTML-escaped text as markdown, 150 ms/page time budget), and emit the
+    extracted results. The DuckDB oracle reconstructs the expected text from
+    the same layout contract — a full build→parse→extract→escape check."""
+    from webcrawl_spark.operators.pdf import (
+        build_pdf_udf, pdf_lines_col, pdf_scrape_udf,
+    )
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    # repeat text per doc so page counts vary (1..~4 pages)
+    docs = docs.select(
+        "doc_id",
+        F.expr("repeat(text, 1 + cast(doc_id % 4 as int))").alias("text"),
+    )
+    pdfs = docs.select(
+        "doc_id",
+        build_pdf_udf(40)(
+            pdf_lines_col(F.col("text"), 100),
+            F.concat(F.lit("doc-"), F.col("doc_id").cast("string")),
+        ).alias("payload"),
+    )
+    res = pdfs.withColumn(
+        "pdf", pdf_scrape_udf(timeout_ms=30000)(F.col("payload")))
+    return res.select(
+        "doc_id",
+        F.col("pdf.num_pages").alias("num_pages"),
+        F.col("pdf.title").alias("title"),
+        F.col("pdf.markdown").alias("pdf_markdown"),
+        F.col("pdf.insufficient_time").alias("insufficient_time"),
+    ).orderBy("doc_id")
+
+
 # ---- rows-only (non-SQL-expressible) ----
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -392,6 +427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_exact_dedup_docs": q_exact_dedup_docs,
         "q_cosine_topk": q_cosine_topk,
         "q_engpicker": q_engpicker,
+        "q_pdf_text": q_pdf_text,
         "q_minhash_dedup": q_minhash_dedup,
         "q_simhash_pairs": q_simhash_pairs,
         "q_ann_topk": q_ann_topk,
@@ -579,6 +615,33 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN cdp_failed OR tls_failed THEN FALSE
                         ELSE sim >= 0.9 END AS tls_client_sufficient
             FROM scored ORDER BY CAST(url AS BIGINT)
+        """,
+        "q_pdf_text": """
+            WITH R AS (
+              SELECT doc_id, repeat(text, 1 + (doc_id % 4)::INT) AS text
+              FROM documents
+            ), L AS (
+              SELECT doc_id,
+                     list_transform(
+                       range(0, greatest(1, ceil(length(text)/100.0)::INT)),
+                       i -> substring(text, (i*100 + 1)::INT, 100)) AS lines
+              FROM R
+            ), P AS (
+              SELECT doc_id,
+                     list_transform(
+                       range(0, ceil(len(lines)/40.0)::INT),
+                       p -> array_to_string(
+                         lines[(p*40+1)::INT:(p*40+40)::INT], chr(10))) AS pages
+              FROM L
+            )
+            SELECT doc_id, len(pages)::INT AS num_pages,
+                   'doc-' || doc_id AS title,
+                   replace(replace(replace(replace(replace(
+                     array_to_string(pages, chr(10) || chr(10)),
+                     '&', '&amp;'), '"', '&quot;'), chr(39), '&#39;'),
+                     '<', '&lt;'), '>', '&gt;') AS pdf_markdown,
+                   (len(pages) * 150 > 30000) AS insufficient_time
+            FROM P ORDER BY doc_id
         """,
         # q_minhash_dedup / q_simhash_pairs / q_ann_topk / q_image_plumbing:
         # non-SQL-expressible → rows-only checks (driver contract).
