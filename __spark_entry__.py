@@ -332,21 +332,51 @@ def q_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_minhash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH dedup in its oracle-checkable configuration: md5-shingle
+    signatures with mod-2^64 permutations (recomputable in DuckDB HUGEINT
+    arithmetic), and bands(8) > max disagreements(6) at threshold 0.8 so the
+    banding is an exact pigeonhole — the LSH output EQUALS the brute-force
+    signature comparison the oracle runs. max_bucket is lifted so no
+    truncation breaks completeness."""
+    from webcrawl_spark.operators.dedup import (
+        minhash_lsh_dedup, minhash_signatures_md5,
+    )
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return minhash_lsh_dedup(
+        docs, num_perm=32, bands=8, threshold=0.8, max_bucket=1_000_000_000,
+        signatures=minhash_signatures_md5(32, shingle_k=5, seed=1),
+    ).select("doc_id").orderBy("doc_id")
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs — fully oracle-checked: the 4-block pigeonhole
+    banding is exact for hamming ≤ 3, and the md5 token hash makes the
+    simhash recomputable in SQL, so the output equals the brute-force
+    all-pairs comparison."""
+    from pyspark.sql import functions as F
+
+    from webcrawl_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = _load(spark, sf_dir, "documents")["documents"] \
+        .filter(F.trim("text") != "")
+    return simhash_near_dup_pairs(docs, max_hamming=3) \
+        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")) \
+        .orderBy("doc_a", "doc_b")
+
+
 # ---- rows-only (non-SQL-expressible) ----
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-path MinHash configuration (vectorized FNV shingle hash +
+    Mersenne permutations — no per-shingle md5): rows-only driver check;
+    the oracle-matched twin is q_minhash_oracle."""
     from webcrawl_spark.operators.dedup import minhash_lsh_dedup
 
     docs = _load(spark, sf_dir, "documents")["documents"]
     return minhash_lsh_dedup(docs, num_perm=32, bands=8, threshold=0.8) \
         .select("doc_id").orderBy("doc_id")
-
-
-def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from webcrawl_spark.operators.dedup import simhash_near_dup_pairs
-
-    docs = _load(spark, sf_dir, "documents")["documents"]
-    return simhash_near_dup_pairs(docs, max_hamming=3).orderBy("doc_a", "doc_b")
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -428,8 +458,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cosine_topk": q_cosine_topk,
         "q_engpicker": q_engpicker,
         "q_pdf_text": q_pdf_text,
-        "q_minhash_dedup": q_minhash_dedup,
+        "q_minhash_oracle": q_minhash_oracle,
         "q_simhash_pairs": q_simhash_pairs,
+        "q_minhash_dedup": q_minhash_dedup,
         "q_ann_topk": q_ann_topk,
         "q_crawl_round": q_crawl_round,
         "q_image_plumbing": q_image_plumbing,
@@ -455,6 +486,82 @@ def _quality_sql(col: str) -> str:
       + CASE WHEN len(list_intersect({words}, {_EN_STOP})) >= 2 THEN 0.2 ELSE 0.0 END
       + CASE WHEN len({words}) >= 30 THEN 0.2 ELSE 0.0 END
     )"""
+
+
+def _minhash_oracle_sql() -> str:
+    """Brute-force twin of q_minhash_oracle: same md5 shingles, same (a,b)
+    constants (imported from the operator so they can't drift), mod-2^64 in
+    HUGEINT; pairs by exact signature agreement ≥ threshold. Valid because
+    the query's LSH config is an exact pigeonhole (see q_minhash_oracle)."""
+    from webcrawl_spark.operators.dedup import minhash_md5_params
+
+    values = ", ".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in enumerate(minhash_md5_params(32, seed=1))
+    )
+    return f"""
+        WITH N AS (
+          SELECT doc_id,
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS n0
+          FROM documents
+        ), NN AS (
+          SELECT doc_id,
+                 CASE WHEN length(n0) < 5 THEN rpad(n0, 5, ' ')
+                      ELSE n0 END AS norm
+          FROM N
+        ), S AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   range(0, length(norm) - 4),
+                   i -> substring(norm, (i+1)::INT, 5)))) AS sh
+          FROM NN
+        ), H AS (
+          SELECT doc_id, ('0x' || substr(md5(sh), 1, 16))::UBIGINT AS h
+          FROM S
+        ), P(p, a, b) AS (VALUES {values}),
+        M AS (
+          SELECT doc_id, p,
+                 min(((a::HUGEINT * h::HUGEINT + b)
+                      % 18446744073709551616)::UBIGINT) AS mh
+          FROM H CROSS JOIN P GROUP BY doc_id, p
+        ), pairs AS (
+          SELECT x.doc_id AS da, y.doc_id AS db
+          FROM M x JOIN M y ON x.p = y.p AND x.doc_id < y.doc_id
+          GROUP BY x.doc_id, y.doc_id
+          HAVING sum((x.mh = y.mh)::INT)::DOUBLE / 32 >= 0.8
+        )
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT db FROM pairs)
+        ORDER BY doc_id
+    """
+
+
+_SIMHASH_ORACLE_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                x -> x != '')) AS tok
+      FROM documents WHERE trim(text) != ''
+    ), th AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+      FROM toks
+    ), bits AS (
+      SELECT doc_id, bb.b AS b,
+             sum(((h >> bb.b) & 1)::INT) AS ones, count(*) AS n
+      FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb
+      GROUP BY doc_id, bb.b
+    ), sims AS (
+      SELECT doc_id,
+             bit_or(CASE WHEN 2*ones > n THEN (1::UBIGINT << b)
+                         ELSE 0::UBIGINT END) AS sim
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.sim, b.sim))::INT AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim, b.sim)) <= 3
+    ORDER BY doc_a, doc_b
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -643,6 +750,9 @@ def oracle_sql() -> dict[str, str]:
                    (len(pages) * 150 > 30000) AS insufficient_time
             FROM P ORDER BY doc_id
         """,
-        # q_minhash_dedup / q_simhash_pairs / q_ann_topk / q_image_plumbing:
-        # non-SQL-expressible → rows-only checks (driver contract).
+        "q_minhash_oracle": _minhash_oracle_sql(),
+        "q_simhash_pairs": _SIMHASH_ORACLE_SQL,
+        # q_minhash_dedup (scale-path config) / q_ann_topk /
+        # q_image_plumbing / q_crawl_round: non-SQL-expressible →
+        # rows-only checks (driver contract).
     }

@@ -1,0 +1,227 @@
+"""Document converter (S4 xlsx slice) + engine-forcing (F4) + sitemap
+fallback candidates (crawler.ts:606-698) vectors."""
+
+from webcrawl_spark.kernels.document import (
+    build_xlsx,
+    render_document_html,
+    xlsx_to_document,
+    xlsx_to_html,
+)
+
+HTML_HEAD = (
+    '<!DOCTYPE html><html lang="en"><head><meta charset="UTF-8">'
+    '<meta name="viewport" content="width=device-width, initial-scale=1.0">'
+    "<title>Document</title></head><body><main>"
+)
+
+
+class TestXlsxProvider:
+    def test_sheet_to_table(self):
+        """xlsx.rs:19-67: H2 per sheet + table of body rows."""
+        x = build_xlsx({"Data": [["name", "value"], ["alpha", 3.0],
+                                 ["beta", 2.5], ["flag", True]]})
+        doc = xlsx_to_document(x)
+        assert [b.kind for b in doc.blocks] == ["heading", "table"]
+        assert doc.blocks[0].text == "Data"
+        # calamine Data→string: Float(3.0) → "3" (Rust f64::to_string),
+        # Bool(true) → "true"
+        assert doc.blocks[1].rows == [["name", "value"], ["alpha", "3"],
+                                      ["beta", "2.5"], ["flag", "true"]]
+
+    def test_html_rendering_shape(self):
+        """html.rs:11-237 maud output: compact, tbody-wrapped, single
+        normal paragraph per cell rendered bare (render_blocks_inline)."""
+        x = build_xlsx({"S": [["a", "b<c&d"]]})
+        html = xlsx_to_html(x)
+        assert html.startswith(HTML_HEAD)
+        assert "<h2>S</h2><table><tbody><tr><td>a</td>" in html
+        assert "<td>b&lt;c&amp;d</td></tr></tbody></table>" in html
+        assert html.endswith("</main></body></html>")
+        assert "<p>" not in html  # bare inlines, not wrapped paragraphs
+
+    def test_empty_cells_and_sheets(self):
+        x = build_xlsx({"A": [["x", "", "z"]], "Empty": []})
+        html = xlsx_to_html(x)
+        # empty cell (no blocks) → bare <td></td> (xlsx.rs:38-44)
+        assert "<tr><td>x</td><td></td><td>z</td></tr>" in html
+        assert "<h2>Empty</h2><table><tbody></tbody></table>" in html
+
+    def test_multi_sheet_order(self):
+        x = build_xlsx({"First": [["1"]], "Second": [["2"]]})
+        html = xlsx_to_html(x)
+        assert html.index("<h2>First</h2>") < html.index("<h2>Second</h2>")
+
+    def test_spark_operator(self, spark):
+        from pyspark.sql import functions as F
+
+        from webcrawl_spark.operators.document import (
+            build_xlsx_rows_udf, scrape_documents,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [["k", "v"], ["a", "1"]]), (2, [["only"]])],
+            "id int, cells array<array<string>>",
+        )
+        pay = df.select(
+            "id", "cells",
+            build_xlsx_rows_udf("T")(F.col("cells")).alias("payload"))
+        rows = scrape_documents(pay).orderBy("id").collect()
+        for r in rows:
+            expected = xlsx_to_html(
+                build_xlsx({"T": [list(x) for x in r["cells"]]}))
+            assert r["doc_html"] == expected
+
+    def test_document_feeds_markdown_pipeline(self):
+        """The rendered HTML goes through the normal markdown kernel."""
+        from webcrawl_spark.kernels.scrape import markdown_for_page
+
+        x = build_xlsx({"Report": [["metric", "value"], ["rows", 42.0]]})
+        md = markdown_for_page(xlsx_to_html(x), "https://x.com/r.xlsx")
+        assert "Report" in md
+        assert "metric" in md and "42" in md
+
+
+class TestEngineForcing:
+    """engine-forcing.test.ts:8-105 vectors."""
+
+    MAPPINGS = {
+        "example.com": "playwright",
+        "test.com": "fetch",
+        "*.subdomain.com": "fire-engine;chrome-cdp",
+        "google.com": ["fire-engine;chrome-cdp", "playwright"],
+    }
+
+    def _forced(self, spark, urls, mappings=None):
+        from pyspark.sql import functions as F
+
+        from webcrawl_spark.functions import forced_engine_col
+
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        rows = df.select(
+            forced_engine_col(F.col("url"),
+                              self.MAPPINGS if mappings is None else mappings)
+            .alias("e")).collect()
+        return [r["e"] for r in rows]
+
+    def test_exact_and_subdomain_match(self, spark):
+        got = self._forced(spark, [
+            "https://example.com", "https://test.com",
+            "https://www.example.com", "https://api.example.com",
+        ])
+        assert got == ["playwright", "fetch", "playwright", "playwright"]
+
+    def test_wildcard_strict_subdomains(self, spark):
+        got = self._forced(spark, [
+            "https://api.subdomain.com", "https://www.subdomain.com",
+            "https://subdomain.com",   # wildcard must NOT match base
+        ])
+        assert got == ["fire-engine;chrome-cdp", "fire-engine;chrome-cdp",
+                       None]
+
+    def test_engine_list_case_and_garbage(self, spark):
+        got = self._forced(spark, [
+            "https://google.com", "https://EXAMPLE.COM",
+            "https://Example.Com/path?q=1", "not-a-url", "",
+            "https://nomatch.com",
+        ])
+        assert got == ["fire-engine;chrome-cdp;;playwright", "playwright",
+                       "playwright", None, None, None]
+
+    def test_empty_mappings_noop(self, spark):
+        assert self._forced(spark, ["https://example.com"], mappings={}) \
+            == [None]
+
+    def test_feeds_engine_choice(self, spark):
+        from pyspark.sql import functions as F
+
+        from webcrawl_spark.functions import engine_choice_col
+
+        df = spark.createDataFrame(
+            [("https://example.com/a.pdf",), ("https://other.com/a.pdf",)],
+            "url string")
+        rows = df.select(
+            engine_choice_col(F.col("url"), self.MAPPINGS).alias("e")
+        ).collect()
+        # forced map wins over the extension routing; unforced falls through
+        assert [r["e"] for r in rows] == ["playwright", "pdf"]
+
+
+class TestSitemapFallbacks:
+    SM = "https://{h}/sitemap.xml"
+
+    @staticmethod
+    def _xml(urls):
+        items = "".join(f"<url><loc>{u}</loc></url>" for u in urls)
+        return ('<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org'
+                f'/schemas/sitemap/0.9">{items}</urlset>')
+
+    def test_subdomain_tries_main_domain_filtered(self):
+        """crawler.ts:606-659: subdomain seed also walks the main domain's
+        sitemap, keeping only links whose hostname endsWith the seed host."""
+        from webcrawl_spark.sources.seeding import sitemap_seed_batches
+
+        sub_urls = ["https://docs.example.com/a"]
+        main_urls = [
+            "https://example.com/root",               # filtered out
+            "https://docs.example.com/from-main",     # kept
+            "https://api.example.com/other",          # filtered out
+        ]
+        sitemaps = {
+            "https://docs.example.com/sitemap.xml": self._xml(sub_urls),
+            "https://example.com/sitemap.xml": self._xml(main_urls),
+        }
+        batches = sitemap_seed_batches(sitemaps.get,
+                                       "https://docs.example.com/")
+        assert batches == [sub_urls, ["https://docs.example.com/from-main"]]
+
+    def test_www_and_bare_domains_skip_main_domain(self):
+        from webcrawl_spark.sources.seeding import sitemap_seed_batches
+
+        calls = []
+
+        def fetch(u):
+            calls.append(u)
+            return None
+
+        sitemap_seed_batches(fetch, "https://www.example.com/")
+        sitemap_seed_batches(fetch, "https://example.com/")
+        # only the seed sitemap and the baseUrl fallback (same url, deduped)
+        assert all("example.com/sitemap.xml" in c for c in calls)
+        assert not any(c.startswith("https://com/") for c in calls)
+
+    def test_base_url_last_resort_only_when_empty(self):
+        """crawler.ts:672-698: baseUrl/sitemap.xml only when nothing was
+        contributed yet."""
+        from webcrawl_spark.sources.seeding import sitemap_seed_batches
+
+        # seed is a .xml url that yields nothing → falls back to
+        # host/sitemap.xml
+        fallback = ["https://h.com/x"]
+        sitemaps = {"https://h.com/sitemap.xml": self._xml(fallback)}
+        batches = sitemap_seed_batches(sitemaps.get,
+                                       "https://h.com/weird/map.xml")
+        assert batches == [fallback]
+
+        # seed sitemap DID contribute → no fallback fetch
+        calls = []
+
+        def fetch(u):
+            calls.append(u)
+            return self._xml(["https://h.com/a"]) \
+                if u == "https://h.com/deep/map.xml" else None
+
+        batches = sitemap_seed_batches(fetch, "https://h.com/deep/map.xml")
+        assert batches == [["https://h.com/a"]]
+        assert calls == ["https://h.com/deep/map.xml"]
+
+    def test_ip_seed_skips_subdomain_logic(self):
+        from webcrawl_spark.sources.seeding import sitemap_seed_batches
+
+        calls = []
+
+        def fetch(u):
+            calls.append(u)
+            return None
+
+        sitemap_seed_batches(fetch, "https://192.168.0.1/")
+        assert calls == ["https://192.168.0.1/sitemap.xml"]

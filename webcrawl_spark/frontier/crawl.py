@@ -55,6 +55,9 @@ set; "url_canon" = north-rule canonicalized mode.
 
 from __future__ import annotations
 
+import os
+import time
+
 import pandas as pd
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
@@ -349,7 +352,7 @@ class SparkCrawl:
             )
             for seq, url in enumerate(seeds)
         ]
-        seed_df = self.spark.createDataFrame(rows, FRONTIER_SCHEMA).withColumn(
+        seed_df = self._local_frontier_df(rows).withColumn(
             "host_bucket",
             F.pmod(F.xxhash64("host"), F.lit(eng.num_buckets)).cast("int"),
         )
@@ -479,10 +482,19 @@ class SparkCrawl:
         )
 
     # --- the round job ----------------------------------------------------
+    def _trace(self, round_no: int, label: str, t0: float) -> float:
+        """Phase timing (SPARK_GRAFT_TRACE=1) for perf work on the round's
+        fixed cost; no-op in normal runs."""
+        t1 = time.perf_counter()
+        if os.environ.get("SPARK_GRAFT_TRACE"):
+            print(f"TRACE r{round_no} {label}: {t1 - t0:.3f}s", flush=True)
+        return t1
+
     def _run_round(self) -> bool:
         cfg, eng, io = self.cfg, self.engine, self.io
         round_no = io.committed_round() + 1
         limit = cfg.limit
+        t = time.perf_counter()
 
         if limit is not None and limit - self._processed <= 0:
             self._done = True
@@ -587,6 +599,7 @@ class SparkCrawl:
         obs = Observation(f"round_{round_no}")
         combined = combined.observe(obs, F.count(F.lit(1)).alias("n_selected"))
         io.append(combined, "crawl_result", round_no)
+        t = self._trace(round_no, "fetch+extract write", t)
         n_selected = int(obs.get["n_selected"])
         if n_selected == 0:
             self._done = True
@@ -613,6 +626,7 @@ class SparkCrawl:
                                                         F.lit(round_no)),
                 "host_budget", round_no,
             )
+        t = self._trace(round_no, "token update", t)
 
         # ---- admission (F1) over the link lineage ----
         cand = combined_file.select(
@@ -623,6 +637,7 @@ class SparkCrawl:
         cls = self._pin(
             cand.withColumn("c", _classify_f1_udf(cfg)(F.col("link")))
         )
+        t = self._trace(round_no, "classify pin", t)
         allowed = (
             cls.filter(F.col("c.allowed"))
             .select("source_priority", "source_seq", "link_pos", "link")
@@ -645,6 +660,7 @@ class SparkCrawl:
         shards = self._shards_df() if eng.use_bloom else None
         if shards is not None:
             probed = self._pin(self._bloom_probe(allowed, shards))
+            t = self._trace(round_no, "bloom probe pin", t)
             surely_new = probed.filter(~F.col("maybe_seen")) \
                                .withColumn("is_seen", F.lit(False))
             to_check = probed.filter(F.col("maybe_seen"))
@@ -670,11 +686,13 @@ class SparkCrawl:
             n_new = self._admit_small_round(flagged, round_no)
         else:
             n_new = self._admit_distributed(flagged, round_no)
+        t = self._trace(round_no, "admission+frontier write", t)
 
         new_rows_file = (io.read_round("frontier", round_no)
                          if n_new else None)
         if eng.use_bloom and n_new:
             self._write_shards(new_rows_file, shards, round_no)
+        t = self._trace(round_no, "bloom shard write", t)
 
         # ---- per-round metrics + per-bucket lineage ----
         denials = {
@@ -683,10 +701,12 @@ class SparkCrawl:
             .groupBy(F.col("c.denial_reason").alias("denial_reason"))
             .count().collect()
         }
+        t = self._trace(round_no, "denial agg", t)
         bucket_counts = ({
             int(r["host_bucket"]): r["count"]
             for r in new_rows_file.groupBy("host_bucket").count().collect()
         } if n_new else {})
+        t = self._trace(round_no, "bucket counts", t)
         io.append_json(
             {
                 "round": round_no, "fetched": n_selected, "new_urls": n_new,
@@ -746,12 +766,14 @@ class SparkCrawl:
         first-occurrence-wins over (source_priority, source_seq, link_pos) —
         bitwise-identical to the distributed path, without its per-round
         fixed cost."""
+        t = time.perf_counter()
         rows = (
             flagged.filter(~F.col("is_seen"))
             .select("source_priority", "source_seq", "link_pos", "link",
                     "url_canon", "dedup_key")
             .orderBy("source_priority", "source_seq", "link_pos").collect()
         )
+        t = self._trace(round_no, "  small: flagged collect", t)
         seen: set[str] = set()
         admitted: list[tuple] = []
         seq = self._next_seq
@@ -766,7 +788,9 @@ class SparkCrawl:
                 self.cfg.priority_of(link), round_no, seq,
             ))
             seq += 1
+        t = self._trace(round_no, "  small: replay", t)
         self._write_admitted(admitted, round_no)
+        self._trace(round_no, "  small: write", t)
         return len(admitted)
 
     def _admit_with_limit_replay(
@@ -810,10 +834,24 @@ class SparkCrawl:
         self._write_admitted(admitted, round_no)
         return len(admitted)
 
+    def _local_frontier_df(self, rows: list[tuple]) -> DataFrame:
+        """Driver-built frontier rows → DataFrame via the Arrow path (a
+        plain-list createDataFrame parallelizes into defaultParallelism
+        pickled slices, and any downstream coalesce then pulls them through
+        ONE python worker sequentially — measured ~6s/round at local[32];
+        the pandas/Arrow conversion never touches python workers)."""
+        cols = ["url", "url_canon", "host", "host_bucket", "depth",
+                "priority", "round_discovered", "seq"]
+        pdf = pd.DataFrame(rows, columns=cols)
+        pdf = pdf.astype({
+            "url": "object", "url_canon": "object", "host": "object",
+            "host_bucket": "int32", "depth": "int32", "priority": "int32",
+            "round_discovered": "int32", "seq": "int64",
+        })
+        return self.spark.createDataFrame(pdf, FRONTIER_SCHEMA)
+
     def _write_admitted(self, admitted: list[tuple], round_no: int) -> None:
-        df = self.spark.createDataFrame(admitted, FRONTIER_SCHEMA).coalesce(
-            max(1, len(admitted) // 2048 + 1)
-        ).withColumn(
+        df = self._local_frontier_df(admitted).withColumn(
             "host_bucket",
             F.pmod(F.xxhash64("host"), F.lit(self.engine.num_buckets))
             .cast("int"),

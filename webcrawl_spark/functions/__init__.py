@@ -45,6 +45,8 @@ __all__ = [
     "host_bucket_col",
     "native_protocol_filter",
     "native_file_type_filter",
+    "forced_engine_col",
+    "engine_choice_col",
     "classify_links_udf",
     "filter_url_udf",
     "decode_html_udf",
@@ -100,17 +102,49 @@ def url_depth(urls: pd.Series) -> pd.Series:
     )
 
 
-def engine_choice_col(url: Column) -> Column:
+def forced_engine_col(url: Column,
+                      mappings: dict[str, str | list[str]] | None) -> Column:
+    """F4 engine-forcing map (WC/scraper/WebScraper/utils/engine-forcing.ts:
+    15-86): config domain→engine mapping with wildcard patterns, first
+    matching entry wins. Semantics follow engine-forcing.test.ts:8-105
+    (the authoritative vectors): a plain pattern matches the domain and all
+    its subdomains; a ``*.base`` pattern matches strict subdomains only
+    (NOT the bare base domain). Engine lists are joined with ';;' (one
+    string column carries the fallback list). Unparseable URL → null."""
+    if not mappings:
+        return F.lit(None).cast("string")
+    host = F.lower(
+        F.regexp_extract(F.trim(url), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1)
+    )
+    expr = None
+    for pattern, engine in mappings.items():
+        p = pattern.lower()
+        val = engine if isinstance(engine, str) else ";;".join(engine)
+        if p.startswith("*."):
+            cond = host.endswith("." + p[2:])
+        else:
+            cond = (host == p) | host.endswith("." + p)
+        expr = (F.when(cond, F.lit(val)) if expr is None
+                else expr.when(cond, F.lit(val)))
+    return expr.otherwise(F.lit(None).cast("string"))
+
+
+def engine_choice_col(url: Column,
+                      forced: dict[str, str | list[str]] | None = None) -> Column:
     """S5 engine fallback choice collapsed to a deterministic CASE on the
     URL extension (WC/scraper/scrapeURL/index.ts:55-83 feature flags +
-    engines/index.ts:54-78 ordering): document → pdf → fetch. The playwright
-    branch never applies (no rendering in this engine)."""
+    engines/index.ts:54-78 ordering): forced map (F4) → document → pdf →
+    fetch. The playwright branch never applies (no rendering in this
+    engine)."""
     path = F.lower(F.regexp_extract(url, r"^[a-z]+://[^/]+([^?#]*)", 1))
-    return (
+    default = (
         F.when(path.rlike(r"\.pdf$"), F.lit("pdf"))
         .when(path.rlike(r"\.(docx|odt|rtf|xlsx)$"), F.lit("document"))
         .otherwise(F.lit("fetch"))
     )
+    if not forced:
+        return default
+    return F.coalesce(forced_engine_col(url, forced), default)
 
 
 def blocklist_filter(url: Column, blocked_hosts: list[str] | None = None,

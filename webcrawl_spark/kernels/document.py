@@ -1,0 +1,297 @@
+"""Document converter (S4, xlsx slice): spreadsheet bytes → HTML, feeding
+the standard html→markdown pipeline like any fetched page.
+
+Mirrors the reference document stack:
+- provider: packages/firecrawl-rs/src/document/providers/xlsx.rs:19-73 —
+  per sheet an H2 heading + a table; every cell a single normal paragraph
+  (empty cells → no blocks); calamine Data→string formatting
+  (floats via Rust f64::to_string → no trailing '.0').
+- renderer: packages/firecrawl-rs/src/document/renderers/html.rs:11-237 —
+  maud markup: `<!DOCTYPE html><html lang="en"><head>…<title>Document
+  </title></head><body><main>{blocks}</main></body></html>`; table rows in
+  <tbody>; a cell whose blocks are exactly one normal paragraph renders its
+  inlines bare (render_blocks_inline, html.rs:104-115) — so `<td>text</td>`,
+  not `<td><p>text</p></td>`; maud escapes & < > " in text.
+
+The xlsx reader implements the minimal OOXML slice (workbook.xml sheet
+order, workbook rels, sharedStrings, inline strings, n/b/str cell types,
+calamine-style bounding-rectangle ranges) over zipfile + stdlib XML — no
+third-party deps. ``build_xlsx`` is the deterministic writer used by tests
+and the synthetic corpus (fixed zip timestamps).
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+from dataclasses import dataclass, field
+from xml.etree import ElementTree as ET
+
+__all__ = [
+    "Document", "Block", "xlsx_to_document", "render_document_html",
+    "xlsx_to_html", "build_xlsx",
+]
+
+_NS = {
+    "m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main",
+    "r": "http://schemas.openxmlformats.org/officeDocument/2006/relationships",
+    "rel": "http://schemas.openxmlformats.org/package/2006/relationships",
+}
+
+
+@dataclass
+class Block:
+    """Subset of the reference document model needed by spreadsheet
+    providers: heading paragraphs and body tables of text cells."""
+    kind: str                      # "heading" | "table"
+    level: int = 2
+    text: str = ""
+    rows: list[list[str]] = field(default_factory=list)
+
+
+@dataclass
+class Document:
+    blocks: list[Block] = field(default_factory=list)
+    title: str | None = None
+
+
+def _fmt_float(v: float) -> str:
+    """calamine Data::Float → Rust f64::to_string (xlsx.rs:79): integral
+    values print without a fractional part."""
+    if v == int(v) and abs(v) < 1e16:
+        return str(int(v))
+    return repr(v)
+
+
+def _cell_ref_col(ref: str) -> int:
+    col = 0
+    for ch in ref:
+        if ch.isalpha():
+            col = col * 26 + (ord(ch.upper()) - 64)
+        else:
+            break
+    return col - 1
+
+
+def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
+    try:
+        root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+    except KeyError:
+        return []
+    out = []
+    for si in root.findall("m:si", _NS):
+        parts = [t.text or "" for t in si.iter(f"{{{_NS['m']}}}t")]
+        out.append("".join(parts))
+    return out
+
+
+def _cell_value(c: ET.Element, shared: list[str]) -> str:
+    t = c.get("t", "n")
+    if t == "inlineStr":
+        is_el = c.find("m:is", _NS)
+        if is_el is None:
+            return ""
+        return "".join(tt.text or "" for tt in is_el.iter(f"{{{_NS['m']}}}t"))
+    v = c.find("m:v", _NS)
+    raw = (v.text or "") if v is not None else ""
+    if t == "s":
+        try:
+            return shared[int(raw)]
+        except (ValueError, IndexError):
+            return ""
+    if t == "b":
+        return "true" if raw.strip() == "1" else "false"
+    if t == "str":
+        return raw
+    if raw == "":
+        return ""
+    try:
+        return _fmt_float(float(raw))
+    except ValueError:
+        return raw
+
+
+def xlsx_to_document(data: bytes) -> Document:
+    """xlsx.rs:19-67: per sheet (workbook order) an H2 heading block + one
+    table block over the sheet's calamine range (bounding rectangle of used
+    cells; missing cells render empty)."""
+    zf = zipfile.ZipFile(io.BytesIO(data))
+    wb = ET.fromstring(zf.read("xl/workbook.xml"))
+    rels = {}
+    try:
+        rel_root = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+        for rel in rel_root.findall("rel:Relationship", _NS):
+            rels[rel.get("Id")] = rel.get("Target")
+    except KeyError:
+        pass
+    shared = _shared_strings(zf)
+
+    doc = Document()
+    sheets_el = wb.find("m:sheets", _NS)
+    for idx, sheet in enumerate(sheets_el.findall("m:sheet", _NS), start=1):
+        name = sheet.get("name", f"Sheet{idx}")
+        rid = sheet.get(f"{{{_NS['r']}}}id")
+        target = rels.get(rid, f"worksheets/sheet{idx}.xml")
+        path = "xl/" + target.lstrip("/") if not target.startswith("xl/") \
+            else target
+        doc.blocks.append(Block(kind="heading", level=2, text=name))
+        try:
+            ws = ET.fromstring(zf.read(path))
+        except KeyError:
+            doc.blocks.append(Block(kind="table", rows=[]))
+            continue
+        # collect used cells with positions
+        cells: dict[tuple[int, int], str] = {}
+        min_c = min_r = 1 << 30
+        max_c = max_r = -1
+        for r_idx, row in enumerate(ws.iter(f"{{{_NS['m']}}}row")):
+            rnum = int(row.get("r", r_idx + 1)) - 1
+            for c_idx, c in enumerate(row.findall("m:c", _NS)):
+                ref = c.get("r")
+                cnum = _cell_ref_col(ref) if ref else c_idx
+                val = _cell_value(c, shared)
+                cells[(rnum, cnum)] = val
+                if val != "" or c.get("t") or c.find("m:v", _NS) is not None:
+                    min_c, max_c = min(min_c, cnum), max(max_c, cnum)
+                    min_r, max_r = min(min_r, rnum), max(max_r, rnum)
+        rows: list[list[str]] = []
+        if max_r >= 0:
+            for rnum in range(min_r, max_r + 1):
+                rows.append([
+                    cells.get((rnum, cnum), "")
+                    for cnum in range(min_c, max_c + 1)
+                ])
+        doc.blocks.append(Block(kind="table", rows=rows))
+    return doc
+
+
+# --- renderer (maud-equivalent output, html.rs:11-237) ----------------------
+
+def _esc(t: str) -> str:
+    """maud's escape set: & < > " (not ')."""
+    return (t.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;").replace('"', "&quot;"))
+
+
+def render_document_html(doc: Document) -> str:
+    parts = [
+        "<!DOCTYPE html>",
+        '<html lang="en"><head><meta charset="UTF-8">',
+        '<meta name="viewport" content="width=device-width, initial-scale=1.0">',
+        f"<title>{_esc(doc.title or 'Document')}</title></head><body><main>",
+    ]
+    for b in doc.blocks:
+        if b.kind == "heading":
+            lvl = min(max(b.level, 1), 6)
+            parts.append(f"<h{lvl}>{_esc(b.text)}</h{lvl}>")
+        elif b.kind == "table":
+            parts.append("<table><tbody>")
+            for row in b.rows:
+                # cells hold one normal paragraph (or nothing) →
+                # render_blocks_inline emits bare inlines (html.rs:104-115)
+                parts.append("<tr>" + "".join(
+                    f"<td>{_esc(cell)}</td>" if cell.strip() else "<td></td>"
+                    for cell in row
+                ) + "</tr>")
+            parts.append("</tbody></table>")
+    parts.append("</main></body></html>")
+    return "".join(parts)
+
+
+def xlsx_to_html(data: bytes) -> str:
+    return render_document_html(xlsx_to_document(data))
+
+
+# --- deterministic writer ----------------------------------------------------
+
+def _col_name(c: int) -> str:
+    name = ""
+    c += 1
+    while c:
+        c, rem = divmod(c - 1, 26)
+        name = chr(65 + rem) + name
+    return name
+
+
+def build_xlsx(sheets: dict[str, list[list]]) -> bytes:
+    """Minimal deterministic xlsx writer (fixed timestamps, inline strings;
+    numbers as n, bools as b) for tests and synthetic corpora."""
+    buf = io.BytesIO()
+
+    def esc_xml(t: str) -> str:
+        return (t.replace("&", "&amp;").replace("<", "&lt;")
+                .replace(">", "&gt;").replace('"', "&quot;"))
+
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        def write(name: str, content: str) -> None:
+            zi = zipfile.ZipInfo(name, date_time=(2020, 1, 1, 0, 0, 0))
+            zi.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(zi, content)
+
+        n = len(sheets)
+        overrides = "".join(
+            f'<Override PartName="/xl/worksheets/sheet{i}.xml" '
+            'ContentType="application/vnd.openxmlformats-officedocument.'
+            'spreadsheetml.worksheet+xml"/>'
+            for i in range(1, n + 1)
+        )
+        write("[Content_Types].xml",
+              '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+              '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+              'content-types">'
+              '<Default Extension="xml" ContentType="application/xml"/>'
+              '<Default Extension="rels" ContentType="application/'
+              'vnd.openxmlformats-package.relationships+xml"/>'
+              '<Override PartName="/xl/workbook.xml" ContentType='
+              '"application/vnd.openxmlformats-officedocument.spreadsheetml.'
+              'sheet.main+xml"/>' + overrides + "</Types>")
+        write("_rels/.rels",
+              '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+              f'<Relationships xmlns="{_NS["rel"]}">'
+              '<Relationship Id="rId1" Type="http://schemas.openxmlformats.'
+              'org/officeDocument/2006/relationships/officeDocument" '
+              'Target="xl/workbook.xml"/></Relationships>')
+        sheet_els = "".join(
+            f'<sheet name="{esc_xml(name)}" sheetId="{i}" r:id="rId{i}"/>'
+            for i, name in enumerate(sheets, start=1)
+        )
+        write("xl/workbook.xml",
+              '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+              f'<workbook xmlns="{_NS["m"]}" xmlns:r="{_NS["r"]}">'
+              f"<sheets>{sheet_els}</sheets></workbook>")
+        rel_els = "".join(
+            f'<Relationship Id="rId{i}" Type="http://schemas.openxmlformats.'
+            'org/officeDocument/2006/relationships/worksheet" '
+            f'Target="worksheets/sheet{i}.xml"/>'
+            for i in range(1, n + 1)
+        )
+        write("xl/_rels/workbook.xml.rels",
+              '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+              f'<Relationships xmlns="{_NS["rel"]}">{rel_els}</Relationships>')
+        for i, (name, rows) in enumerate(sheets.items(), start=1):
+            row_els = []
+            for rnum, row in enumerate(rows, start=1):
+                cell_els = []
+                for cnum, val in enumerate(row):
+                    ref = f"{_col_name(cnum)}{rnum}"
+                    if val is None or val == "":
+                        continue
+                    if isinstance(val, bool):
+                        cell_els.append(
+                            f'<c r="{ref}" t="b"><v>{1 if val else 0}</v></c>')
+                    elif isinstance(val, (int, float)):
+                        cell_els.append(
+                            f'<c r="{ref}"><v>{val}</v></c>')
+                    else:
+                        cell_els.append(
+                            f'<c r="{ref}" t="inlineStr"><is><t xml:space='
+                            f'"preserve">{esc_xml(str(val))}</t></is></c>')
+                row_els.append(f'<row r="{rnum}">' + "".join(cell_els)
+                               + "</row>")
+            write(f"xl/worksheets/sheet{i}.xml",
+                  '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                  f'<worksheet xmlns="{_NS["m"]}">'
+                  "<sheetData>" + "".join(row_els) + "</sheetData>"
+                  "</worksheet>")
+    return buf.getvalue()

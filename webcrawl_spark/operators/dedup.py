@@ -88,6 +88,51 @@ def minhash_signatures(num_perm: int = 64, shingle_k: int = 5, seed: int = 1):
     return pandas_udf(batch, T.ArrayType(T.LongType()))
 
 
+def minhash_md5_params(num_perm: int = 32, seed: int = 1) -> list[tuple[int, int]]:
+    """The (a, b) constants of the oracle-checkable minhash variant —
+    shared verbatim between the Spark UDF and generated oracle SQL.
+    a, b < 2^62 so a*h + b fits a 128-bit HUGEINT before the mod-2^64."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, 1 << 62, size=num_perm, dtype=np.int64)
+    b = rng.randint(0, 1 << 62, size=num_perm, dtype=np.int64)
+    return list(zip(a.tolist(), b.tolist()))
+
+
+def minhash_signatures_md5(num_perm: int = 32, shingle_k: int = 5,
+                           seed: int = 1):
+    """(text) → array<long> minhash signature, oracle-checkable variant:
+    distinct character k-shingles of the whitespace-normalized text, shingle
+    hash = first 8 bytes of md5, permutation i = (a_i*h + b_i) mod 2^64
+    (uint64 wrap ≡ HUGEINT arithmetic in SQL). Slower than the vectorized
+    FNV/Mersenne scale path (one md5 per shingle) — use for verification
+    configurations; both produce valid minhash estimates."""
+    import hashlib
+
+    params = minhash_md5_params(num_perm, seed)
+    a = np.array([p[0] for p in params], dtype=np.uint64)
+    b = np.array([p[1] for p in params], dtype=np.uint64)
+
+    def batch(texts: pd.Series) -> pd.Series:
+        out = []
+        for text in texts:
+            norm = " ".join((text or "").lower().split())
+            if len(norm) < shingle_k:
+                norm = norm.ljust(shingle_k)
+            shingles = {norm[i:i + shingle_k]
+                        for i in range(len(norm) - shingle_k + 1)}
+            h = np.array(
+                [int(hashlib.md5(s.encode("utf-8")).hexdigest()[:16], 16)
+                 for s in shingles],
+                dtype=np.uint64,
+            )
+            with np.errstate(over="ignore"):
+                vals = a[:, None] * h[None, :] + b[:, None]  # mod 2^64 wrap
+            out.append(vals.min(axis=1).astype(np.int64).tolist())
+        return pd.Series(out, dtype="object")
+
+    return pandas_udf(batch, T.ArrayType(T.LongType()))
+
+
 def _band_buckets(df: DataFrame, sig_col: str, num_perm: int, bands: int,
                   id_col: str) -> DataFrame:
     rows_per_band = num_perm // bands
@@ -116,14 +161,22 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.7,
     max_bucket: int = 200,
+    signatures=None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (doc_a < doc_b) with estimated Jaccard
-    ≥ threshold (signature agreement ratio)."""
+    ≥ threshold (signature agreement ratio).
+
+    Completeness note: when (1 - threshold) * num_perm < bands, the banding
+    is an exact pigeonhole — every pair with est_jaccard ≥ threshold shares
+    at least one clean band, so (absent max_bucket truncation) the output
+    equals the brute-force signature comparison. The oracle query runs in
+    such a configuration."""
     # cache only (id, sig): at 100 TB the text column would dominate the
     # cached footprint and nothing downstream of the signature needs it
     sigs = df.select(
         F.col(id_col),
-        minhash_signatures(num_perm)(F.col(text_col)).alias("sig"),
+        (signatures or minhash_signatures(num_perm))(F.col(text_col))
+        .alias("sig"),
     ).cache()
     buckets = _band_buckets(sigs, "sig", num_perm, bands, id_col)
     # cap pathological buckets (boilerplate shingles) before the self-join
@@ -163,13 +216,17 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
 
 
 def simhash_column(shingle_k: int = 3):
-    """(text) → bigint 64-bit simhash (token-hash bit voting)."""
+    """(text) → bigint 64-bit simhash (token-hash bit voting).
 
-    import zlib
+    Token hash = first 8 bytes (big-endian) of md5(token) — chosen so an
+    independent SQL engine can recompute the identical simhash
+    (DuckDB: ('0x' || substr(md5(tok), 1, 16))::UBIGINT), making the
+    near-dup pair query exactly oracle-checkable."""
+
+    import hashlib
 
     def _tok_hash(t: str) -> int:
-        raw = t.encode("utf-8")
-        return zlib.crc32(raw) | (zlib.crc32(raw + b"#") << 32)
+        return int(hashlib.md5(t.encode("utf-8")).hexdigest()[:16], 16)
 
     def batch(texts: pd.Series) -> pd.Series:
         out = np.zeros(len(texts), dtype=np.int64)

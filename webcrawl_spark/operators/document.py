@@ -1,0 +1,65 @@
+"""Document scrape operator (S4) — spreadsheet/document payloads → HTML,
+which then feeds the standard html→markdown pipeline like any fetched page
+(the reference's document engine hands the rendered HTML to the same
+transformer chain, scrapeURL engines/document).
+
+Implemented provider: xlsx (kernels/document.py, mirroring
+packages/firecrawl-rs/src/document/providers/xlsx.rs:19-73 + the maud HTML
+renderer document/renderers/html.rs:11-237). docx/odt/rtf remain out of MVP
+(SURVEY.md §2 S4 scope note) — they are ~2.6k LoC of format parsing with the
+same operator shape; the seam below is where they plug in.
+
+Scale posture: one Arrow stage over the binary payload column, no shuffle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..kernels.document import build_xlsx, xlsx_to_html
+
+__all__ = ["xlsx_html_udf", "scrape_documents", "build_xlsx_rows_udf"]
+
+
+def xlsx_html_udf():
+    """(payload binary) → rendered HTML string (null on parse failure)."""
+
+    def batch(payloads: pd.Series) -> pd.Series:
+        out = []
+        for p in payloads:
+            if p is None:
+                out.append(None)
+                continue
+            try:
+                out.append(xlsx_to_html(bytes(p)))
+            except Exception:
+                out.append(None)
+        return pd.Series(out, dtype="object")
+
+    return pandas_udf(batch, T.StringType())
+
+
+def scrape_documents(df: DataFrame, payload_col: str = "payload",
+                     out_col: str = "doc_html") -> DataFrame:
+    """Attach the document-converter HTML; rows route here when
+    engine_choice_col says 'document' (S5)."""
+    return df.withColumn(out_col, xlsx_html_udf()(F.col(payload_col)))
+
+
+def build_xlsx_rows_udf(sheet_name: str = "Sheet1"):
+    """(cells array<array<string>>) → binary xlsx — deterministic generator
+    as a column (synthetic corpora + oracle queries)."""
+
+    def batch(rows: pd.Series) -> pd.Series:
+        out = []
+        for cells in rows:
+            grid = [[c for c in list(row)] for row in list(cells)] \
+                if cells is not None else []
+            out.append(build_xlsx({sheet_name: grid}))
+        return pd.Series(out, dtype="object")
+
+    return pandas_udf(batch, T.BinaryType())

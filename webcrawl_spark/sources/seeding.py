@@ -11,15 +11,25 @@ order (the reference's Promise.all recursion is made sequential)."""
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
 from ..kernels.classify import filter_links
-from ..kernels.urlkit import normalize_sitemap_url
+from ..kernels.urlkit import URLParseError, normalize_sitemap_url, parse_url
 from .sitemap import SITEMAP_LIMIT, process_sitemap
 
 __all__ = ["sitemap_seed_batches", "sitemap_seed_list"]
 
 FetchSitemap = Callable[[str], str | None]  # sitemap url -> xml body
+
+_IPV4_RE = re.compile(r"^(\d{1,3}\.){3}\d{1,3}$")
+
+
+def _host_of(url: str) -> str | None:
+    try:
+        return parse_url(url).host
+    except URLParseError:
+        return None
 
 
 def sitemap_seed_batches(
@@ -27,30 +37,69 @@ def sitemap_seed_batches(
     seed_url: str,
     limit: int = SITEMAP_LIMIT,
 ) -> list[list[str]]:
-    """Recursive sitemap walk → page-URL batches in handler order."""
+    """Recursive sitemap walk → page-URL batches in handler order, with the
+    reference's fallback candidates (crawler.ts:606-698):
+
+    1. the seed's own sitemap (seed url itself when it is already .xml,
+       else seed/sitemap.xml);
+    2. when the seed host is a subdomain (≥3 labels, not www., not an IP):
+       the main domain's /sitemap.xml, results filtered to links whose
+       hostname endsWith the seed hostname (plain string suffix, matching
+       the reference's `linkUrl.hostname.endsWith(hostname)`);
+    3. if nothing was contributed yet: baseUrl/sitemap.xml as a last resort
+       (crawler.ts:672-698, gated on sitemapCount === 0).
+    """
+    hit: set[str] = set()
+    batches: list[list[str]] = []
+
+    def walk(start: str, url_filter=None) -> int:
+        contributed = 0
+        todo = [start]
+        while todo and len(hit) < limit:
+            sm_url = todo.pop(0)
+            if sm_url in hit:
+                continue
+            hit.add(sm_url)
+            body = fetch_sitemap(sm_url)
+            if body is None:
+                continue
+            try:
+                result = process_sitemap(body)
+            except ValueError:
+                continue
+            for ins in result["instructions"]:
+                if ins["action"] == "recurse":
+                    todo.extend(u for u in ins["urls"] if u not in hit)
+                else:
+                    urls = list(ins["urls"])
+                    if url_filter is not None:
+                        urls = [u for u in urls if url_filter(u)]
+                    batches.append(urls)
+                    contributed += len(urls)
+        return contributed
+
     start = seed_url if seed_url.lower().endswith((".xml", ".xml.gz")) else (
         seed_url.rstrip("/") + "/sitemap.xml"
     )
-    todo = [start]
-    hit: set[str] = set()
-    batches: list[list[str]] = []
-    while todo and len(hit) < limit:
-        sm_url = todo.pop(0)
-        if sm_url in hit:
-            continue
-        hit.add(sm_url)
-        body = fetch_sitemap(sm_url)
-        if body is None:
-            continue
-        try:
-            result = process_sitemap(body)
-        except ValueError:
-            continue
-        for ins in result["instructions"]:
-            if ins["action"] == "recurse":
-                todo.extend(u for u in ins["urls"] if u not in hit)
-            else:
-                batches.append(list(ins["urls"]))
+    count = walk(start)
+
+    # subdomain → main-domain sitemap, filtered back to the subdomain
+    host = _host_of(seed_url)
+    if host and not _IPV4_RE.match(host) and ":" not in host:
+        parts = host.split(".")
+        if len(parts) > 2 and parts[0] != "www":
+            main_domain = ".".join(parts[-2:])
+            scheme = seed_url.split("://", 1)[0]
+            count += walk(
+                f"{scheme}://{main_domain}/sitemap.xml",
+                url_filter=lambda u: (_host_of(u) or "").endswith(host),
+            )
+
+    # nothing found yet → baseUrl/sitemap.xml last resort
+    if count == 0 and host:
+        u = parse_url(seed_url)
+        base = f"{u.scheme}://{u.host}" + (f":{u.port}" if u.port else "")
+        walk(base + "/sitemap.xml")
     return batches
 
 
