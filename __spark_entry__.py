@@ -332,6 +332,31 @@ def q_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_doc_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 document converter end-to-end: build a real xlsx per nation row
+    (zip + OOXML sheet), parse it back and render the reference HTML shape
+    (xlsx.rs:19-73 + renderers/html.rs:11-237). The oracle reconstructs the
+    exact HTML string in SQL — a full build→parse→render check."""
+    from webcrawl_spark.operators.document import (
+        build_xlsx_rows_udf, xlsx_html_udf,
+    )
+
+    nation = _load(spark, sf_dir, "nation")["nation"]
+    cells = F.array(
+        F.array(F.lit("key"), F.lit("name"), F.lit("region")),
+        F.array(F.col("n_nationkey").cast("string"), F.col("n_name"),
+                F.col("n_regionkey").cast("string")),
+    )
+    pay = nation.select(
+        "n_nationkey",
+        build_xlsx_rows_udf("Nations")(cells).alias("payload"),
+    )
+    return pay.select(
+        "n_nationkey",
+        xlsx_html_udf()(F.col("payload")).alias("doc_html"),
+    ).orderBy("n_nationkey")
+
+
 def q_minhash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH dedup in its oracle-checkable configuration: md5-shingle
     signatures with mod-2^64 permutations (recomputable in DuckDB HUGEINT
@@ -458,6 +483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cosine_topk": q_cosine_topk,
         "q_engpicker": q_engpicker,
         "q_pdf_text": q_pdf_text,
+        "q_doc_convert": q_doc_convert,
         "q_minhash_oracle": q_minhash_oracle,
         "q_simhash_pairs": q_simhash_pairs,
         "q_minhash_dedup": q_minhash_dedup,
@@ -749,6 +775,21 @@ def oracle_sql() -> dict[str, str]:
                      '<', '&lt;'), '>', '&gt;') AS pdf_markdown,
                    (len(pages) * 150 > 30000) AS insufficient_time
             FROM P ORDER BY doc_id
+        """,
+        "q_doc_convert": """
+            SELECT n_nationkey,
+                   '<!DOCTYPE html><html lang="en"><head><meta charset="UTF-8">'
+                   || '<meta name="viewport" content="width=device-width, initial-scale=1.0">'
+                   || '<title>Document</title></head><body><main>'
+                   || '<h2>Nations</h2><table><tbody>'
+                   || '<tr><td>key</td><td>name</td><td>region</td></tr>'
+                   || '<tr><td>' || n_nationkey::VARCHAR || '</td><td>'
+                   || replace(replace(replace(replace(n_name,
+                        '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;')
+                   || '</td><td>' || n_regionkey::VARCHAR
+                   || '</td></tr></tbody></table></main></body></html>'
+                   AS doc_html
+            FROM nation ORDER BY n_nationkey
         """,
         "q_minhash_oracle": _minhash_oracle_sql(),
         "q_simhash_pairs": _SIMHASH_ORACLE_SQL,
