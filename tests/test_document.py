@@ -81,6 +81,75 @@ class TestXlsxProvider:
         assert "metric" in md and "42" in md
 
 
+class TestDocxProvider:
+    def test_paragraphs_headings_quotes(self):
+        from webcrawl_spark.kernels.document import build_docx, docx_to_html
+
+        d = build_docx([
+            ("h1", "Title text"),
+            ("p", "Plain body & <markup>"),
+            ("quote", "Quoted line"),
+            ("h3", "Sub"),
+        ])
+        html = docx_to_html(d)
+        assert "<h1>Title text</h1>" in html
+        assert "<p>Plain body &amp; &lt;markup&gt;</p>" in html
+        assert "<blockquote><p>Quoted line</p></blockquote>" in html
+        assert "<h3>Sub</h3>" in html
+        assert html.startswith(HTML_HEAD)
+
+    def test_tables(self):
+        from webcrawl_spark.kernels.document import build_docx, docx_to_html
+
+        d = build_docx([("table", [["a", "b"], ["c", "d"]])])
+        html = docx_to_html(d)
+        assert ("<table><tbody><tr><td>a</td><td>b</td></tr>"
+                "<tr><td>c</td><td>d</td></tr></tbody></table>") in html
+
+    def test_outline_level_heading(self):
+        """docx.rs:326-330: outlineLvl val v → Heading(v+1)."""
+        from webcrawl_spark.kernels.document import build_docx, docx_to_document
+
+        d = build_docx([("p", "X")])
+        patched = d  # build a doc with outlineLvl manually
+        import io as _io
+        import zipfile as _zip
+        zf = _zip.ZipFile(_io.BytesIO(d))
+        doc_xml = zf.read("word/document.xml").decode()
+        doc_xml = doc_xml.replace(
+            "<w:p><w:r>",
+            '<w:p><w:pPr><w:outlineLvl w:val="1"/></w:pPr><w:r>', 1)
+        buf = _io.BytesIO()
+        with _zip.ZipFile(buf, "w") as out:
+            for n in zf.namelist():
+                out.writestr(n, doc_xml if n == "word/document.xml"
+                             else zf.read(n))
+        doc = docx_to_document(buf.getvalue())
+        assert doc.blocks[0].kind == "heading" and doc.blocks[0].level == 2
+        _ = patched
+
+    def test_provider_dispatch(self):
+        from webcrawl_spark.kernels.document import (
+            build_docx, build_xlsx, convert_document,
+        )
+
+        assert "<h2>S</h2>" in convert_document(build_xlsx({"S": [["1"]]}))
+        assert "<p>hi</p>" in convert_document(build_docx([("p", "hi")]))
+        assert convert_document(b"not a zip") is None
+
+    def test_docx_feeds_markdown_pipeline(self):
+        from webcrawl_spark.kernels.document import build_docx, docx_to_html
+        from webcrawl_spark.kernels.scrape import markdown_for_page
+
+        html = docx_to_html(build_docx([
+            ("h1", "Report"), ("p", "Body paragraph."),
+            ("table", [["k", "v"], ["rows", "42"]]),
+        ]))
+        md = markdown_for_page(html, "https://x.com/r.docx")
+        assert "# Report" in md or "Report" in md
+        assert "Body paragraph." in md
+
+
 class TestEngineForcing:
     """engine-forcing.test.ts:8-105 vectors."""
 

@@ -30,7 +30,8 @@ from xml.etree import ElementTree as ET
 
 __all__ = [
     "Document", "Block", "xlsx_to_document", "render_document_html",
-    "xlsx_to_html", "build_xlsx",
+    "xlsx_to_html", "build_xlsx", "docx_to_document", "docx_to_html",
+    "build_docx",
 ]
 
 _NS = {
@@ -42,9 +43,10 @@ _NS = {
 
 @dataclass
 class Block:
-    """Subset of the reference document model needed by spreadsheet
-    providers: heading paragraphs and body tables of text cells."""
-    kind: str                      # "heading" | "table"
+    """Subset of the reference document model needed by the spreadsheet and
+    word-processor providers: paragraphs (normal/heading/blockquote) and
+    body tables of text cells."""
+    kind: str                      # "paragraph" | "heading" | "blockquote" | "table"
     level: int = 2
     text: str = ""
     rows: list[list[str]] = field(default_factory=list)
@@ -166,6 +168,139 @@ def xlsx_to_document(data: bytes) -> Document:
     return doc
 
 
+# --- docx provider (useful-slice subset of providers/docx.rs) ---------------
+
+_W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+
+
+def _w(tag: str) -> str:
+    return f"{{{_W}}}{tag}"
+
+
+def _para_text(p: ET.Element) -> str:
+    return "".join(t.text or "" for t in p.iter(_w("t")))
+
+
+def _para_kind(p: ET.Element) -> tuple[str, int]:
+    """docx.rs:317-379 subset: outlineLvl → Heading(v+1, ≤6); pStyle id
+    'HeadingN'/'Title' → heading; id containing 'quote' → blockquote; else
+    normal. (The reference additionally consults styles.xml names and font
+    size buckets — out of this subset's scope, documented.)"""
+    ppr = p.find(_w("pPr"))
+    if ppr is None:
+        return "paragraph", 0
+    lvl = ppr.find(_w("outlineLvl"))
+    if lvl is not None:
+        v = lvl.get(_w("val")) or lvl.get("val")
+        if v is not None and v.isdigit():
+            return "heading", min(int(v) + 1, 6)
+    st = ppr.find(_w("pStyle"))
+    if st is not None:
+        sid = (st.get(_w("val")) or st.get("val") or "").lower()
+        m = re.search(r"heading\s*(\d+)?", sid)
+        if m:
+            return "heading", min(int(m.group(1) or 2), 6)
+        if "title" in sid:
+            return "heading", 1
+        if "quote" in sid:
+            return "blockquote", 0
+    return "paragraph", 0
+
+
+def docx_to_document(data: bytes) -> Document:
+    """Useful-slice docx provider (providers/docx.rs subset): body
+    paragraphs with heading/blockquote detection (docx.rs:317-379) and
+    tables of flattened cell text (docx.rs table walk). Numbering, images,
+    hyperlinks, footnotes, and styles.xml-based heading inference are out of
+    this subset (≈1k LoC of the reference provider) — the operator seam and
+    renderer are shared, so adding them extends this function only."""
+    zf = zipfile.ZipFile(io.BytesIO(data))
+    root = ET.fromstring(zf.read("word/document.xml"))
+    body = root.find(_w("body"))
+    doc = Document()
+    if body is None:
+        return doc
+    for node in body:
+        if node.tag == _w("p"):
+            text = _para_text(node)
+            if not text.strip():
+                continue
+            kind, level = _para_kind(node)
+            doc.blocks.append(Block(kind=kind, level=level or 2, text=text))
+        elif node.tag == _w("tbl"):
+            rows = [
+                [_para_text(tc) for tc in tr.findall(_w("tc"))]
+                for tr in node.findall(_w("tr"))
+            ]
+            doc.blocks.append(Block(kind="table", rows=rows))
+    return doc
+
+
+def docx_to_html(data: bytes) -> str:
+    return render_document_html(docx_to_document(data))
+
+
+def build_docx(blocks: list[tuple]) -> bytes:
+    """Deterministic minimal docx writer for tests/synthetic corpora.
+    blocks: ("p"|"h1".."h6"|"quote", text) or ("table", rows)."""
+    def esc(t: str) -> str:
+        return (t.replace("&", "&amp;").replace("<", "&lt;")
+                .replace(">", "&gt;"))
+
+    parts = []
+    for b in blocks:
+        kind, payload = b
+        if kind == "table":
+            trs = "".join(
+                "<w:tr>" + "".join(
+                    f"<w:tc><w:p><w:r><w:t xml:space=\"preserve\">{esc(c)}"
+                    "</w:t></w:r></w:p></w:tc>" for c in row
+                ) + "</w:tr>"
+                for row in payload
+            )
+            parts.append(f"<w:tbl>{trs}</w:tbl>")
+            continue
+        ppr = ""
+        if kind.startswith("h") and kind[1:].isdigit():
+            ppr = f'<w:pPr><w:pStyle w:val="Heading{kind[1:]}"/></w:pPr>'
+        elif kind == "quote":
+            ppr = '<w:pPr><w:pStyle w:val="Quote"/></w:pPr>'
+        parts.append(
+            f"<w:p>{ppr}<w:r><w:t xml:space=\"preserve\">{esc(payload)}"
+            "</w:t></w:r></w:p>"
+        )
+    document = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<w:document xmlns:w="{_W}"><w:body>' + "".join(parts)
+        + "</w:body></w:document>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        def write(name: str, content: str) -> None:
+            zi = zipfile.ZipInfo(name, date_time=(2020, 1, 1, 0, 0, 0))
+            zi.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(zi, content)
+
+        write("[Content_Types].xml",
+              '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+              '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+              'content-types">'
+              '<Default Extension="xml" ContentType="application/xml"/>'
+              '<Default Extension="rels" ContentType="application/'
+              'vnd.openxmlformats-package.relationships+xml"/>'
+              '<Override PartName="/word/document.xml" ContentType='
+              '"application/vnd.openxmlformats-officedocument.'
+              'wordprocessingml.document.main+xml"/></Types>')
+        write("_rels/.rels",
+              '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+              f'<Relationships xmlns="{_NS["rel"]}">'
+              '<Relationship Id="rId1" Type="http://schemas.openxmlformats.'
+              'org/officeDocument/2006/relationships/officeDocument" '
+              'Target="word/document.xml"/></Relationships>')
+        write("word/document.xml", document)
+    return buf.getvalue()
+
+
 # --- renderer (maud-equivalent output, html.rs:11-237) ----------------------
 
 def _esc(t: str) -> str:
@@ -185,6 +320,10 @@ def render_document_html(doc: Document) -> str:
         if b.kind == "heading":
             lvl = min(max(b.level, 1), 6)
             parts.append(f"<h{lvl}>{_esc(b.text)}</h{lvl}>")
+        elif b.kind == "paragraph":
+            parts.append(f"<p>{_esc(b.text)}</p>")
+        elif b.kind == "blockquote":
+            parts.append(f"<blockquote><p>{_esc(b.text)}</p></blockquote>")
         elif b.kind == "table":
             parts.append("<table><tbody>")
             for row in b.rows:
@@ -201,6 +340,22 @@ def render_document_html(doc: Document) -> str:
 
 def xlsx_to_html(data: bytes) -> str:
     return render_document_html(xlsx_to_document(data))
+
+
+def convert_document(data: bytes) -> str | None:
+    """Provider dispatch (the S5 'document' engine body): sniff the OOXML
+    package for the workbook/word part. Unknown format → None (the engine
+    reports a failed conversion, like an unsupported provider)."""
+    try:
+        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+            names = set(zf.namelist())
+    except zipfile.BadZipFile:
+        return None
+    if "xl/workbook.xml" in names:
+        return xlsx_to_html(data)
+    if "word/document.xml" in names:
+        return docx_to_html(data)
+    return None
 
 
 # --- deterministic writer ----------------------------------------------------

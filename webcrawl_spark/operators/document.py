@@ -20,14 +20,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from ..kernels.document import build_xlsx, xlsx_to_html
+from ..kernels.document import build_xlsx, convert_document, xlsx_to_html
 
-__all__ = ["xlsx_html_udf", "scrape_documents", "build_xlsx_rows_udf"]
+__all__ = ["xlsx_html_udf", "document_html_udf", "scrape_documents",
+           "build_xlsx_rows_udf"]
 
 
-def xlsx_html_udf():
-    """(payload binary) → rendered HTML string (null on parse failure)."""
-
+def _converter_udf(fn):
     def batch(payloads: pd.Series) -> pd.Series:
         out = []
         for p in payloads:
@@ -35,7 +34,7 @@ def xlsx_html_udf():
                 out.append(None)
                 continue
             try:
-                out.append(xlsx_to_html(bytes(p)))
+                out.append(fn(bytes(p)))
             except Exception:
                 out.append(None)
         return pd.Series(out, dtype="object")
@@ -43,11 +42,22 @@ def xlsx_html_udf():
     return pandas_udf(batch, T.StringType())
 
 
+def xlsx_html_udf():
+    """(payload binary) → rendered HTML string (null on parse failure)."""
+    return _converter_udf(xlsx_to_html)
+
+
+def document_html_udf():
+    """(payload binary) → HTML via provider sniffing (xlsx or docx subset);
+    null when no provider matches."""
+    return _converter_udf(convert_document)
+
+
 def scrape_documents(df: DataFrame, payload_col: str = "payload",
                      out_col: str = "doc_html") -> DataFrame:
     """Attach the document-converter HTML; rows route here when
     engine_choice_col says 'document' (S5)."""
-    return df.withColumn(out_col, xlsx_html_udf()(F.col(payload_col)))
+    return df.withColumn(out_col, document_html_udf()(F.col(payload_col)))
 
 
 def build_xlsx_rows_udf(sheet_name: str = "Sheet1"):
