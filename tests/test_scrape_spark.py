@@ -79,6 +79,50 @@ def test_canonicalize_udf(spark):
     assert rows[1]["c"] == ""
 
 
+def test_scrape_routed_mixed_corpus(spark, small_site):
+    """S5 end-to-end: one DataFrame with html, pdf, xlsx, docx and junk
+    payloads routed through the right engine, each producing the same
+    output its dedicated path produces."""
+    from webcrawl_spark.kernels.document import (
+        build_docx, build_xlsx, convert_document, docx_to_html,
+    )
+    from webcrawl_spark.kernels.pdfkit import build_pdf, scrape_pdf_result
+    from webcrawl_spark.kernels.scrape import markdown_for_page
+    from webcrawl_spark.operators.scrape import scrape_routed
+
+    html_page = b"<html><body><main><h1>Hi</h1><p>Body</p></main></body></html>"
+    pdf = build_pdf(["pdf line one", "pdf line two"], title="P")
+    xlsx = build_xlsx({"S": [["a", "b"]]})
+    docx = build_docx([("h2", "Doc"), ("p", "text")])
+    rows = [
+        ("https://x.com/page", bytearray(html_page)),
+        ("https://x.com/file.pdf", bytearray(pdf)),
+        ("https://x.com/book.xlsx", bytearray(xlsx)),
+        ("https://x.com/memo.docx", bytearray(docx)),
+        ("https://x.com/broken.pdf", bytearray(b"junk")),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["url"]: r for r in scrape_routed(df).collect()}
+
+    assert got["https://x.com/page"]["engine_choice"] == "fetch"
+    assert got["https://x.com/page"]["scraped"]["markdown"] == \
+        markdown_for_page(html_page.decode(), "https://x.com/page")
+
+    pr = got["https://x.com/file.pdf"]["scraped"]
+    expected_pdf = scrape_pdf_result(pdf)
+    assert pr["markdown"] == expected_pdf["markdown"] == pr["html"]
+
+    for u, payload in (("https://x.com/book.xlsx", xlsx),
+                       ("https://x.com/memo.docx", docx)):
+        r = got[u]["scraped"]
+        conv = convert_document(payload)
+        assert r["html"] == conv
+        assert r["markdown"] == markdown_for_page(conv, u)
+
+    bad = got["https://x.com/broken.pdf"]["scraped"]
+    assert bad["ok"] is False and not bad["markdown"]
+
+
 def test_scrape_plan_prunes_unused_formats(spark, pages_df):
     """Selecting only markdown must not evaluate the links/images UDFs."""
     out = scrape(

@@ -8,8 +8,11 @@ optimizer behavior — SURVEY.md §4)."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 from ..functions import (
     decode_html_udf,
@@ -22,7 +25,7 @@ from ..functions import (
 )
 from ..kernels.scrape import ScrapeOptions
 
-__all__ = ["scrape"]
+__all__ = ["scrape", "scrape_routed", "ROUTED_SCHEMA"]
 
 
 def scrape(
@@ -76,3 +79,86 @@ def scrape(
         "quality", gatekeeper_udf(options.thresholds)(url, status, html)
     )
     return out
+
+
+ROUTED_SCHEMA = T.StructType([
+    T.StructField("engine", T.StringType()),
+    T.StructField("html", T.StringType()),
+    T.StructField("markdown", T.StringType()),
+    T.StructField("ok", T.BooleanType()),
+])
+
+
+def scrape_routed(
+    pages: DataFrame,
+    url_col: str = "url",
+    payload_col: str = "html",
+    forced_engines: dict | None = None,
+    pdf_timeout_ms: int | None = None,
+    out_col: str = "scraped",
+) -> DataFrame:
+    """The full engine-routed scrape — what POST /scrape does for an
+    arbitrary URL (scrapeURL/index.ts engine loop, engines/index.ts:54-78
+    ordering, collapsed to the deterministic S5 choice):
+
+      engine_choice (native Column: forced map → document → pdf → fetch)
+        → fetch:    decode (U5) → markdown (X1-X4); html = transformHtml
+        → pdf:      text layer → HTML-escaped as html AND markdown
+                    (engines/pdf/index.ts:21-34)
+        → document: provider convert (xlsx/docx) → the SAME html→markdown
+                    pipeline as fetched pages
+
+    Forced/rendering engines (playwright, fire-engine) have no executor in
+    this engine — such rows keep their engine label but run the fetch
+    pipeline on the stored payload (the reference's fallback when a
+    rendering engine is unavailable, engines/index.ts fallback walk).
+
+    One Arrow stage; the engine column is computed JVM-side so Catalyst can
+    partition-prune/filter on it before the UDF runs."""
+    from ..kernels.document import convert_document
+    from ..kernels.htmlkit import transform_html
+    from ..kernels.pdfkit import scrape_pdf_result
+    from ..kernels.scrape import markdown_for_page
+
+    def batch(urls: pd.Series, engines: pd.Series,
+              payloads: pd.Series) -> pd.DataFrame:
+        from ..functions import _as_text
+        rows = []
+        for url, engine, payload in zip(urls, engines, payloads):
+            raw = bytes(payload) if payload is not None else None
+            try:
+                if engine == "pdf":
+                    r = scrape_pdf_result(raw, timeout_ms=pdf_timeout_ms)
+                    rows.append((engine, r["html"], r["markdown"], r["ok"]))
+                    continue
+                if engine == "document":
+                    html = convert_document(raw) if raw else None
+                    if html is None:
+                        rows.append((engine, None, None, False))
+                        continue
+                    rows.append((engine, html,
+                                 markdown_for_page(html, url or ""), True))
+                    continue
+                text = _as_text(raw)
+                if not text:
+                    rows.append((engine, None, None, False))
+                    continue
+                rows.append((
+                    engine,
+                    transform_html(text, url or ""),
+                    markdown_for_page(text, url or ""),
+                    True,
+                ))
+            except Exception:
+                rows.append((engine, None, None, False))
+        return pd.DataFrame(rows, columns=["engine", "html", "markdown", "ok"])
+
+    routed = pandas_udf(batch, ROUTED_SCHEMA)
+    from ..functions import engine_choice_col
+
+    url = F.col(url_col)
+    return pages.withColumn(
+        "engine_choice", engine_choice_col(url, forced_engines)
+    ).withColumn(
+        out_col, routed(url, F.col("engine_choice"), F.col(payload_col))
+    )
