@@ -114,6 +114,34 @@ class TestEngineParity:
                              EngineConfig(use_bloom=False))
         assert with_bloom.fetch_order() == without.fetch_order()
 
+    def test_fetch_udf_mode_parity(self, spark, site, fetch, site_pages_df,
+                                   tmp_path):
+        """Live-fetch mode (per-URL fetch UDF, no corpus join) produces the
+        identical crawl to corpus-replay mode."""
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        from webcrawl_spark.datagen import render_page_html
+
+        seed = f"https://{site.hosts[0]}/"
+        cfg = CrawlConfig(seed_url=seed, limit=30, max_depth=3,
+                          allow_backward_crawling=True, host_budget=5)
+        replay = run_engine(spark, site_pages_df, cfg, tmp_path / "replay")
+
+        bc = spark.sparkContext.broadcast(site)
+
+        @pandas_udf("binary")
+        def fetch_live(urls: pd.Series) -> pd.Series:
+            s = bc.value
+            return pd.Series(
+                [render_page_html(s, u).encode() if u in s.pages else None
+                 for u in urls], dtype="object")
+
+        work = str(tmp_path / "live")
+        live = SparkCrawl(spark, None, cfg, work, fetch_udf=fetch_live)
+        live.run()
+        assert live.fetch_order() == replay.fetch_order()
+
     def test_robots_enforced(self, spark, site, fetch, site_pages_df, tmp_path):
         # host0 (hi % 3 == 0) disallows /sec1
         host = site.hosts[0]

@@ -219,13 +219,26 @@ class SparkCrawl:
     def __init__(
         self,
         spark: SparkSession,
-        pages: DataFrame,
+        pages: DataFrame | None,
         cfg: CrawlConfig,
         workdir: str,
         engine: EngineConfig | None = None,
+        fetch_udf=None,
     ) -> None:
+        """Fetch modes:
+        - ``pages`` DataFrame (url, html binary): corpus-replay fetch — the
+          round inner-joins the broadcast selection against the corpus
+          (recrawl-from-archive shape; at cluster scale use a bucketed
+          pages table so only co-partitioned buckets scan).
+        - ``fetch_udf`` (url) → binary|null: live fetch — one Arrow batch
+          call per selected URL, embarrassingly parallel, no corpus scan
+          (the reference's per-URL HTTP fetch; null = fetch error → 404).
+        """
+        assert (pages is not None) != (fetch_udf is not None), \
+            "exactly one of pages / fetch_udf"
         self.spark = spark
         self.pages = pages
+        self.fetch_udf = fetch_udf
         self.cfg = cfg
         self.engine = engine or EngineConfig()
         self.io = TableIO(spark, workdir)
@@ -565,19 +578,44 @@ class SparkCrawl:
             picked = picked.orderBy("priority", "seq") \
                            .limit(limit - self._processed)
 
-        # ---- ONE extraction pass: fetch join + markdown + link lineage ----
-        # markdown and link extraction run in the same stage over the same
-        # decoded page; crawl_result is the fetch-lineage checkpoint table
-        # (links discovered per fetch ride along as an array column that
-        # parquet column pruning skips for fetch_log readers).
-        pages = self.pages.select(F.col("url").alias("page_url"), F.col("html"))
+        # ---- selection pin + synthetic fetch ----
+        # The pages corpus is the 100-TB side: it must never shuffle. A
+        # plain left join (picked preserved) forces a sort-merge join that
+        # shuffles every page's html each round — measured 4-9 s/round even
+        # on the synthetic corpus. Instead: pin the (politeness-bounded)
+        # selection, broadcast it into an INNER join so pages streams in
+        # place, and recover 404 misses with a column-pruned anti-join that
+        # never touches the html column. On a real cluster with 10^7-row
+        # rounds, swap the broadcast for a bucketed/co-partitioned pages
+        # table on url hash — the join logic is unchanged.
+        selected = self._pin(picked)
+        t = self._trace(round_no, "selection pin", t)
+        n_selected = selected.count()
+        if n_selected == 0:
+            self._done = True
+            self._commit(round_no, done=True)
+            return False
         base_depth = cfg.base_depth()
-        fetched = (
-            picked.join(pages, picked["url"] == pages["page_url"], "left")
-            .drop("page_url")
-            .withColumn("status",
-                        F.when(F.col("html").isNotNull(), 200).otherwise(404))
-        )
+        if self.fetch_udf is not None:
+            fetched = selected.withColumn("html",
+                                          self.fetch_udf(F.col("url")))
+        else:
+            pages = self.pages.select(F.col("url").alias("page_url"),
+                                      F.col("html"))
+            hits = (
+                pages.join(F.broadcast(selected),
+                           pages["page_url"] == selected["url"], "inner")
+                .drop("page_url")
+            )
+            misses = (
+                selected.join(pages.select("page_url"),
+                              selected["url"] == F.col("page_url"),
+                              "left_anti")
+                .withColumn("html", F.lit(None).cast("binary"))
+            )
+            fetched = hits.unionByName(misses)
+        fetched = fetched.withColumn(
+            "status", F.when(F.col("html").isNotNull(), 200).otherwise(404))
         expandable = (
             (F.col("status") == 200)
             & (F.greatest(url_depth(F.col("url")) - F.lit(base_depth), F.lit(0))
@@ -596,21 +634,14 @@ class SparkCrawl:
                 F.when(expandable, F.col("html")), F.col("url")
             ).alias("links"),
         ).withColumn("round", F.lit(round_no))
-        obs = Observation(f"round_{round_no}")
-        combined = combined.observe(obs, F.count(F.lit(1)).alias("n_selected"))
         io.append(combined, "crawl_result", round_no)
         t = self._trace(round_no, "fetch+extract write", t)
-        n_selected = int(obs.get["n_selected"])
-        if n_selected == 0:
-            self._done = True
-            self._commit(round_no, done=True)
-            return False
         combined_file = io.read_round("crawl_result", round_no)
 
         if use_bucket:
             # consume tokens: new state = allowance - used (finite hosts);
             # hosts without queued work keep their banked tokens untouched
-            used = combined_file.groupBy("host").agg(
+            used = selected.groupBy("host").agg(
                 F.count(F.lit(1)).cast("double").alias("used"))
             spent = (
                 avail.join(used, "host", "left")
