@@ -1,0 +1,86 @@
+"""Plan-hygiene gates: the physical plans the engine promises (SURVEY.md §4
+optimizer notes) — broadcast joins for dim tables, TakeOrderedAndProject for
+top-ks, parquet filter pushdown, and JVM-only expression paths for the
+native queries — asserted against `.explain` output so regressions that
+silently de-optimize a plan fail CI."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_brand_revenue_broadcasts_dim(spark):
+    plan = _plan(entrymod.q_brand_revenue(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cosine_topk_take_ordered(spark):
+    plan = _plan(entrymod.q_cosine_topk(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_segment_top_orders_take_ordered(spark):
+    plan = _plan(entrymod.q_segment_top_orders(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_round_metrics_pushdown_and_no_python(spark):
+    """TPC-H Q1 shape: the shipdate predicate must reach the parquet scan,
+    and nothing in the plan may leave the JVM."""
+    plan = _plan(entrymod.q_round_metrics(spark, SF_DIR))
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split(
+        "PushedFilters", 1)[1][:200]
+    assert "EvalPython" not in plan  # no Batch/ArrowEvalPython stages
+
+
+def test_native_text_queries_stay_jvm_side(spark):
+    """token/quality/lang queries are pure Column expressions — whole-stage
+    codegen, no Python workers."""
+    for q in ("q_token_stats", "q_quality_filter", "q_lang_id"):
+        df = entrymod.queries()[q](spark, SF_DIR)
+        plan = _plan(df)
+        assert "EvalPython" not in plan, q  # no Batch/ArrowEvalPython
+        # force execution so AQE finalizes, then check codegen spans exist
+        df.count()
+        final = _plan(df)
+        assert "EvalPython" not in final, q
+
+
+def test_scan_prunes_columns(spark):
+    """Reading 2 columns of lineitem must not scan all 16 (ReadSchema)."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    plan = _plan(li.groupBy("l_returnflag").agg(F.sum("l_quantity")))
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "l_returnflag" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_crawl_fetch_join_broadcasts_selection(spark):
+    """The pages corpus side of the synthetic fetch must never shuffle:
+    the selection is broadcast, so the plan has a BroadcastHashJoin and no
+    Exchange on top of the pages scan."""
+    from pyspark.sql import functions as F
+
+    pages = spark.createDataFrame(
+        [(f"https://h/{i}", bytearray(b"<html></html>")) for i in range(50)],
+        "url string, html binary")
+    selected = spark.createDataFrame(
+        [(f"https://h/{i}", i) for i in range(5)], "url string, seq long")
+    p = pages.select(F.col("url").alias("page_url"), "html")
+    joined = p.join(F.broadcast(selected), p["page_url"] == selected["url"],
+                    "inner")
+    plan = _plan(joined)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

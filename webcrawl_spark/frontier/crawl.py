@@ -737,6 +737,10 @@ class SparkCrawl:
             int(r["host_bucket"]): r["count"]
             for r in new_rows_file.groupBy("host_bucket").count().collect()
         } if n_new else {})
+        fetched_buckets = {
+            int(r["host_bucket"]): r["count"]
+            for r in selected.groupBy("host_bucket").count().collect()
+        }
         t = self._trace(round_no, "bucket counts", t)
         io.append_json(
             {
@@ -745,6 +749,9 @@ class SparkCrawl:
                 "denials": denials,
                 "bucket_new_counts": {
                     str(k): v for k, v in sorted(bucket_counts.items())
+                },
+                "bucket_fetched_counts": {
+                    str(k): v for k, v in sorted(fetched_buckets.items())
                 },
             },
             "round_metrics", round_no,
