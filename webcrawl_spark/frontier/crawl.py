@@ -27,6 +27,12 @@ reconstruction, and nothing crawl-sized ever lives on the driver. The only
 driver-resident values are three integers (processed, next_seq,
 frontier_count) mirrored in the checkpoint metadata.
 
+Queued-set computation: frontier LEFT ANTI fetched-seqs — the fetched side
+is a single pruned bigint column (broadcast at sandbox scale; at 10^10 the
+Iceberg deployment replaces the anti-join with a merge-on-read `fetched`
+flag in the frontier table, i.e. an Iceberg MERGE per round — the TableIO
+seam keeps job logic identical).
+
 Bloom shard lifecycle (all executor-side):
 - build/update: cogroup(previous shard blobs, this round's new url-hashes)
   by host_bucket → applyInPandas merge → append to the bloom_shards table.
