@@ -217,12 +217,14 @@ def q_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text analysis: token counting over documents (JVM-side split)."""
-    from webcrawl_spark.operators.textstats import token_count
+    """Text analysis: whitespace-word and BPE-ish pre-tokenizer token
+    counting over documents (JVM-side split / regexp_extract_all)."""
+    from webcrawl_spark.operators.textstats import bpe_token_count, token_count
 
     docs = _load(spark, sf_dir, "documents")["documents"]
     return (
         docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"),
+                    bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
                     F.length("text").alias("n_chars_actual"))
         .orderBy("doc_id")
     )
@@ -680,6 +682,9 @@ def oracle_sql() -> dict[str, str]:
         "q_token_stats": f"""
             SELECT doc_id,
                    len({words}) AS n_tokens,
+                   len(regexp_extract_all(text,
+                     '''(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'))
+                     AS n_bpe_tokens,
                    length(text) AS n_chars_actual
             FROM documents ORDER BY doc_id
         """,

@@ -150,6 +150,53 @@ class TestDocxProvider:
         assert "Body paragraph." in md
 
 
+class TestOdtProvider:
+    def test_paragraphs_headings_tables(self):
+        from webcrawl_spark.kernels.document import build_odt, odt_to_html
+
+        d = build_odt([
+            ("h1", "ODT Title"),
+            ("p", "Body & <stuff>"),
+            ("table", [["a", "b"], ["c", "d"]]),
+            ("h3", "Deep"),
+        ])
+        html = odt_to_html(d)
+        assert html.startswith(HTML_HEAD)
+        assert "<h1>ODT Title</h1>" in html
+        assert "<p>Body &amp; &lt;stuff&gt;</p>" in html
+        assert ("<table><tbody><tr><td>a</td><td>b</td></tr>"
+                "<tr><td>c</td><td>d</td></tr></tbody></table>") in html
+        assert "<h3>Deep</h3>" in html
+
+    def test_text_s_expansion(self):
+        """<text:s text:c='3'/> expands to three spaces."""
+        from webcrawl_spark.kernels.document import build_odt, odt_to_document
+
+        d = build_odt([("p", "x")])
+        import io as _io
+        import zipfile as _zip
+        zf = _zip.ZipFile(_io.BytesIO(d))
+        xml = zf.read("content.xml").decode().replace(
+            "<text:p>x</text:p>",
+            '<text:p>a<text:s text:c="3"/>b</text:p>')
+        buf = _io.BytesIO()
+        with _zip.ZipFile(buf, "w") as out:
+            for n in zf.namelist():
+                out.writestr(n, xml if n == "content.xml" else zf.read(n))
+        doc = odt_to_document(buf.getvalue())
+        assert doc.blocks[0].text == "a   b"
+
+    def test_dispatch_and_markdown(self):
+        from webcrawl_spark.kernels.document import build_odt, convert_document
+        from webcrawl_spark.kernels.scrape import markdown_for_page
+
+        d = build_odt([("h2", "Notes"), ("p", "hello odt")])
+        html = convert_document(d)
+        assert html is not None and "<h2>Notes</h2>" in html
+        md = markdown_for_page(html, "https://x.com/n.odt")
+        assert "hello odt" in md
+
+
 class TestEngineForcing:
     """engine-forcing.test.ts:8-105 vectors."""
 

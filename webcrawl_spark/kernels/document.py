@@ -31,7 +31,8 @@ from xml.etree import ElementTree as ET
 __all__ = [
     "Document", "Block", "xlsx_to_document", "render_document_html",
     "xlsx_to_html", "build_xlsx", "docx_to_document", "docx_to_html",
-    "build_docx",
+    "build_docx", "odt_to_document", "odt_to_html", "build_odt",
+    "convert_document",
 ]
 
 _NS = {
@@ -301,6 +302,123 @@ def build_docx(blocks: list[tuple]) -> bytes:
     return buf.getvalue()
 
 
+# --- odt provider (useful-slice subset of providers/odt.rs) -----------------
+
+_ODT_TEXT = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+_ODT_TABLE = "urn:oasis:names:tc:opendocument:xmlns:table:1.0"
+_ODT_OFFICE = "urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+
+
+def _odt_text_of(el: ET.Element) -> str:
+    """Flatten an OpenDocument text container: nested spans/links keep their
+    text; <text:s> expands to spaces; <text:tab> to a tab."""
+    parts = []
+
+    def walk(node: ET.Element) -> None:
+        if node.tag == f"{{{_ODT_TEXT}}}s":
+            parts.append(" " * int(node.get(f"{{{_ODT_TEXT}}}c", "1") or 1))
+        elif node.tag == f"{{{_ODT_TEXT}}}tab":
+            parts.append("\t")
+        if node.text:
+            parts.append(node.text)
+        for ch in node:
+            walk(ch)
+            if ch.tail:
+                parts.append(ch.tail)
+
+    if el.text:
+        parts.append(el.text)
+    for ch in el:
+        walk(ch)
+        if ch.tail:
+            parts.append(ch.tail)
+    return "".join(parts)
+
+
+def odt_to_document(data: bytes) -> Document:
+    """Useful-slice ODT provider (providers/odt.rs subset): body headings
+    (<text:h> with outline-level), paragraphs (<text:p>), and tables
+    (<table:table>/row/cell, cells flattened to their paragraph text).
+    Styles, lists, images, footnotes and frames are out of this subset —
+    same seam note as the docx provider."""
+    zf = zipfile.ZipFile(io.BytesIO(data))
+    root = ET.fromstring(zf.read("content.xml"))
+    body = root.find(f"{{{_ODT_OFFICE}}}body")
+    doc = Document()
+    if body is None:
+        return doc
+    office_text = body.find(f"{{{_ODT_OFFICE}}}text")
+    if office_text is None:
+        return doc
+    for node in office_text:
+        if node.tag == f"{{{_ODT_TEXT}}}h":
+            lvl = node.get(f"{{{_ODT_TEXT}}}outline-level", "1")
+            text = _odt_text_of(node)
+            if text.strip():
+                doc.blocks.append(Block(
+                    kind="heading",
+                    level=min(int(lvl) if lvl.isdigit() else 1, 6),
+                    text=text,
+                ))
+        elif node.tag == f"{{{_ODT_TEXT}}}p":
+            text = _odt_text_of(node)
+            if text.strip():
+                doc.blocks.append(Block(kind="paragraph", text=text))
+        elif node.tag == f"{{{_ODT_TABLE}}}table":
+            rows = [
+                [_odt_text_of(tc)
+                 for tc in tr.findall(f"{{{_ODT_TABLE}}}table-cell")]
+                for tr in node.findall(f"{{{_ODT_TABLE}}}table-row")
+            ]
+            doc.blocks.append(Block(kind="table", rows=rows))
+    return doc
+
+
+def odt_to_html(data: bytes) -> str:
+    return render_document_html(odt_to_document(data))
+
+
+def build_odt(blocks: list[tuple]) -> bytes:
+    """Deterministic minimal ODT writer for tests/synthetic corpora.
+    blocks: ("p"|"h1".."h6", text) or ("table", rows)."""
+    def esc(t: str) -> str:
+        return (t.replace("&", "&amp;").replace("<", "&lt;")
+                .replace(">", "&gt;"))
+
+    parts = []
+    for kind, payload in blocks:
+        if kind == "table":
+            trs = "".join(
+                "<table:table-row>" + "".join(
+                    f"<table:table-cell><text:p>{esc(c)}</text:p>"
+                    "</table:table-cell>" for c in row
+                ) + "</table:table-row>"
+                for row in payload
+            )
+            parts.append(f"<table:table>{trs}</table:table>")
+        elif kind.startswith("h") and kind[1:].isdigit():
+            parts.append(f'<text:h text:outline-level="{kind[1:]}">'
+                         f"{esc(payload)}</text:h>")
+        else:
+            parts.append(f"<text:p>{esc(payload)}</text:p>")
+    content = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        f'<office:document-content xmlns:office="{_ODT_OFFICE}" '
+        f'xmlns:text="{_ODT_TEXT}" xmlns:table="{_ODT_TABLE}">'
+        "<office:body><office:text>" + "".join(parts)
+        + "</office:text></office:body></office:document-content>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        mt = zipfile.ZipInfo("mimetype", date_time=(2020, 1, 1, 0, 0, 0))
+        mt.compress_type = zipfile.ZIP_STORED
+        zf.writestr(mt, "application/vnd.oasis.opendocument.text")
+        zi = zipfile.ZipInfo("content.xml", date_time=(2020, 1, 1, 0, 0, 0))
+        zi.compress_type = zipfile.ZIP_DEFLATED
+        zf.writestr(zi, content)
+    return buf.getvalue()
+
+
 # --- renderer (maud-equivalent output, html.rs:11-237) ----------------------
 
 def _esc(t: str) -> str:
@@ -355,6 +473,8 @@ def convert_document(data: bytes) -> str | None:
         return xlsx_to_html(data)
     if "word/document.xml" in names:
         return docx_to_html(data)
+    if "content.xml" in names:
+        return odt_to_html(data)
     return None
 
 

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "token_count",
+    "bpe_token_count",
     "word_stats",
     "quality_score",
     "language_guess",
@@ -38,6 +39,19 @@ def _words(text: Column) -> Column:
 def token_count(text: Column) -> Column:
     """Pre-tokenizer token count (word-ish units)."""
     return F.size(_words(text))
+
+
+# GPT-2-style pre-tokenizer granularity, restricted to lookahead-free syntax
+# so RE2 engines (the DuckDB oracle) match Java regex exactly: contractions,
+# space-prefixed letter runs, digit runs, punctuation runs, whitespace runs.
+_BPE_ISH_RE = r"'(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count: the number of pre-tokenizer segments a
+    byte-pair encoder would start from — a closer proxy for LLM token cost
+    than whitespace words. Native regexp_extract_all, codegen'd."""
+    return F.size(F.regexp_extract_all(text, F.lit(_BPE_ISH_RE), F.lit(0)))
 
 
 def word_stats(text: Column) -> dict[str, Column]:
