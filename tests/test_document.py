@@ -197,6 +197,42 @@ class TestOdtProvider:
         assert "hello odt" in md
 
 
+class TestRtfProvider:
+    RTF = (b"{\\rtf1\\ansi{\\fonttbl{\\f0 Helvetica;}}{\\info{\\title Sec}}\n"
+           b"Intro with \\'e9 accent and \\u21487 ? char.\\par\n"
+           b"Second {\\b inner} text.\\par\n"
+           b"\\trowd A1\\cell B1\\cell\\row\n"
+           b"\\trowd A2\\cell B2\\cell\\row\n"
+           b"\\par Tail \\{lit\\}.\\par}")
+
+    def test_paragraphs_tables_escapes(self):
+        from webcrawl_spark.kernels.document import rtf_to_document
+
+        doc = rtf_to_document(self.RTF)
+        kinds = [b.kind for b in doc.blocks]
+        assert kinds == ["paragraph", "paragraph", "table", "paragraph"]
+        assert doc.blocks[0].text == "Intro with é accent and 可 char."
+        assert doc.blocks[1].text == "Second inner text."
+        assert doc.blocks[2].rows == [["A1", "B1"], ["A2", "B2"]]
+        assert doc.blocks[3].text == "Tail {lit}."
+
+    def test_destination_groups_hidden(self):
+        """fonttbl/info/stylesheet content must not leak into the text
+        (rtf.rs skips destinations; same contract)."""
+        from webcrawl_spark.kernels.document import rtf_to_html
+
+        html = rtf_to_html(self.RTF)
+        assert "Helvetica" not in html and "Sec" not in html.replace(
+            "Second", "")
+
+    def test_dispatch_and_garbage(self):
+        from webcrawl_spark.kernels.document import convert_document
+
+        assert "<p>Intro" in convert_document(self.RTF)
+        assert convert_document(b"{\\rtfX") is not None or True  # no crash
+        assert convert_document(b"plain text") is None
+
+
 class TestEngineForcing:
     """engine-forcing.test.ts:8-105 vectors."""
 

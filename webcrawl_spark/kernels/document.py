@@ -32,7 +32,7 @@ __all__ = [
     "Document", "Block", "xlsx_to_document", "render_document_html",
     "xlsx_to_html", "build_xlsx", "docx_to_document", "docx_to_html",
     "build_docx", "odt_to_document", "odt_to_html", "build_odt",
-    "convert_document",
+    "rtf_to_document", "rtf_to_html", "convert_document",
 ]
 
 _NS = {
@@ -419,6 +419,136 @@ def build_odt(blocks: list[tuple]) -> bytes:
     return buf.getvalue()
 
 
+# --- rtf provider (useful-slice subset of providers/rtf.rs) -----------------
+
+_RTF_SKIP_DESTS = {b"fonttbl", b"colortbl", b"stylesheet", b"info",
+                   b"pict", b"header", b"footer", b"generator"}
+
+
+def rtf_to_document(data: bytes) -> Document:
+    """Useful-slice RTF provider (providers/rtf.rs:211+ subset, built from
+    the public RTF 1.9 spec): paragraph text split on \\par, simple tables
+    (\\trowd … \\cell … \\row), destination groups ({\\* …}, fonttbl,
+    colortbl, stylesheet, info, pict) skipped, \\'hh and \\uN escapes
+    decoded. Character styling, list numbering and nested tables are out of
+    this subset."""
+    if not data.startswith(b"{\\rtf"):
+        raise ValueError("not an RTF document")
+    doc = Document()
+    buf: list[str] = []
+    table_rows: list[list[str]] = []
+    row: list[str] = []
+    in_table = False
+    skip_depth = 0   # >0 → inside a skipped destination group
+    depth = 0
+    i, n = 0, len(data)
+    uc_skip = 1      # \ucN: bytes to skip after \u
+
+    def flush_par() -> None:
+        text = "".join(buf).strip()
+        buf.clear()
+        if text:
+            doc.blocks.append(Block(kind="paragraph", text=text))
+
+    def flush_table() -> None:
+        nonlocal in_table
+        if table_rows:
+            doc.blocks.append(Block(kind="table",
+                                    rows=[list(r) for r in table_rows]))
+            table_rows.clear()
+        in_table = False
+
+    while i < n:
+        c = data[i:i + 1]
+        if c == b"{":
+            depth += 1
+            if skip_depth:
+                skip_depth += 1
+            elif data[i + 1:i + 3] == b"\\*":
+                skip_depth = 1
+            i += 1
+        elif c == b"}":
+            depth -= 1
+            if skip_depth:
+                skip_depth -= 1
+            i += 1
+        elif c == b"\\":
+            nxt = data[i + 1:i + 2]
+            if nxt in (b"\\", b"{", b"}"):
+                if not skip_depth:
+                    buf.append(nxt.decode())
+                i += 2
+            elif nxt == b"'":
+                if not skip_depth:
+                    try:
+                        buf.append(bytes([int(data[i + 2:i + 4], 16)])
+                                   .decode("cp1252", errors="replace"))
+                    except ValueError:
+                        pass
+                i += 4
+            elif nxt == b"~":
+                if not skip_depth:
+                    buf.append("\u00a0")
+                i += 2
+            else:
+                m = re.match(rb"\\([a-zA-Z]+)(-?\d+)? ?", data[i:i + 32])
+                if not m:
+                    i += 1
+                    continue
+                word, num = m.group(1), m.group(2)
+                i += m.end()
+                if skip_depth:
+                    continue
+                if word in _RTF_SKIP_DESTS:
+                    skip_depth = 1
+                elif word == b"par":
+                    if in_table and row:
+                        buf.append("\n")   # paragraph break inside a cell
+                    else:
+                        if in_table:
+                            flush_table()  # \par after \row ends the table
+                        flush_par()
+                elif word in (b"tab",):
+                    buf.append("\t")
+                elif word in (b"line",):
+                    buf.append("\n")
+                elif word == b"uc":
+                    uc_skip = int(num or 1)
+                elif word == b"u":
+                    cp = int(num or 0)
+                    buf.append(chr(cp + 65536 if cp < 0 else cp))
+                    i += uc_skip  # skip the fallback byte(s)
+                elif word == b"trowd":
+                    if not in_table:
+                        flush_par()
+                        in_table = True
+                elif word == b"cell":
+                    row.append("".join(buf).strip())
+                    buf.clear()
+                elif word == b"row":
+                    if row:
+                        table_rows.append(list(row))
+                        row.clear()
+                # all other control words (formatting) are ignored
+        else:
+            j = i
+            while j < n and data[j:j + 1] not in (b"\\", b"{", b"}"):
+                j += 1
+            if not skip_depth:
+                chunk = data[i:j].replace(b"\r", b"").replace(b"\n", b"")
+                if chunk:
+                    buf.append(chunk.decode("cp1252", errors="replace"))
+            i = j
+    if in_table:
+        flush_table()
+    flush_par()
+    return doc
+
+
+def rtf_to_html(data: bytes) -> str:
+    return render_document_html(rtf_to_document(data))
+
+
 # --- renderer (maud-equivalent output, html.rs:11-237) ----------------------
 
 def _esc(t: str) -> str:
@@ -464,6 +594,11 @@ def convert_document(data: bytes) -> str | None:
     """Provider dispatch (the S5 'document' engine body): sniff the OOXML
     package for the workbook/word part. Unknown format → None (the engine
     reports a failed conversion, like an unsupported provider)."""
+    if data[:5] == b"{\\rtf":
+        try:
+            return rtf_to_html(data)
+        except Exception:
+            return None
     try:
         with zipfile.ZipFile(io.BytesIO(data)) as zf:
             names = set(zf.namelist())
