@@ -16,12 +16,20 @@ Operator-family mapping (SURVEY.md §2 → query):
   A1 metrics aggregation               → q_round_metrics (TPC-H Q1 shape)
   2.6 union + dedup                    → q_union_dedup
   U2 canonicalization analogue         → q_norm_dedup (exact dedup)
-  text ops (tokens/quality/lang/fp)    → q_token_stats, q_quality_filter,
-                                         q_lang_id, q_exact_dedup_docs
+  S3/U6 PDF engine                     → q_pdf_text (full build→extract oracle)
+  S4 document converter                → q_doc_convert (xlsx→HTML oracle)
+  text ops (tokens/quality/lang/fp)    → q_token_stats (word + BPE-ish),
+                                         q_quality_filter, q_lang_id,
+                                         q_exact_dedup_docs
   similarity (brute-force cosine)      → q_cosine_topk
   streaming-ish window agg             → q_hourly_events
-  LSH dedup / simhash / ANN            → rows-only: q_minhash_dedup,
-                                         q_simhash_pairs, q_ann_topk
+  SimHash near-dup                     → q_simhash_pairs (exact SQL oracle —
+                                         md5 token hash + pigeonhole banding)
+  MinHash-LSH dedup                    → q_minhash_oracle (exact SQL oracle,
+                                         pigeonhole config) + q_minhash_dedup
+                                         (scale config, rows-only)
+  ANN / multimodal / crawl rounds      → rows-only: q_ann_topk,
+                                         q_image_plumbing, q_crawl_round
   crawl engine end-to-end              → entry() (frontier round on the
                                          synthetic site; pytest gates parity)
 """
