@@ -155,6 +155,74 @@ class TestEngineParity:
         assert crawl.fetch_order() == oracle.fetch_order
 
 
+class TestQueuedCompaction:
+    def test_compacted_queued_snapshot_parity(self, spark, site, fetch,
+                                              site_pages_df, tmp_path):
+        """Merge-on-read queued set: frequent compaction (every 2 rounds)
+        produces the identical crawl to no compaction, and the queued view
+        after compaction reads the snapshot + recent rounds only."""
+        seed = f"https://{site.hosts[0]}/"
+        cfg = CrawlConfig(seed_url=seed, limit=None, max_depth=3,
+                          allow_backward_crawling=True, host_budget=6)
+        compacting = run_engine(spark, site_pages_df, cfg, tmp_path / "a",
+                                EngineConfig(compact_queued_every=2))
+        never = run_engine(spark, site_pages_df, cfg, tmp_path / "b",
+                           EngineConfig(compact_queued_every=0))
+        assert compacting.fetch_order() == never.fetch_order()
+        # snapshots were actually written and are the source of the view
+        last = compacting.io.latest_round("frontier_queued")
+        assert last is not None and last >= 2
+        # the merge-on-read view equals the full-history recomputation
+        full = never._queued_df().select("seq").collect()
+        merged = compacting._queued_df().select("seq").collect()
+        assert sorted(r["seq"] for r in merged) == \
+            sorted(r["seq"] for r in full)
+
+    def test_compaction_resume_parity(self, spark, site, fetch,
+                                      site_pages_df, tmp_path):
+        """Resume across a compaction boundary is exact."""
+        seed = f"https://{site.hosts[0]}/"
+        cfg = CrawlConfig(seed_url=seed, limit=None, max_depth=2,
+                          allow_backward_crawling=True, host_budget=5)
+        eng = EngineConfig(compact_queued_every=2)
+        full = run_engine(spark, site_pages_df, cfg, tmp_path / "full", eng)
+        work = str(tmp_path / "resumed")
+        c1 = SparkCrawl(spark, site_pages_df, cfg, work,
+                        engine=EngineConfig(compact_queued_every=2))
+        c1.run(max_rounds=3)
+        c2 = SparkCrawl(spark, site_pages_df, cfg, work,
+                        engine=EngineConfig(compact_queued_every=2))
+        c2.run()
+        assert c2.fetch_order() == full.fetch_order()
+
+
+class TestBloomBootstrap:
+    def test_resume_with_bloom_on_nobloom_checkpoint(self, spark, site, fetch,
+                                                     site_pages_df, tmp_path):
+        """A workdir whose bloom_shards table doesn't cover the committed
+        frontier (crawl started with use_bloom=False, resumed with True) must
+        rebuild the shard set from the full frontier — otherwise older URLs
+        probe 'surely new' and get re-admitted as duplicates."""
+        seed = f"https://{site.hosts[0]}/"
+        cfg = CrawlConfig(seed_url=seed, limit=None, max_depth=3,
+                          allow_backward_crawling=True, host_budget=6)
+        baseline = run_engine(spark, site_pages_df, cfg, tmp_path / "base",
+                              EngineConfig(use_bloom=True))
+        work = str(tmp_path / "switch")
+        c1 = SparkCrawl(spark, site_pages_df, cfg, work,
+                        engine=EngineConfig(use_bloom=False))
+        c1.run(max_rounds=3)
+        assert not c1.io.exists("bloom_shards")
+        c2 = SparkCrawl(spark, site_pages_df, cfg, work,
+                        engine=EngineConfig(use_bloom=True))
+        c2.run()
+        order = c2.fetch_order()
+        assert order == baseline.fetch_order()
+        assert len(order) == len(set(order))  # no re-fetches
+        urls = [r["url"] for r in c2.frontier().select("url").collect()]
+        assert len(urls) == len(set(urls))    # no duplicate admissions
+
+
 class TestResume:
     def test_mid_crawl_resume_identical(self, spark, site, fetch,
                                         site_pages_df, tmp_path):

@@ -67,6 +67,47 @@ def test_scan_prunes_columns(spark):
     assert "l_comment" not in read_schema and "l_shipdate" not in read_schema
 
 
+def test_bloom_cogroup_runs_num_buckets_tasks(spark):
+    """The bloom probe/shard-write cogroups must run num_buckets tasks, not
+    spark.sql.shuffle.partitions — empty pandas groups plus python-worker
+    spin-up grew with core count (r2 negative-scaling finding). The
+    repartition(num_buckets, key) on both children must satisfy the
+    cogroup's required distribution (exactly one Exchange per child)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from webcrawl_spark.frontier.crawl import EngineConfig, SparkCrawl
+    from webcrawl_spark.frontier.oracle import CrawlConfig
+
+    n_buckets = 4
+    crawl = SparkCrawl(
+        spark, spark.createDataFrame([("https://h/", b"")],
+                                     "url string, html binary"),
+        CrawlConfig(seed_url="https://h/"), tempfile.mkdtemp(prefix="plan_"),
+        engine=EngineConfig(num_buckets=n_buckets),
+    )
+    cand = spark.range(100).select(
+        F.lit(0).alias("source_priority"), F.col("id").alias("source_seq"),
+        F.lit(0).alias("link_pos"),
+        F.concat(F.lit("https://h/"), F.col("id")).alias("link"),
+        F.concat(F.lit("https://h/"), F.col("id")).alias("url_canon"),
+        F.concat(F.lit("https://h/"), F.col("id")).alias("dedup_key"),
+        F.xxhash64(F.col("id").cast("string")).alias("dedup_hash"),
+        F.pmod(F.col("id"), F.lit(n_buckets)).cast("int").alias("cand_bucket"),
+    )
+    shards = spark.createDataFrame([], "host_bucket int, blob binary")
+    probed = crawl._bloom_probe(cand, shards)
+    assert probed.rdd.getNumPartitions() == n_buckets
+    # each child exchanges once into num_buckets; no second exchange to the
+    # default shuffle-partition count (AQE plan string repeats the tree in
+    # its Initial Plan section — inspect the final plan only)
+    final_plan = _plan(probed).split("== Initial Plan ==")[0]
+    assert final_plan.count("Exchange hashpartitioning") == 2
+    assert f", {n_buckets})" in final_plan.split(
+        "Exchange hashpartitioning", 1)[1][:80]
+
+
 def test_crawl_fetch_join_broadcasts_selection(spark):
     """The pages corpus side of the synthetic fetch must never shuffle:
     the selection is broadcast, so the plan has a BroadcastHashJoin and no

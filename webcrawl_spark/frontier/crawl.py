@@ -27,11 +27,13 @@ reconstruction, and nothing crawl-sized ever lives on the driver. The only
 driver-resident values are three integers (processed, next_seq,
 frontier_count) mirrored in the checkpoint metadata.
 
-Queued-set computation: frontier LEFT ANTI fetched-seqs — the fetched side
-is a single pruned bigint column (broadcast at sandbox scale; at 10^10 the
-Iceberg deployment replaces the anti-join with a merge-on-read `fetched`
-flag in the frontier table, i.e. an Iceberg MERGE per round — the TableIO
-seam keeps job logic identical).
+Queued-set computation (merge-on-read): the queued view is a compacted
+``frontier_queued`` snapshot (written every ``compact_queued_every`` rounds;
+≙ Iceberg MERGE + compaction) plus the frontier deltas since that snapshot,
+LEFT ANTI the fetched seqs of only the rounds since the snapshot (≙ Iceberg
+merge-on-read equality deletes applied at scan). Per-round read cost is
+O(queued) + O(rounds since compaction) — it never rescans the full fetch
+history, so the round job's fixed cost stays flat as the crawl ages.
 
 Bloom shard lifecycle (all executor-side):
 - build/update: cogroup(previous shard blobs, this round's new url-hashes)
@@ -85,7 +87,7 @@ __all__ = ["SparkCrawl", "EngineConfig"]
 # markdown/links columns away); bloom shards persist per round so resume
 # never rescans the frontier.
 TABLES = ["frontier", "crawl_result", "round_metrics", "host_budget",
-          "bloom_shards"]
+          "bloom_shards", "frontier_queued"]
 
 FRONTIER_SCHEMA = (
     "url string, url_canon string, host string, host_bucket int, "
@@ -112,6 +114,7 @@ class EngineConfig:
         max_rounds: int = 1000,
         extract_markdown: bool = True,
         small_round_threshold: int = 5000,
+        compact_queued_every: int = 8,
     ) -> None:
         self.num_buckets = num_buckets
         self.dedup_key = dedup_key
@@ -120,10 +123,16 @@ class EngineConfig:
         self.bloom_fp_rate = bloom_fp_rate
         self.max_rounds = max_rounds
         self.extract_markdown = extract_markdown
-        # rounds with fewer fetches than this use the driver-side admission
-        # path even without a limit (identical result, none of the
-        # distributed-dedup fixed cost); big rounds stay fully distributed
+        # rounds with fewer CANDIDATE LINKS than this use the driver-side
+        # admission path even without a limit (identical result, none of the
+        # distributed-dedup fixed cost); big rounds stay fully distributed.
+        # Gated on the candidate count, not the fetch count — 5k link-heavy
+        # pages can carry 10^6 candidates, which must never hit the driver.
         self.small_round_threshold = small_round_threshold
+        # rewrite the compacted queued snapshot every K rounds (the Iceberg
+        # MERGE/compaction cadence); between compactions the queued view is
+        # snapshot + deltas − recent fetched seqs (merge-on-read)
+        self.compact_queued_every = compact_queued_every
 
 
 def _crawl_links_udf(cfg: CrawlConfig):
@@ -321,12 +330,54 @@ class SparkCrawl:
         return self.io.read("frontier").drop("round")
 
     def _queued_df(self) -> DataFrame:
-        frontier = self._frontier_df()
-        if not self.io.exists("crawl_result"):
-            return frontier
-        fetched = self.io.read("crawl_result").select(F.col("seq").alias("fseq"))
-        return frontier.join(fetched, frontier["seq"] == fetched["fseq"],
-                             "left_anti")
+        """Queued rows = compacted snapshot + frontier deltas since it, ANTI
+        the fetched seqs of only the rounds since it (merge-on-read). Reads
+        O(queued) + O(rounds since compaction) — never the full fetch
+        history. On Iceberg this is the table's merge-on-read scan itself."""
+        compact = self.io.latest_round("frontier_queued")
+        if compact is None:
+            base = self._frontier_df()
+            since = -1
+        else:
+            base = self.io.read_round("frontier_queued", compact)
+            delta = self.io.read_rounds("frontier", compact)
+            if delta is not None:
+                base = base.unionByName(delta.drop("round"))
+            since = compact
+        fetched = self.io.read_rounds("crawl_result", since,
+                                      discover_partitions=False)
+        if fetched is None:
+            return base
+        fetched = fetched.select(F.col("seq").alias("fseq"))
+        return base.join(fetched, base["seq"] == fetched["fseq"], "left_anti")
+
+    def _maybe_compact_queued(self, queued: DataFrame, selected: DataFrame,
+                              new_rows_file: DataFrame | None,
+                              round_no: int) -> None:
+        """Every compact_queued_every rounds, rewrite the queued snapshot as
+        of end-of-round: (queued-at-round-start ANTI this round's fetched
+        seqs) ∪ this round's admitted rows. Cost O(queued) every K rounds —
+        the Iceberg MERGE + partition-compaction cadence. Written before the
+        round commit, so rollback_uncommitted cleans a crashed compaction."""
+        every = self.engine.compact_queued_every
+        if every <= 0 or round_no == 0 or round_no % every != 0:
+            return
+        fetched_now = selected.select(F.col("seq").alias("fseq"))
+        remaining = queued.join(fetched_now,
+                                queued["seq"] == fetched_now["fseq"],
+                                "left_anti")
+        if new_rows_file is not None:
+            remaining = remaining.unionByName(
+                new_rows_file.select(*remaining.columns))
+        # one execution: pin, then count + write read the pinned data. An
+        # empty snapshot is skipped (a partitioned write of zero rows leaves
+        # a schemaless dir) — correctness is unaffected, the merge-on-read
+        # view is valid for any older snapshot.
+        remaining = remaining.localCheckpoint(eager=True)
+        if remaining.count() == 0:
+            return
+        self.io.append(remaining, "frontier_queued", round_no,
+                       partition_by=["host_bucket"])
 
     def _load_state(self) -> None:
         committed = self.io.committed_round()
@@ -450,12 +501,21 @@ class SparkCrawl:
         import numpy as np
 
         m_bits, k = self._shard_params()
+        n_buckets = self.engine.num_buckets
         dedup = self._dedup_col()
+        # pre-partition both cogroup inputs to exactly num_buckets: the
+        # cogroup's required hash distribution is then already satisfied, so
+        # applyInPandas runs num_buckets tasks instead of
+        # spark.sql.shuffle.partitions (default 200) — which at 32 buckets
+        # meant ~170 empty pandas groups + python-worker spin-up per stage,
+        # growing with core count (the r2 negative-scaling finding).
         hashes = new_rows.select(
-            "host_bucket", F.xxhash64(F.col(dedup)).alias("dedup_hash"))
+            "host_bucket", F.xxhash64(F.col(dedup)).alias("dedup_hash"),
+        ).repartition(n_buckets, "host_bucket")
         if shards is None:
             shards = self.spark.createDataFrame(
                 [], "host_bucket int, blob binary")
+        shards = shards.repartition(n_buckets, "host_bucket")
 
         def merge(key, old: pd.DataFrame, new: pd.DataFrame) -> pd.DataFrame:
             if len(old):
@@ -494,9 +554,12 @@ class SparkCrawl:
                 out["maybe_seen"] = blob.contains(h)
             return out
 
+        n_buckets = self.engine.num_buckets
         return (
-            allowed.groupBy("cand_bucket")
-            .cogroup(shards.groupBy("host_bucket"))
+            allowed.repartition(n_buckets, "cand_bucket")
+            .groupBy("cand_bucket")
+            .cogroup(shards.repartition(n_buckets, "host_bucket")
+                     .groupBy("host_bucket"))
             .applyInPandas(probe, _CAND_SCHEMA + ", maybe_seen boolean")
         )
 
@@ -674,6 +737,9 @@ class SparkCrawl:
         cls = self._pin(
             cand.withColumn("c", _classify_f1_udf(cfg)(F.col("link")))
         )
+        # candidate count for the small-round gate: a count over the pinned
+        # (localCheckpoint'ed) data — no recompute, bounded driver value
+        n_candidates = cls.count()
         t = self._trace(round_no, "classify pin", t)
         allowed = (
             cls.filter(F.col("c.allowed"))
@@ -719,7 +785,7 @@ class SparkCrawl:
         # ---- admission + new frontier rows ----
         if limit is not None:
             n_new = self._admit_with_limit_replay(flagged, limit, round_no)
-        elif n_selected < eng.small_round_threshold:
+        elif n_candidates < eng.small_round_threshold:
             n_new = self._admit_small_round(flagged, round_no)
         else:
             n_new = self._admit_distributed(flagged, round_no)
@@ -727,9 +793,24 @@ class SparkCrawl:
 
         new_rows_file = (io.read_round("frontier", round_no)
                          if n_new else None)
-        if eng.use_bloom and n_new:
-            self._write_shards(new_rows_file, shards, round_no)
+        if eng.use_bloom:
+            if shards is None:
+                # bootstrap: the shard table doesn't cover the committed
+                # frontier (resume of a pre-bloom checkpoint, or a crawl
+                # started with use_bloom=False) — seeding from only this
+                # round's rows would mark older frontier URLs 'surely new'
+                # and re-admit duplicates. Build from the FULL committed
+                # frontier plus this round's admissions instead.
+                base = self._frontier_df()
+                if n_new:
+                    base = base.unionByName(
+                        new_rows_file.select(*base.columns))
+                self._write_shards(base, None, round_no)
+            elif n_new:
+                self._write_shards(new_rows_file, shards, round_no)
         t = self._trace(round_no, "bloom shard write", t)
+        self._maybe_compact_queued(queued, selected, new_rows_file, round_no)
+        t = self._trace(round_no, "queued compaction", t)
 
         # ---- per-round metrics + per-bucket lineage ----
         denials = {

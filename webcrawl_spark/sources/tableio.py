@@ -144,6 +144,39 @@ class TableIO:
                         best = rnd
         return best
 
+    def read_rounds(self, table: str, after_round: int,
+                    upto_round: int | None = None,
+                    discover_partitions: bool = True) -> DataFrame | None:
+        """Incremental read: only rounds in (after_round, committed] — the
+        TableIO stand-in for an Iceberg incremental snapshot-range scan.
+        Listing and scan cost are O(rounds since after_round), independent of
+        total table history. None if no round in range has data.
+        discover_partitions=False skips basePath partition discovery (for
+        tables whose data already carries the needed columns — avoids the
+        round data-vs-partition column clash on crawl_result)."""
+        limit = self.committed_round() if upto_round is None else upto_round
+        tdir = self._table_dir(table)
+        def has_parquet(path: str) -> bool:
+            # a round with zero rows leaves a dir with no part files
+            # (partitioned writes emit nothing) — unreadable, skip it
+            return any(
+                f.endswith(".parquet")
+                for _, _, files in os.walk(path) for f in files
+            )
+
+        paths = [
+            p for e in sorted(os.listdir(tdir))
+            if e.startswith("round=")
+            and after_round < int(e.split("=", 1)[1]) <= limit
+            and has_parquet(p := os.path.join(tdir, e))
+        ] if os.path.isdir(tdir) else []
+        if not paths:
+            return None
+        reader = self.spark.read
+        if discover_partitions:
+            reader = reader.option("basePath", tdir)
+        return reader.parquet(*paths)
+
     def read(self, table: str, upto_round: int | None = None) -> DataFrame:
         """Snapshot read: only committed rounds (or ≤ upto_round)."""
         limit = self.committed_round() if upto_round is None else upto_round
