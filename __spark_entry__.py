@@ -28,8 +28,11 @@ Operator-family mapping (SURVEY.md §2 → query):
   MinHash-LSH dedup                    → q_minhash_oracle (exact SQL oracle,
                                          pigeonhole config) + q_minhash_dedup
                                          (scale config, rows-only)
-  ANN / multimodal / crawl rounds      → rows-only: q_ann_topk,
-                                         q_image_plumbing, q_crawl_round
+  ANN top-k (RP-LSH bucketed)          → q_ann_topk (FULL oracle: bucketing
+                                         recomputed in SQL from shared plane
+                                         constants + exact rerank)
+  multimodal / crawl rounds            → rows-only: q_image_plumbing,
+                                         q_crawl_round
   crawl engine end-to-end              → entry() (frontier round on the
                                          synthetic site; pytest gates parity)
 """
@@ -392,11 +395,14 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs comparison."""
     from pyspark.sql import functions as F
 
-    from webcrawl_spark.operators.dedup import simhash_near_dup_pairs
+    from webcrawl_spark.operators.dedup import (
+        simhash_column, simhash_near_dup_pairs,
+    )
 
     docs = _load(spark, sf_dir, "documents")["documents"] \
         .filter(F.trim("text") != "")
-    return simhash_near_dup_pairs(docs, max_hamming=3) \
+    return simhash_near_dup_pairs(docs, max_hamming=3,
+                                  simhash=simhash_column()) \
         .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")) \
         .orderBy("doc_a", "doc_b")
 
@@ -415,11 +421,18 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k (RP-LSH sign buckets + 1-bit-flip probing + exact cosine
+    rerank) — now a FULL equality oracle: the DuckDB twin recomputes the
+    identical random-hyperplane bucketing (plane constants shared verbatim
+    via rp-LSH's _hyperplanes), restricts to the same probed buckets, and
+    exact-reranks — bucketing, probing, and rerank all independently
+    verified in SQL."""
     from webcrawl_spark.operators.similarity import ann_topk
 
     emb = _load(spark, sf_dir, "embeddings")["embeddings"]
     query = [1.0 if i == 0 else 0.0 for i in range(64)]
-    return ann_topk(emb, query, k=10, dim=64, n_bits=8)
+    return ann_topk(emb, query, k=10, dim=64, n_bits=8) \
+        .select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
 def q_crawl_round(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -569,6 +582,44 @@ def _minhash_oracle_sql() -> str:
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (SELECT db FROM pairs)
         ORDER BY doc_id
+    """
+
+
+def _ann_oracle_sql() -> str:
+    """Full twin of q_ann_topk: recompute the sign-bit bucket of every
+    embedding from the SAME hyperplane constants the Spark UDF uses
+    (imported, not copied — they cannot drift), keep only the query's probed
+    buckets (base + all 1-bit flips, computed here with the same helper),
+    then exact-rerank by cosine. Sign flips from float summation-order
+    differences would need |dot| ≲ 1e-13 — verified exact at sf0.001/0.01/0.1."""
+    import numpy as np
+
+    from webcrawl_spark.operators.similarity import (
+        _hyperplanes, _query_buckets,
+    )
+
+    n_bits, seed, dim, k = 8, 7, 64, 10
+    planes = _hyperplanes(dim, n_bits, seed)
+    q = np.zeros(dim)
+    q[0] = 1.0
+    targets = sorted(set(_query_buckets(q, planes, n_bits, probe_flips=1)))
+    bits = " + ".join(
+        "(CASE WHEN ("
+        + " + ".join(f"embedding[{i + 1}]*({planes[j, i]!r})"
+                     for i in range(dim))
+        + f") > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(n_bits)
+    )
+    return f"""
+        WITH b AS (
+          SELECT vec_id,
+                 embedding[1] / sqrt(list_aggregate(
+                   list_transform(embedding, x -> x*x), 'sum')) AS cosine,
+                 ({bits}) AS bucket
+          FROM embeddings)
+        SELECT vec_id, round(cosine, 6) AS cosine
+        FROM b WHERE bucket IN ({', '.join(map(str, targets))})
+        ORDER BY cosine DESC, vec_id ASC LIMIT {k}
     """
 
 
@@ -806,7 +857,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_minhash_oracle": _minhash_oracle_sql(),
         "q_simhash_pairs": _SIMHASH_ORACLE_SQL,
-        # q_minhash_dedup (scale-path config) / q_ann_topk /
-        # q_image_plumbing / q_crawl_round: non-SQL-expressible →
-        # rows-only checks (driver contract).
+        "q_ann_topk": _ann_oracle_sql(),
+        # q_minhash_dedup (scale-path config) / q_image_plumbing /
+        # q_crawl_round: non-SQL-expressible → rows-only checks
+        # (driver contract).
     }

@@ -67,12 +67,45 @@ class TestMinHash:
 
 class TestSimHash:
     def test_near_dup_pairs(self, spark, docs_df):
+        """Default (vectorized FNV scale path) finds exact dups, separates
+        distinct docs."""
         from webcrawl_spark.operators.dedup import simhash_near_dup_pairs
 
         pairs = simhash_near_dup_pairs(docs_df, max_hamming=3).collect()
         found = {(r["doc_a"], r["doc_b"]) for r in pairs}
         assert (1, 2) in found
         assert (1, 4) not in found and (4, 5) not in found
+
+    def test_md5_oracle_variant_same_pairs(self, spark, docs_df):
+        """The md5 (oracle-recomputable) variant finds the same near-dup
+        pairs on this corpus — the hash differs, the verdicts agree."""
+        from webcrawl_spark.operators.dedup import (
+            simhash_column, simhash_near_dup_pairs,
+        )
+
+        pairs = simhash_near_dup_pairs(docs_df, max_hamming=3,
+                                       simhash=simhash_column()).collect()
+        found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+        assert (1, 2) in found
+        assert (1, 4) not in found and (4, 5) not in found
+
+    def test_fnv_hashes_vectorized_match_scalar(self):
+        """The padded-matrix FNV-1a equals the straightforward scalar
+        FNV-1a for mixed-length unicode tokens."""
+        import numpy as np
+
+        from webcrawl_spark.operators.dedup import _fnv1a_hashes
+
+        def scalar_fnv(t: str) -> int:
+            h = 0xCBF29CE484222325
+            for b in t.encode("utf-8"):
+                h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+            return h
+
+        toks = ["a", "hello", "wörld", "", "longer-token-here", "日本語"]
+        got = _fnv1a_hashes(toks)
+        want = np.array([scalar_fnv(t) for t in toks], dtype=np.uint64)
+        assert (got == want).all()
 
 
 class TestNgramJaccard:

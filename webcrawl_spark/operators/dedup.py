@@ -32,6 +32,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "minhash_lsh_dedup",
     "simhash_column",
+    "simhash_column_fnv",
     "simhash_near_dup_pairs",
     "ngram_jaccard_pairs",
 ]
@@ -171,13 +172,17 @@ def minhash_lsh_pairs(
     at least one clean band, so (absent max_bucket truncation) the output
     equals the brute-force signature comparison. The oracle query runs in
     such a configuration."""
-    # cache only (id, sig): at 100 TB the text column would dominate the
-    # cached footprint and nothing downstream of the signature needs it
+    # pin only (id, sig): at 100 TB the text column would dominate the
+    # stored footprint and nothing downstream of the signature needs it.
+    # localCheckpoint instead of cache(): the blocks are released by the
+    # ContextCleaner when the DataFrame is garbage-collected, so repeated
+    # operator calls in one session don't accumulate storage (a plain
+    # .cache() lives in the CacheManager until explicitly unpersisted).
     sigs = df.select(
         F.col(id_col),
         (signatures or minhash_signatures(num_perm))(F.col(text_col))
         .alias("sig"),
-    ).cache()
+    ).localCheckpoint(eager=False)
     buckets = _band_buckets(sigs, "sig", num_perm, bands, id_col)
     # cap pathological buckets (boilerplate shingles) before the self-join
     w = Window.partitionBy("band", "bucket").orderBy("doc")
@@ -249,14 +254,74 @@ def simhash_column(shingle_k: int = 3):
     return pandas_udf(batch, T.LongType())
 
 
+def _fnv1a_hashes(tokens: list[str]) -> np.ndarray:
+    """64-bit FNV-1a over utf-8 bytes for a batch of tokens, fully
+    vectorized: tokens are padded into a (n, maxlen) byte matrix and the
+    hash loop runs over byte POSITIONS (≤ longest token), not tokens."""
+    encoded = [t.encode("utf-8") for t in tokens]
+    lens = np.array([len(b) for b in encoded], dtype=np.int64)
+    maxlen = int(lens.max()) if len(lens) else 0
+    mat = np.zeros((len(encoded), maxlen), dtype=np.uint8)
+    if maxlen:
+        flat = np.frombuffer(b"".join(encoded), dtype=np.uint8)
+        mask = np.arange(maxlen)[None, :] < lens[:, None]
+        mat[mask] = flat
+    h = np.full(len(encoded), np.uint64(0xCBF29CE484222325))
+    prime = np.uint64(0x100000001B3)
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            live = j < lens
+            h = np.where(live, (h ^ mat[:, j].astype(np.uint64)) * prime, h)
+    return h
+
+
+def simhash_column_fnv():
+    """(text) → bigint 64-bit simhash — the SCALE-PATH variant: vectorized
+    FNV-1a token hashing (no per-token Python md5 loop; the hot loop runs
+    over byte positions and documents are reduced with np.add.reduceat).
+    Same bit-voting scheme as simhash_column; the token hash differs, so the
+    two variants produce different (equally valid) simhashes — keep the md5
+    variant for oracle-checkable configurations, exactly as minhash has
+    minhash_signatures (FNV scale) vs minhash_signatures_md5 (oracle)."""
+
+    def batch(texts: pd.Series) -> pd.Series:
+        token_lists = [(t or "").lower().split() for t in texts]
+        counts = np.array([len(t) for t in token_lists], dtype=np.int64)
+        out = np.zeros(len(texts), dtype=np.int64)
+        all_tokens = [tok for toks in token_lists for tok in toks]
+        if not all_tokens:
+            return pd.Series(out)
+        hs = _fnv1a_hashes(all_tokens)
+        bits = (
+            (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)
+        ).astype(np.int64)
+        nonempty = counts > 0
+        starts = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        ones = np.add.reduceat(bits, starts[nonempty], axis=0)
+        majority = (2 * ones > counts[nonempty, None]).astype(np.uint64)
+        sims = (majority << np.arange(64, dtype=np.uint64)[None, :]) \
+            .sum(axis=1, dtype=np.uint64)
+        out[nonempty] = sims.view(np.int64)
+        return pd.Series(out)
+
+    return pandas_udf(batch, T.LongType())
+
+
 def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id",
-                           max_hamming: int = 3) -> DataFrame:
+                           max_hamming: int = 3,
+                           simhash=None) -> DataFrame:
     """Near-dup pairs by simhash: band the 64 bits into 4 blocks (pigeonhole:
     any pair within Hamming distance 3 agrees on ≥1 block), bucket-join, then
-    verify with JVM-side XOR popcount."""
-    sims = df.select(F.col(id_col).alias("doc"),
-                     simhash_column()(F.col(text_col)).alias("sim")).cache()
+    verify with JVM-side XOR popcount. ``simhash`` selects the hash variant:
+    default is the vectorized FNV scale path; pass ``simhash_column()`` for
+    the md5 oracle-recomputable configuration."""
+    sims = df.select(
+        F.col(id_col).alias("doc"),
+        (simhash or simhash_column_fnv())(F.col(text_col)).alias("sim"),
+    ).localCheckpoint(eager=False)  # self-cleaning pin, see minhash_lsh_pairs
     pieces = []
     for block in range(4):
         shift = block * 16
