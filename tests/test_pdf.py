@@ -93,6 +93,177 @@ class TestKernel:
             assert pdf[off:].startswith(b"%d 0 obj" % i)
 
 
+def _mini_pdf(objects: dict[int, bytes], trailer_extra: bytes = b"",
+              root: int = 1) -> bytes:
+    """Hand-rolled fixture builder: arbitrary object bodies + classic xref
+    (for real-world-structure vectors the deterministic writer can't emit)."""
+    buf = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for oid in sorted(objects):
+        offsets[oid] = len(buf)
+        buf += b"%d 0 obj\n" % oid + objects[oid] + b"\nendobj\n"
+    xref_at = len(buf)
+    max_id = max(objects)
+    buf += b"xref\n0 %d\n0000000000 65535 f \n" % (max_id + 1)
+    for oid in range(1, max_id + 1):
+        buf += b"%010d 00000 n \n" % offsets.get(oid, 0)
+    buf += (b"trailer\n<< /Size %d /Root %d 0 R" % (max_id + 1, root)
+            + trailer_extra + b" >>\nstartxref\n%d\n%%%%EOF\n" % xref_at)
+    return bytes(buf)
+
+
+class TestRealWorldStructures:
+    """pdf.rs:13-45 breadth: structures lopdf/pdf-parse handle that the
+    deterministic writer never emits — hex strings, UTF-16BE titles, nested
+    /Kids, object streams, filter chains, indirect /Length, plus the
+    refusal taxonomy for encrypted/corrupt files."""
+
+    def _page_objs(self, content: bytes, *, flate: bool = False,
+                   content_id: int = 4) -> dict[int, bytes]:
+        import zlib
+        body = zlib.compress(content) if flate else content
+        filt = b" /Filter /FlateDecode" if flate else b""
+        return {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /Contents %d 0 R >>" % content_id,
+            content_id: b"<< /Length %d%s >>\nstream\n" % (len(body), filt)
+            + body + b"\nendstream",
+        }
+
+    def test_hex_string_operands(self):
+        content = b"BT <68656c6c6f> Tj (lit) Tj [<20>(mixed)] TJ ET"
+        pdf = _mini_pdf(self._page_objs(content))
+        assert pdf_text(pdf) == "hello\nlit\n mixed"
+
+    def test_utf16be_title(self):
+        title = "Žürich — ↑".encode("utf-16-be")
+        hexs = (b"\xfe\xff" + title).hex().encode()
+        objs = self._page_objs(b"BT (x) Tj ET")
+        objs[5] = b"<< /Title <" + hexs + b"> >>"
+        pdf = _mini_pdf(objs, trailer_extra=b" /Info 5 0 R")
+        assert pdf_metadata(pdf) == (1, "Žürich — ↑")
+
+    def test_utf16be_literal_title(self):
+        raw = b"\xfe\xff" + "Tîtle".encode("utf-16-be")
+        esc = b"".join(b"\\%03o" % b if b < 32 or b > 126 else bytes([b])
+                       for b in raw)
+        objs = self._page_objs(b"BT (x) Tj ET")
+        objs[5] = b"<< /Title (" + esc + b") >>"
+        pdf = _mini_pdf(objs, trailer_extra=b" /Info 5 0 R")
+        assert pdf_metadata(pdf)[1] == "Tîtle"
+
+    def test_nested_kids_page_tree(self):
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R 6 0 R] /Count 3 >>",
+            3: b"<< /Type /Pages /Parent 2 0 R /Kids [4 0 R 5 0 R] /Count 2 >>",
+            4: b"<< /Type /Page /Parent 3 0 R /Contents 7 0 R >>",
+            5: b"<< /Type /Page /Parent 3 0 R /Contents 8 0 R >>",
+            6: b"<< /Type /Page /Parent 2 0 R /Contents 9 0 R >>",
+            7: b"<< /Length 14 >>\nstream\nBT (p1) Tj ET\nendstream",
+            8: b"<< /Length 14 >>\nstream\nBT (p2) Tj ET\nendstream",
+            9: b"<< /Length 14 >>\nstream\nBT (p3) Tj ET\nendstream",
+        }
+        pdf = _mini_pdf(objs)
+        assert pdf_metadata(pdf)[0] == 3
+        assert pdf_text(pdf) == "p1\n\np2\n\np3"
+
+    def test_object_stream_pages(self):
+        """PDF 1.5 packing: catalog/pages/page dicts live inside a
+        FlateDecoded /Type /ObjStm; only the container is a top-level obj."""
+        import zlib
+        packed = [
+            (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+            (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+            (3, b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>"),
+        ]
+        header = b" ".join(b"%d %d" % (oid, off) for oid, off in
+                           zip([p[0] for p in packed],
+                               _cumoffsets([p[1] for p in packed])))
+        payload = header + b" " + b" ".join(p[1] for p in packed)
+        first = len(header) + 1
+        comp = zlib.compress(payload)
+        objs = {
+            4: b"<< /Type /ObjStm /N 3 /First %d /Length %d "
+               b"/Filter /FlateDecode >>\nstream\n" % (first, len(comp))
+               + comp + b"\nendstream",
+            5: b"<< /Length 16 >>\nstream\nBT (obst) Tj ET\nendstream",
+        }
+        pdf = _mini_pdf(objs)
+        assert pdf_metadata(pdf)[0] == 1
+        assert pdf_text(pdf) == "obst"
+
+    def test_indirect_length(self):
+        objs = self._page_objs(b"BT (ind) Tj ET")
+        body = objs[4].split(b">>", 1)[1].split(b"stream\n", 1)[1] \
+                      .rsplit(b"\nendstream", 1)[0]
+        objs[4] = (b"<< /Length 5 0 R >>\nstream\n" + body + b"\nendstream")
+        objs[5] = b"%d" % len(body)
+        pdf = _mini_pdf(objs)
+        assert pdf_text(pdf) == "ind"
+
+    def test_asciihex_filter_chain(self):
+        content = b"BT (ahx) Tj ET"
+        body = content.hex().encode() + b">"
+        objs = self._page_objs(b"")
+        objs[4] = (b"<< /Length %d /Filter [/ASCIIHexDecode] >>\nstream\n"
+                   % len(body) + body + b"\nendstream")
+        pdf = _mini_pdf(objs)
+        assert pdf_text(pdf) == "ahx"
+
+    def test_unknown_filter_skipped(self):
+        objs = self._page_objs(b"\xff\xfe\x00")
+        objs[4] = objs[4].replace(b"<< /Length", b"<< /Filter /DCTDecode /Length")
+        pdf = _mini_pdf(objs)
+        assert pdf_text(pdf) == ""          # stream skipped, not misread
+        assert pdf_metadata(pdf)[0] == 1    # page tree still parses
+
+    def test_encrypted_refused(self):
+        objs = self._page_objs(b"BT (sec) Tj ET")
+        objs[5] = b"<< /V 2 /R 3 >>"
+        pdf = _mini_pdf(objs, trailer_extra=b" /Encrypt 5 0 R")
+        r = scrape_pdf_result(pdf)
+        assert r["ok"] is False and r["error"] == "encrypted"
+        assert r["markdown"] == ""
+
+    def test_truncated_xref_still_parses(self):
+        """Scanning indexer: chopping the xref table + trailer off leaves
+        the objects readable (lopdf-style recovery)."""
+        pdf = build_pdf(["alpha", "beta"], title="T")
+        truncated = pdf[:pdf.rfind(b"xref")]
+        assert pdf_text(truncated) == "alpha\nbeta"
+        assert pdf_metadata(truncated)[0] == 1
+        # /Root is gone with the trailer → document-order fallback found
+        # the page; scrape still succeeds
+        assert scrape_pdf_result(truncated)["ok"] is True
+
+    def test_bad_stream_length_recovers_or_refuses(self):
+        """A /Length longer than the file must not crash or hang."""
+        objs = self._page_objs(b"BT (x) Tj ET")
+        objs[4] = objs[4].replace(b"/Length 12", b"/Length 99999")
+        pdf = _mini_pdf(objs)
+        r = scrape_pdf_result(pdf)
+        assert r["error"] in (None, "no_pages", "parse_error")
+
+    def test_taxonomy_values(self):
+        assert scrape_pdf_result(None)["error"] == "empty"
+        assert scrape_pdf_result(b"")["error"] == "empty"
+        assert scrape_pdf_result(b"<html>nope</html>")["error"] == "not_pdf"
+        assert scrape_pdf_result(b"%PDF-1.4 no objects")["error"] == "no_pages"
+        ok = scrape_pdf_result(build_pdf(["x"], title="t"))
+        assert ok["ok"] is True and ok["error"] is None
+
+
+def _cumoffsets(bodies: list[bytes]) -> list[int]:
+    """Offsets of space-joined bodies within the ObjStm payload tail."""
+    offs, pos = [], 0
+    for b in bodies:
+        offs.append(pos)
+        pos += len(b) + 1
+    return offs
+
+
 class TestSparkOperator:
     def test_scrape_pdfs_matches_kernel(self, spark):
         from pyspark.sql import functions as F

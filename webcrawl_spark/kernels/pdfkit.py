@@ -38,6 +38,7 @@ __all__ = [
     "build_pdf",
     "pdf_metadata",
     "pdf_text",
+    "pdf_is_encrypted",
     "scrape_pdf_result",
     "MILLISECONDS_PER_PAGE",
     "LINES_PER_PAGE",
@@ -134,27 +135,59 @@ def build_pdf(lines: list[str], title: str | None = None,
 
 _OBJ_HEAD_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
 _STREAM_START_RE = re.compile(rb"stream\r?\n")
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?![^/>\]]*R)")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+_LENGTH_REF_RE = re.compile(rb"/Length\s+(\d+)\s+\d+\s+R")
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
-_TITLE_RE = re.compile(rb"/Title\s*\(((?:[^()\\]|\\.)*)\)")
+# string operand: (literal with escapes) or <hex>
+_TITLE_RE = re.compile(
+    rb"/Title\s*(?:\(((?:[^()\\]|\\.)*)\)|<([0-9a-fA-F\s]*)>)")
 _PAGE_TYPE_RE = re.compile(rb"/Type\s*/Page(?![a-zA-Z])")
+_PAGES_TYPE_RE = re.compile(rb"/Type\s*/Pages(?![a-zA-Z])")
 _KIDS_RE = re.compile(rb"/Kids\s*\[((?:\s*\d+\s+\d+\s+R)*)\s*\]")
 _CONTENTS_RE = re.compile(rb"/Contents\s*(?:(\d+)\s+\d+\s+R|\[((?:\s*\d+\s+\d+\s+R)*)\s*\])")
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 _INFO_RE = re.compile(rb"/Info\s+(\d+)\s+\d+\s+R")
 _ROOT_RE = re.compile(rb"/Root\s+(\d+)\s+\d+\s+R")
+_ENCRYPT_RE = re.compile(rb"/Encrypt\s+(?:\d+\s+\d+\s+R|<<)")
 _PAGES_REF_RE = re.compile(rb"/Pages\s+(\d+)\s+\d+\s+R")
-_FLATE_RE = re.compile(rb"/Filter\s*/FlateDecode")
-# text-show operators inside a decoded content stream
+# /Filter may be a single name or an array of names (decode chain order)
+_FILTER_RE = re.compile(rb"/Filter\s*(?:/([A-Za-z0-9]+)|\[((?:\s*/[A-Za-z0-9]+)*)\s*\])")
+_FILTER_NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
+_OBJSTM_RE = re.compile(rb"/Type\s*/ObjStm(?![a-zA-Z])")
+_FIRST_RE = re.compile(rb"/First\s+(\d+)")
+_N_RE = re.compile(rb"/N\s+(\d+)")
+# text-show operators inside a decoded content stream: literal or hex operand
 _SHOW_RE = re.compile(
-    rb"\(((?:[^()\\]|\\.)*)\)\s*(Tj|')"     # (s) Tj   or   (s) '
-    rb"|\[((?:[^\]\\]|\\.)*)\]\s*TJ",        # [ (a) -120 (b) ] TJ
+    rb"\(((?:[^()\\]|\\.)*)\)\s*(Tj|')"        # (s) Tj   or   (s) '
+    rb"|<([0-9a-fA-F\s]*)>\s*(Tj|')"           # <hex> Tj  or  <hex> '
+    rb"|\[((?:[^\]\\]|\\.)*)\]\s*TJ",          # [ (a) -120 <hex> (b) ] TJ
     re.S,
 )
-_TJ_STR_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)", re.S)
+_TJ_STR_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)|<([0-9a-fA-F\s]*)>", re.S)
 
 _ESCAPES = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
             b"f": b"\f", b"(": b"(", b")": b")", b"\\": b"\\"}
+
+
+def _decode_text_bytes(raw: bytes) -> str:
+    """lopdf decode_text_string semantics: UTF-16BE when the BOM is present
+    (pdf.rs:23-43 titles of real-world PDFs are commonly UTF-16BE),
+    else treat as (mostly-ASCII) PDFDocEncoding — decoded here as utf-8 with
+    replacement, which is identity on ASCII."""
+    if raw[:2] == b"\xfe\xff":
+        return raw[2:].decode("utf-16-be", errors="replace")
+    return raw.decode("utf-8", errors="replace")
+
+
+def _hex_string_bytes(raw: bytes) -> bytes:
+    """<hex string>: whitespace ignored, odd final digit padded with 0."""
+    h = b"".join(raw.split())
+    if len(h) % 2:
+        h += b"0"
+    try:
+        return bytes.fromhex(h.decode("ascii"))
+    except ValueError:
+        return b""
 
 
 def _unescape_pdf_string(raw: bytes) -> str:
@@ -183,13 +216,24 @@ def _unescape_pdf_string(raw: bytes) -> str:
         else:
             out += c
             i += 1
-    return bytes(out).decode("utf-8", errors="replace")
+    return _decode_text_bytes(bytes(out))
 
 
-def _objects(data: bytes) -> dict[int, bytes]:
-    """Scanning object index. Stream payloads are skipped via /Length (they
-    are arbitrary bytes — compressed data can contain 'endobj'/'endstream'
-    sequences, so delimiter regexes alone would truncate objects)."""
+def _string_match_text(lit: bytes | None, hexs: bytes | None) -> str:
+    """Decode a (literal, hex) regex alternative pair to text."""
+    if lit is not None:
+        return _unescape_pdf_string(lit)
+    return _decode_text_bytes(_hex_string_bytes(hexs or b""))
+
+
+def _scan_objects(data: bytes) -> dict[int, bytes]:
+    """Scanning object index — deliberately xref-free: object offsets come
+    from the 'N 0 obj' markers themselves, so classic xref tables, xref
+    STREAMS (PDF 1.5+, /Type /XRef), and truncated/corrupt xref sections all
+    parse identically (lopdf likewise falls back to scanning on a bad xref).
+    Stream payloads are skipped via /Length (they are arbitrary bytes —
+    compressed data can contain 'endobj'/'endstream' sequences, so delimiter
+    regexes alone would truncate objects)."""
     objs: dict[int, bytes] = {}
     pos = 0
     n = len(data)
@@ -217,27 +261,166 @@ def _objects(data: bytes) -> dict[int, bytes]:
     return objs
 
 
+_INT_RE = re.compile(rb"\s*(\d+)")
+
+
+def _decode_filters(raw: bytes, head: bytes) -> bytes | None:
+    """Apply the /Filter decode chain (name or array order). Supported:
+    FlateDecode, ASCIIHexDecode, ASCII85Decode. Unknown filter (DCTDecode,
+    LZW, Crypt, …) → None: the stream is skipped rather than misread."""
+    fm = _FILTER_RE.search(head)
+    if not fm:
+        return raw
+    if fm.group(1) is not None:
+        names = [fm.group(1)]
+    else:
+        names = [m.group(1) for m in _FILTER_NAME_RE.finditer(fm.group(2))]
+    out = raw
+    for name in names:
+        try:
+            if name == b"FlateDecode":
+                out = zlib.decompress(out)
+            elif name == b"ASCIIHexDecode":
+                body = out.split(b">", 1)[0]
+                out = _hex_string_bytes(body)
+            elif name == b"ASCII85Decode":
+                import base64
+                body = out.split(b"~>", 1)[0]
+                out = base64.a85decode(b"".join(body.split()))
+            else:
+                return None
+        except Exception:
+            return None
+    return out
+
+
+class _PdfObjects:
+    """Object index + stream access over the scanned objects, with object
+    streams (/Type /ObjStm, PDF 1.5+) expanded: their FlateDecoded payload
+    carries N (objnum, offset) header pairs followed by the packed objects —
+    each is lifted into the index like a top-level object."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.objs = _scan_objects(data)
+        for oid in list(self.objs):
+            body = self.objs[oid]
+            if not _OBJSTM_RE.search(body[:200]):
+                continue
+            payload = self.stream_of(oid)
+            nm = _N_RE.search(body)
+            fm = _FIRST_RE.search(body)
+            if payload is None or nm is None or fm is None:
+                continue
+            n_objs, first = int(nm.group(1)), int(fm.group(1))
+            header, pos = [], 0
+            ok = True
+            for _ in range(n_objs * 2):
+                im = _INT_RE.match(payload, pos)
+                if not im:
+                    ok = False
+                    break
+                header.append(int(im.group(1)))
+                pos = im.end()
+            if not ok:
+                continue
+            nums, offs = header[0::2], header[1::2]
+            for i, (num, off) in enumerate(zip(nums, offs)):
+                end = (first + offs[i + 1]) if i + 1 < n_objs else len(payload)
+                self.objs.setdefault(num, payload[first + off:end])
+
+    def get(self, oid: int, default: bytes | None = None) -> bytes | None:
+        return self.objs.get(oid, default)
+
+    def _resolve_length(self, head: bytes) -> int | None:
+        lm = _LENGTH_RE.search(head)
+        if lm:
+            return int(lm.group(1))
+        rm = _LENGTH_REF_RE.search(head)  # indirect /Length N 0 R
+        if rm:
+            body = self.objs.get(int(rm.group(1)))
+            if body is not None:
+                im = _INT_RE.match(body)
+                if im:
+                    return int(im.group(1))
+        return None
+
+    def stream_of(self, oid: int) -> bytes | None:
+        """Decoded stream payload of an object (None: no stream / bad
+        length / unsupported filter)."""
+        body = self.objs.get(oid)
+        if body is None:
+            return None
+        sm = _STREAM_START_RE.search(body)
+        if sm is None:
+            return None
+        head = body[:sm.start()]
+        length = self._resolve_length(head)
+        if length is not None and sm.end() + length <= len(body):
+            raw = body[sm.end():sm.end() + length]
+        else:
+            fm = _STREAM_RE.search(body)
+            if fm is None:
+                return None
+            raw = fm.group(1)
+        return _decode_filters(raw, head)
+
+
+def _walk_page_tree(px: "_PdfObjects", node_id: int,
+                    seen: set[int]) -> list[int]:
+    """Depth-first /Kids walk: intermediate /Pages nodes recurse, leaf /Page
+    nodes collect — real-world PDFs nest the page tree (lopdf get_pages
+    order); cycle-guarded against corrupt trees."""
+    if node_id in seen:
+        return []
+    seen.add(node_id)
+    body = px.get(node_id, b"")
+    if _PAGE_TYPE_RE.search(body):
+        return [node_id]
+    out: list[int] = []
+    km = _KIDS_RE.search(body)
+    if km:
+        for r in _REF_RE.finditer(km.group(1)):
+            out.extend(_walk_page_tree(px, int(r.group(1)), seen))
+    return out
+
+
+def _page_ids(px: "_PdfObjects") -> list[int]:
+    """Page objects in tree order (nested /Kids), document-order fallback
+    when the catalog/page tree is broken."""
+    root_m = _ROOT_RE.search(px.data)
+    if root_m:
+        pm = _PAGES_REF_RE.search(px.get(int(root_m.group(1)), b""))
+        if pm:
+            ids = _walk_page_tree(px, int(pm.group(1)), set())
+            if ids:
+                return ids
+    return [oid for oid in sorted(px.objs)
+            if _PAGE_TYPE_RE.search(px.objs[oid])
+            and not _PAGES_TYPE_RE.search(px.objs[oid])]
+
+
 def pdf_metadata(data: bytes) -> tuple[int, str | None]:
-    """(num_pages, title) — pdf.rs:13-45: page count from the page objects;
-    title from trailer Info first, then any object carrying /Title."""
-    objs = _objects(data)
-    num_pages = sum(
-        1 for body in objs.values()
-        if _PAGE_TYPE_RE.search(body) and b"stream" not in body[:40]
-    )
+    """(num_pages, title) — pdf.rs:13-45: page count = page-tree leaf count
+    (lopdf get_pages, incl. nested /Kids and pages packed in object
+    streams); title from trailer Info first, then any object carrying
+    /Title, literal or hex string, UTF-16BE-aware (lopdf
+    decode_text_string)."""
+    px = _PdfObjects(data)
+    num_pages = len(_page_ids(px))
     title: str | None = None
     info_m = _INFO_RE.search(data)
     if info_m:
-        body = objs.get(int(info_m.group(1)))
+        body = px.get(int(info_m.group(1)))
         if body is not None:
             t = _TITLE_RE.search(body)
             if t:
-                title = _unescape_pdf_string(t.group(1))
+                title = _string_match_text(t.group(1), t.group(2))
     if title is None:
-        for oid in sorted(objs):
-            t = _TITLE_RE.search(objs[oid])
+        for oid in sorted(px.objs):
+            t = _TITLE_RE.search(px.objs[oid])
             if t:
-                title = _unescape_pdf_string(t.group(1))
+                title = _string_match_text(t.group(1), t.group(2))
                 break
     return num_pages, (title.strip() if title is not None else None)
 
@@ -245,62 +428,24 @@ def pdf_metadata(data: bytes) -> tuple[int, str | None]:
 def _content_text(content: bytes) -> list[str]:
     lines: list[str] = []
     for m in _SHOW_RE.finditer(content):
-        if m.group(1) is not None:
-            lines.append(_unescape_pdf_string(m.group(1)))
+        if m.group(1) is not None or m.group(3) is not None:
+            lines.append(_string_match_text(m.group(1), m.group(3)))
         else:
-            parts = [_unescape_pdf_string(s.group(1))
-                     for s in _TJ_STR_RE.finditer(m.group(3))]
+            parts = [_string_match_text(s.group(1), s.group(2))
+                     for s in _TJ_STR_RE.finditer(m.group(5))]
             lines.append("".join(parts))
     return lines
 
 
 def pdf_text(data: bytes) -> str:
-    """Text layer in page order: one text-show per line, '\\n' between
+    """Text layer in page-tree order: one text-show per line, '\\n' between
     lines, '\\n\\n' between pages (the deterministic stand-in for
-    pdf-parse's render_page line model)."""
-    objs = _objects(data)
-
-    def stream_of(oid: int) -> bytes | None:
-        body = objs.get(oid)
-        if body is None:
-            return None
-        sm = _STREAM_START_RE.search(body)
-        if sm is None:
-            return None
-        lm = _LENGTH_RE.search(body[:sm.start()])
-        if lm:
-            raw = body[sm.end():sm.end() + int(lm.group(1))]
-        else:
-            fm = _STREAM_RE.search(body)
-            if fm is None:
-                return None
-            raw = fm.group(1)
-        if _FLATE_RE.search(body[:sm.start()]):
-            try:
-                raw = zlib.decompress(raw)
-            except zlib.error:
-                return None
-        return raw
-
-    page_ids: list[int] = []
-    root_m = _ROOT_RE.search(data)
-    pages_body = None
-    if root_m:
-        root_body = objs.get(int(root_m.group(1)), b"")
-        pm = _PAGES_REF_RE.search(root_body)
-        if pm:
-            pages_body = objs.get(int(pm.group(1)))
-    if pages_body is not None:
-        km = _KIDS_RE.search(pages_body)
-        if km:
-            page_ids = [int(r.group(1)) for r in _REF_RE.finditer(km.group(1))]
-    if not page_ids:  # fallback: document order
-        page_ids = [oid for oid in sorted(objs)
-                    if _PAGE_TYPE_RE.search(objs[oid])]
-
+    pdf-parse's render_page line model). Handles hex-string operands,
+    UTF-16BE text, filter chains, indirect /Length, object streams."""
+    px = _PdfObjects(data)
     page_texts: list[str] = []
-    for pid in page_ids:
-        body = objs.get(pid, b"")
+    for pid in _page_ids(px):
+        body = px.get(pid, b"")
         cm = _CONTENTS_RE.search(body)
         if not cm:
             continue
@@ -309,11 +454,17 @@ def pdf_text(data: bytes) -> str:
                              for r in _REF_RE.finditer(cm.group(2))])
         lines: list[str] = []
         for cid in content_ids:
-            raw = stream_of(cid)
+            raw = px.stream_of(cid)
             if raw is not None:
                 lines.extend(_content_text(raw))
         page_texts.append("\n".join(lines))
     return "\n\n".join(page_texts)
+
+
+def pdf_is_encrypted(data: bytes) -> bool:
+    """Trailer /Encrypt present — the engine refuses rather than misreads
+    (lopdf load fails on encrypted docs → 'Failed to load PDF')."""
+    return _ENCRYPT_RE.search(data) is not None
 
 
 def scrape_pdf_result(
@@ -322,26 +473,42 @@ def scrape_pdf_result(
     timeout_ms: int | None = None,
 ) -> dict:
     """engines/pdf/index.ts:87-120 result shape: escaped text as both html
-    and markdown, effective page count capped at max_pages, and the
-    150 ms/page insufficient-time verdict against the scrape timeout."""
+    and markdown, effective page count capped at max_pages, the 150 ms/page
+    insufficient-time verdict against the scrape timeout, and an ``error``
+    taxonomy for refused files (the reference throws typed errors /
+    'Failed to load PDF'; a DataFrame engine classifies):
+
+      empty | not_pdf | encrypted | no_pages | insufficient_time |
+      parse_error | None (ok=True)
+    """
+
+    def fail(error: str, *, num_pages: int = 0, title=None,
+             insufficient: bool = False) -> dict:
+        return {"num_pages": num_pages, "title": title, "html": "",
+                "markdown": "", "insufficient_time": insufficient,
+                "ok": False, "error": error}
+
     if not data:
-        return {"num_pages": 0, "title": None, "html": "", "markdown": "",
-                "insufficient_time": False, "ok": False}
+        return fail("empty")
+    if b"%PDF-" not in data[:1024]:
+        # the reference refuses non-pdf content (index.ts:75-86); the magic
+        # may follow a small preamble, never deep in the file
+        return fail("not_pdf")
+    if pdf_is_encrypted(data):
+        return fail("encrypted")
     try:
         num_pages, title = pdf_metadata(data)
         if num_pages == 0:
-            # no parseable page tree — not a PDF (the reference refuses
-            # non-pdf content-types / unloadable docs, index.ts:75-86)
-            return {"num_pages": 0, "title": title, "html": "",
-                    "markdown": "", "insufficient_time": False, "ok": False}
+            # no parseable page tree — unloadable document
+            return fail("no_pages", title=title)
         effective = min(num_pages, max_pages) if max_pages else num_pages
         if (timeout_ms is not None
                 and effective * MILLISECONDS_PER_PAGE > timeout_ms):
-            return {"num_pages": effective, "title": title, "html": "",
-                    "markdown": "", "insufficient_time": True, "ok": False}
+            return fail("insufficient_time", num_pages=effective,
+                        title=title, insufficient=True)
         escaped = escape_html(pdf_text(data))
         return {"num_pages": effective, "title": title, "html": escaped,
-                "markdown": escaped, "insufficient_time": False, "ok": True}
+                "markdown": escaped, "insufficient_time": False, "ok": True,
+                "error": None}
     except Exception:
-        return {"num_pages": 0, "title": None, "html": "", "markdown": "",
-                "insufficient_time": False, "ok": False}
+        return fail("parse_error")

@@ -31,6 +31,9 @@ PDF_RESULT_SCHEMA = T.StructType([
     T.StructField("markdown", T.StringType()),
     T.StructField("insufficient_time", T.BooleanType()),
     T.StructField("ok", T.BooleanType()),
+    # refusal taxonomy (kernels/pdfkit.scrape_pdf_result): empty | not_pdf |
+    # encrypted | no_pages | insufficient_time | parse_error | null (ok)
+    T.StructField("error", T.StringType()),
 ])
 
 _FIELDS = [f.name for f in PDF_RESULT_SCHEMA]
