@@ -28,8 +28,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 LEVELS = (2, 8, 32)
-_CTRL_HTML = None
-_CTRL_URL = None
+_CTRL_PAGES = None  # list[(html, url)] shared into fork workers via COW
 
 
 def run_bench(cpus: int, pages_per_host: int, full: bool) -> dict:
@@ -47,29 +46,36 @@ def run_bench(cpus: int, pages_per_host: int, full: bool) -> dict:
     return json.loads(line)
 
 
-def _mp_work(n: int) -> int:
+def _mp_work(rng: tuple[int, int]) -> int:
     from webcrawl_spark.kernels.scrape import markdown_for_page
 
-    for _ in range(120):
-        markdown_for_page(_CTRL_HTML, _CTRL_URL)
-    return 120
+    lo, hi = rng
+    for html, url in _CTRL_PAGES[lo:hi]:
+        markdown_for_page(html, url)
+    return hi - lo
 
 
-def mp_control() -> dict[int, float]:
-    """Identical kernel, identical page, plain multiprocessing — the
-    hardware ceiling without any Spark involvement."""
-    global _CTRL_HTML, _CTRL_URL
+def mp_control(n_pages: int = 4000) -> dict[int, float]:
+    """Identical kernel over DISTINCT pages (working set ≫ L3, like the
+    real workload — a single cached page would overstate scaling), plain
+    multiprocessing: the hardware ceiling without any Spark involvement.
+    Every level processes the same n_pages once, split into proc×4 chunks."""
+    global _CTRL_PAGES
     from webcrawl_spark.datagen import build_site, render_page_html
 
-    site = build_site(seed=29, n_hosts=1, pages_per_host=10, n_hot_hosts=0,
-                      density=8)
-    _CTRL_URL = site.urls()[3]
-    _CTRL_HTML = render_page_html(site, _CTRL_URL)
+    site = build_site(seed=29, n_hosts=1, pages_per_host=n_pages,
+                      n_hot_hosts=0, density=8)
+    urls = site.urls()[:n_pages]
+    _CTRL_PAGES = [(render_page_html(site, u), u) for u in urls]
     rates: dict[int, float] = {}
     for procs in LEVELS:
+        n_chunks = procs * 4
+        step = max(1, len(_CTRL_PAGES) // n_chunks)
+        chunks = [(i, min(i + step, len(_CTRL_PAGES)))
+                  for i in range(0, len(_CTRL_PAGES), step)]
         t0 = time.perf_counter()
         with mp.get_context("fork").Pool(procs) as pool:
-            total = sum(pool.map(_mp_work, range(procs)))
+            total = sum(pool.map(_mp_work, chunks))
         rates[procs] = round(total / (time.perf_counter() - t0), 1)
     return rates
 

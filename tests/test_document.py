@@ -233,6 +233,129 @@ class TestRtfProvider:
         assert convert_document(b"plain text") is None
 
 
+class TestDocxStylingAndLists:
+    def test_bold_italic_runs(self):
+        """docx.rs:548-556 rPr b/i → Strong/Em, em nested inside strong
+        (ResolvedRunStyle.apply order, docx.rs:519-536)."""
+        from webcrawl_spark.kernels.document import build_docx, docx_to_html
+
+        d = build_docx([("p", [("plain ", ""), ("bold", "b"), (" and ", ""),
+                               ("both", "bi")])])
+        html = docx_to_html(d)
+        assert ("<p>plain <strong>bold</strong> and "
+                "<strong><em>both</em></strong></p>") in html
+
+    def test_unstyled_paragraph_unchanged(self):
+        from webcrawl_spark.kernels.document import build_docx, docx_to_html
+
+        d = build_docx([("p", "just text")])
+        assert "<p>just text</p>" in docx_to_html(d)
+
+    def test_ordered_and_unordered_lists(self):
+        """numPr + numbering.xml numFmt: decimal → <ol>, bullet → <ul>
+        (docx.rs:742-757); items render bare inlines (html.rs:191-200)."""
+        from webcrawl_spark.kernels.document import build_docx, docx_to_html
+
+        d = build_docx([
+            ("ol", ["first", "second"]),
+            ("ul", [[("hot", "i")], "cold"]),
+        ])
+        html = docx_to_html(d)
+        assert "<ol><li>first</li><li>second</li></ol>" in html
+        assert "<ul><li><em>hot</em></li><li>cold</li></ul>" in html
+
+    def test_adjacent_lists_split_on_numid(self):
+        """Consecutive paragraphs with different numId start a NEW list
+        (docx.rs parse_list break conditions)."""
+        from webcrawl_spark.kernels.document import build_docx, docx_to_html
+
+        d = build_docx([("ol", ["a"]), ("ul", ["b"]), ("p", "after")])
+        html = docx_to_html(d)
+        assert "<ol><li>a</li></ol><ul><li>b</li></ul><p>after</p>" in html
+
+    def test_read_on_off_semantics(self):
+        """docx.rs:539-546: missing val → on; 0/false/off → off."""
+        from xml.etree import ElementTree as ET
+
+        from webcrawl_spark.kernels.document import _read_on_off, _W
+
+        def el(attrs: str):
+            return ET.fromstring(f'<w:b xmlns:w="{_W}" {attrs}/>')
+
+        assert _read_on_off(None) is None
+        assert _read_on_off(el("")) is True
+        assert _read_on_off(el('w:val="0"')) is False
+        assert _read_on_off(el('w:val="false"')) is False
+        assert _read_on_off(el('w:val="off"')) is False
+        assert _read_on_off(el('w:val="1"')) is True
+
+
+class TestOdtStylingAndLists:
+    def test_styled_spans(self):
+        """odt.rs:177-186: fo:font-weight=bold / fo:font-style=italic on
+        the span's text style."""
+        from webcrawl_spark.kernels.document import build_odt, odt_to_html
+
+        d = build_odt([("p", [("plain ", ""), ("bold", "b"), (" mid ", ""),
+                              ("it", "i"), ("both", "bi")])])
+        html = odt_to_html(d)
+        assert ("<p>plain <strong>bold</strong> mid <em>it</em>"
+                "<strong><em>both</em></strong></p>") in html
+
+    def test_lists_ordered_by_style(self):
+        """odt.rs:154-169: list style with a list-level-style-number child
+        → ordered; bullet style → unordered."""
+        from webcrawl_spark.kernels.document import build_odt, odt_to_html
+
+        d = build_odt([("ol", ["one", "two"]), ("ul", [[("x", "b")]])])
+        html = odt_to_html(d)
+        assert "<ol><li>one</li><li>two</li></ol>" in html
+        assert "<ul><li><strong>x</strong></li></ul>" in html
+
+
+class TestRtfUnicodeFallback:
+    def test_hex_escape_fallback_skipped_whole(self):
+        r"""\u233\'e9 — the fallback is a 4-byte \'hh escape and must be
+        skipped as ONE character (previously only the backslash was
+        skipped, leaving literal 'e9 in the text)."""
+        from webcrawl_spark.kernels.document import rtf_to_document
+
+        doc = rtf_to_document(b"{\\rtf1 caf\\u233\\'e9 time\\par}")
+        assert doc.blocks[0].text == "café time"
+
+    def test_uc2_skips_two_fallback_chars(self):
+        from webcrawl_spark.kernels.document import rtf_to_document
+
+        doc = rtf_to_document(b"{\\rtf1\\uc2 x\\u26085\\'93\\'fa y\\par}")
+        assert doc.blocks[0].text == "x日 y"
+
+    def test_fallback_stops_at_group_boundary(self):
+        from webcrawl_spark.kernels.document import rtf_to_document
+
+        doc = rtf_to_document(b"{\\rtf1\\uc4 {\\u233}after\\par}")
+        assert doc.blocks[0].text == "éafter"
+
+
+class TestXlsxFloatFormat:
+    def test_no_exponent_notation(self):
+        """Rust f64::to_string (xlsx.rs:79) never emits exponents."""
+        from webcrawl_spark.kernels.document import _fmt_float
+
+        assert _fmt_float(3.0) == "3"
+        assert _fmt_float(2.5) == "2.5"
+        assert _fmt_float(1e16) == "10000000000000000"
+        assert _fmt_float(0.00001) == "0.00001"
+        assert _fmt_float(1.5e-7) == "0.00000015"
+        assert _fmt_float(-1e16) == "-10000000000000000"
+
+    def test_in_cell_rendering(self):
+        from webcrawl_spark.kernels.document import build_xlsx, xlsx_to_html
+
+        html = xlsx_to_html(build_xlsx({"S": [[1e16, 0.00001]]}))
+        assert "<td>10000000000000000</td>" in html
+        assert "<td>0.00001</td>" in html
+
+
 class TestEngineForcing:
     """engine-forcing.test.ts:8-105 vectors."""
 

@@ -29,7 +29,7 @@ from dataclasses import dataclass, field
 from xml.etree import ElementTree as ET
 
 __all__ = [
-    "Document", "Block", "xlsx_to_document", "render_document_html",
+    "Document", "Block", "Inline", "xlsx_to_document", "render_document_html",
     "xlsx_to_html", "build_xlsx", "docx_to_document", "docx_to_html",
     "build_docx", "odt_to_document", "odt_to_html", "build_odt",
     "rtf_to_document", "rtf_to_html", "convert_document",
@@ -43,14 +43,30 @@ _NS = {
 
 
 @dataclass
+class Inline:
+    """Styled text run (document/mod.rs Inline subset: Text/Strong/Em).
+    Rendering nests em inside strong, the docx.rs ResolvedRunStyle.apply
+    order (docx.rs:519-536). strike/code/sup/sub/links are out of this
+    subset."""
+    text: str = ""
+    bold: bool = False
+    italic: bool = False
+
+
+@dataclass
 class Block:
     """Subset of the reference document model needed by the spreadsheet and
-    word-processor providers: paragraphs (normal/heading/blockquote) and
-    body tables of text cells."""
-    kind: str                      # "paragraph" | "heading" | "blockquote" | "table"
+    word-processor providers: paragraphs (normal/heading/blockquote) with
+    optional styled runs, flat lists, and body tables of text cells."""
+    kind: str        # "paragraph" | "heading" | "blockquote" | "table" | "list"
     level: int = 2
     text: str = ""
     rows: list[list[str]] = field(default_factory=list)
+    # styled runs; None → render the plain ``text``
+    inlines: list[Inline] | None = None
+    # list blocks (html.rs:191-200: <ol>/<ul> of <li> with bare inlines)
+    ordered: bool = False
+    items: list[list[Inline]] = field(default_factory=list)
 
 
 @dataclass
@@ -61,10 +77,16 @@ class Document:
 
 def _fmt_float(v: float) -> str:
     """calamine Data::Float → Rust f64::to_string (xlsx.rs:79): integral
-    values print without a fractional part."""
+    values print without a fractional part, and exponent notation is NEVER
+    emitted ('10000000000000000', '0.00001' — not '1e+16', '1e-05'), so
+    repr()'s e-notation is expanded to a plain decimal string."""
     if v == int(v) and abs(v) < 1e16:
         return str(int(v))
-    return repr(v)
+    s = repr(v)
+    if "e" not in s and "E" not in s:
+        return s
+    from decimal import Decimal
+    return format(Decimal(s), "f")
 
 
 def _cell_ref_col(ref: str) -> int:
@@ -182,6 +204,85 @@ def _para_text(p: ET.Element) -> str:
     return "".join(t.text or "" for t in p.iter(_w("t")))
 
 
+def _read_on_off(el: ET.Element | None) -> bool | None:
+    """docx.rs:539-546 read_on_off: missing element → None (inherit);
+    present without val → True; val 0/false/off → False; else True."""
+    if el is None:
+        return None
+    v = (el.get(_w("val")) or el.get("val"))
+    if v is None:
+        return True
+    return v.lower() not in ("0", "false", "off")
+
+
+def _run_inlines(p: ET.Element) -> list[Inline]:
+    """Paragraph runs with local rPr bold/italic (docx.rs:548-556
+    run_style_from_rpr; the style-chain inheritance through styles.xml is
+    out of this subset). Empty-text runs are dropped."""
+    out: list[Inline] = []
+    for r in p.iter(_w("r")):
+        text = "".join(t.text or "" for t in r.iter(_w("t")))
+        if not text:
+            continue
+        rpr = r.find(_w("rPr"))
+        bold = italic = False
+        if rpr is not None:
+            bold = _read_on_off(rpr.find(_w("b"))) or False
+            italic = _read_on_off(rpr.find(_w("i"))) or False
+        out.append(Inline(text=text, bold=bold, italic=italic))
+    return out
+
+
+def _docx_numbering(zf: zipfile.ZipFile) -> dict[tuple[str, str], bool]:
+    """word/numbering.xml → (numId, ilvl) → ordered? (docx.rs:718-757:
+    num → abstractNumId, abstract levels' numFmt: 'bullet' → unordered,
+    anything else → ordered)."""
+    try:
+        root = ET.fromstring(zf.read("word/numbering.xml"))
+    except KeyError:
+        return {}
+    abstract: dict[str, dict[str, bool]] = {}
+    for an in root.findall(_w("abstractNum")):
+        aid = an.get(_w("abstractNumId")) or an.get("abstractNumId") or ""
+        levels: dict[str, bool] = {}
+        for lvl in an.findall(_w("lvl")):
+            ilvl = lvl.get(_w("ilvl")) or lvl.get("ilvl") or "0"
+            fmt_el = lvl.find(_w("numFmt"))
+            fmt = (fmt_el.get(_w("val")) or fmt_el.get("val") or ""
+                   if fmt_el is not None else "")
+            levels[ilvl] = fmt != "bullet"
+        abstract[aid] = levels
+    out: dict[tuple[str, str], bool] = {}
+    for num in root.findall(_w("num")):
+        nid = num.get(_w("numId")) or num.get("numId") or ""
+        ref = num.find(_w("abstractNumId"))
+        aid = (ref.get(_w("val")) or ref.get("val") or "") \
+            if ref is not None else ""
+        for ilvl, ordered in abstract.get(aid, {}).items():
+            out[(nid, ilvl)] = ordered
+    return out
+
+
+def _docx_list_info(p: ET.Element,
+                    numbering: dict[tuple[str, str], bool]) -> tuple[str, bool] | None:
+    """(numId, ordered) when the paragraph carries numPr
+    (docx.rs:760-774 paragraph_list_info; unknown numId → unordered)."""
+    ppr = p.find(_w("pPr"))
+    if ppr is None:
+        return None
+    numpr = ppr.find(_w("numPr"))
+    if numpr is None:
+        return None
+    nid_el = numpr.find(_w("numId"))
+    ilvl_el = numpr.find(_w("ilvl"))
+    if nid_el is None:
+        return None
+    nid = nid_el.get(_w("val")) or nid_el.get("val") or ""
+    ilvl = (ilvl_el.get(_w("val")) or ilvl_el.get("val") or "0") \
+        if ilvl_el is not None else "0"
+    return nid, numbering.get((nid, ilvl), False)
+
+
 def _para_kind(p: ET.Element) -> tuple[str, int]:
     """docx.rs:317-379 subset: outlineLvl → Heading(v+1, ≤6); pStyle id
     'HeadingN'/'Title' → heading; id containing 'quote' → blockquote; else
@@ -210,25 +311,48 @@ def _para_kind(p: ET.Element) -> tuple[str, int]:
 
 def docx_to_document(data: bytes) -> Document:
     """Useful-slice docx provider (providers/docx.rs subset): body
-    paragraphs with heading/blockquote detection (docx.rs:317-379) and
-    tables of flattened cell text (docx.rs table walk). Numbering, images,
-    hyperlinks, footnotes, and styles.xml-based heading inference are out of
-    this subset (≈1k LoC of the reference provider) — the operator seam and
-    renderer are shared, so adding them extends this function only."""
+    paragraphs with heading/blockquote detection (docx.rs:317-379),
+    character styling runs (bold/italic from run-local rPr,
+    docx.rs:548-556), numbered/bulleted lists (numPr + numbering.xml
+    ordered/unordered, consecutive same-numId paragraphs grouped,
+    docx.rs:760-860 flattened to one level), and tables of flattened cell
+    text. Images, hyperlinks, footnotes, nested list levels, and
+    styles.xml-based inheritance are out of this subset — the operator seam
+    and renderer are shared, so adding them extends this function only."""
     zf = zipfile.ZipFile(io.BytesIO(data))
     root = ET.fromstring(zf.read("word/document.xml"))
+    numbering = _docx_numbering(zf)
     body = root.find(_w("body"))
     doc = Document()
     if body is None:
         return doc
+    cur_list: Block | None = None
+    cur_num_id: str | None = None
     for node in body:
         if node.tag == _w("p"):
+            info = _docx_list_info(node, numbering)
+            if info is not None:
+                nid, ordered = info
+                runs = _run_inlines(node)
+                if not any(r.text.strip() for r in runs):
+                    continue
+                if cur_list is None or nid != cur_num_id:
+                    cur_list = Block(kind="list", ordered=ordered)
+                    cur_num_id = nid
+                    doc.blocks.append(cur_list)
+                cur_list.items.append(runs)
+                continue
+            cur_list, cur_num_id = None, None
             text = _para_text(node)
             if not text.strip():
                 continue
             kind, level = _para_kind(node)
-            doc.blocks.append(Block(kind=kind, level=level or 2, text=text))
+            runs = _run_inlines(node)
+            styled = runs if any(r.bold or r.italic for r in runs) else None
+            doc.blocks.append(Block(kind=kind, level=level or 2, text=text,
+                                    inlines=styled))
         elif node.tag == _w("tbl"):
+            cur_list, cur_num_id = None, None
             rows = [
                 [_para_text(tc) for tc in tr.findall(_w("tc"))]
                 for tr in node.findall(_w("tr"))
@@ -243,12 +367,29 @@ def docx_to_html(data: bytes) -> str:
 
 def build_docx(blocks: list[tuple]) -> bytes:
     """Deterministic minimal docx writer for tests/synthetic corpora.
-    blocks: ("p"|"h1".."h6"|"quote", text) or ("table", rows)."""
+    blocks: ("p"|"h1".."h6"|"quote", text_or_runs), ("table", rows), or
+    ("ol"|"ul", [item_text_or_runs, ...]); text_or_runs is a plain string
+    or a list of (text, style) runs with style ⊆ {"b","i"} (e.g. "bi")."""
     def esc(t: str) -> str:
         return (t.replace("&", "&amp;").replace("<", "&lt;")
                 .replace(">", "&gt;"))
 
+    def runs_xml(payload) -> str:
+        if isinstance(payload, str):
+            payload = [(payload, "")]
+        out = []
+        for text, style in payload:
+            rpr = ""
+            if style:
+                props = ("<w:b/>" if "b" in style else "") + \
+                        ("<w:i/>" if "i" in style else "")
+                rpr = f"<w:rPr>{props}</w:rPr>"
+            out.append(f'<w:r>{rpr}<w:t xml:space="preserve">{esc(text)}'
+                       "</w:t></w:r>")
+        return "".join(out)
+
     parts = []
+    has_list = False
     for b in blocks:
         kind, payload = b
         if kind == "table":
@@ -261,15 +402,22 @@ def build_docx(blocks: list[tuple]) -> bytes:
             )
             parts.append(f"<w:tbl>{trs}</w:tbl>")
             continue
+        if kind in ("ol", "ul"):
+            has_list = True
+            num_id = 1 if kind == "ol" else 2
+            for item in payload:
+                parts.append(
+                    "<w:p><w:pPr><w:numPr><w:ilvl w:val=\"0\"/>"
+                    f"<w:numId w:val=\"{num_id}\"/></w:numPr></w:pPr>"
+                    f"{runs_xml(item)}</w:p>"
+                )
+            continue
         ppr = ""
         if kind.startswith("h") and kind[1:].isdigit():
             ppr = f'<w:pPr><w:pStyle w:val="Heading{kind[1:]}"/></w:pPr>'
         elif kind == "quote":
             ppr = '<w:pPr><w:pStyle w:val="Quote"/></w:pPr>'
-        parts.append(
-            f"<w:p>{ppr}<w:r><w:t xml:space=\"preserve\">{esc(payload)}"
-            "</w:t></w:r></w:p>"
-        )
+        parts.append(f"<w:p>{ppr}{runs_xml(payload)}</w:p>")
     document = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         f'<w:document xmlns:w="{_W}"><w:body>' + "".join(parts)
@@ -299,6 +447,29 @@ def build_docx(blocks: list[tuple]) -> bytes:
               'org/officeDocument/2006/relationships/officeDocument" '
               'Target="word/document.xml"/></Relationships>')
         write("word/document.xml", document)
+        if has_list:
+            # numId 1 → decimal (ordered), numId 2 → bullet (unordered)
+            abstracts = "".join(
+                f'<w:abstractNum w:abstractNumId="{aid}">'
+                f'<w:lvl w:ilvl="0"><w:numFmt w:val="{fmt}"/></w:lvl>'
+                "</w:abstractNum>"
+                for aid, fmt in ((0, "decimal"), (1, "bullet"))
+            )
+            nums = "".join(
+                f'<w:num w:numId="{nid}">'
+                f'<w:abstractNumId w:val="{aid}"/></w:num>'
+                for nid, aid in ((1, 0), (2, 1))
+            )
+            write("word/numbering.xml",
+                  '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                  f'<w:numbering xmlns:w="{_W}">{abstracts}{nums}'
+                  "</w:numbering>")
+            write("word/_rels/document.xml.rels",
+                  '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                  f'<Relationships xmlns="{_NS["rel"]}">'
+                  '<Relationship Id="rId10" Type="http://schemas.'
+                  'openxmlformats.org/officeDocument/2006/relationships/'
+                  'numbering" Target="numbering.xml"/></Relationships>')
     return buf.getvalue()
 
 
@@ -307,6 +478,70 @@ def build_docx(blocks: list[tuple]) -> bytes:
 _ODT_TEXT = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
 _ODT_TABLE = "urn:oasis:names:tc:opendocument:xmlns:table:1.0"
 _ODT_OFFICE = "urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+_ODT_STYLE = "urn:oasis:names:tc:opendocument:xmlns:style:1.0"
+_ODT_FO = "urn:oasis:names:tc:opendocument:xmlns:xsl-fo-compatible:1.0"
+
+
+def _odt_styles(root: ET.Element) -> tuple[dict, dict]:
+    """(text styles: name → (bold, italic), list styles: name → ordered?)
+    from the document's style declarations (odt.rs:140-186: family='text'
+    text-properties fo:font-weight=bold / fo:font-style=italic;
+    text:list-style ordered iff it has a list-level-style-number child)."""
+    text_styles: dict[str, tuple[bool, bool]] = {}
+    list_ordered: dict[str, bool] = {}
+    for st in root.iter(f"{{{_ODT_STYLE}}}style"):
+        if st.get(f"{{{_ODT_STYLE}}}family") != "text":
+            continue
+        name = st.get(f"{{{_ODT_STYLE}}}name") or ""
+        tp = st.find(f"{{{_ODT_STYLE}}}text-properties")
+        bold = italic = False
+        if tp is not None:
+            bold = (tp.get(f"{{{_ODT_FO}}}font-weight") or "").lower() == "bold"
+            italic = (tp.get(f"{{{_ODT_FO}}}font-style") or "").lower() == "italic"
+        text_styles[name] = (bold, italic)
+    for ls in root.iter(f"{{{_ODT_TEXT}}}list-style"):
+        name = ls.get(f"{{{_ODT_STYLE}}}name") or ""
+        list_ordered[name] = any(
+            ch.tag == f"{{{_ODT_TEXT}}}list-level-style-number" for ch in ls
+        )
+    return text_styles, list_ordered
+
+
+def _odt_inlines(el: ET.Element, text_styles: dict) -> list[Inline]:
+    """Styled runs of a text container: spans resolve their text style,
+    nesting ORs the flags (odt.rs:600-606); tail text carries the parent's
+    style. Adjacent same-style fragments merge into one run (span
+    granularity, matching the reference's per-span inlines)."""
+    runs: list[Inline] = []
+
+    def add(text: str, bold: bool, italic: bool) -> None:
+        if not text:
+            return
+        if runs and runs[-1].bold == bold and runs[-1].italic == italic:
+            runs[-1].text += text
+        else:
+            runs.append(Inline(text=text, bold=bold, italic=italic))
+
+    def walk(node: ET.Element, bold: bool, italic: bool) -> None:
+        tag = node.tag
+        if tag == f"{{{_ODT_TEXT}}}span":
+            b2, i2 = text_styles.get(
+                node.get(f"{{{_ODT_TEXT}}}style-name") or "", (False, False))
+            bold, italic = bold or b2, italic or i2
+        elif tag == f"{{{_ODT_TEXT}}}s":
+            add(" " * int(node.get(f"{{{_ODT_TEXT}}}c", "1") or 1),
+                bold, italic)
+        elif tag == f"{{{_ODT_TEXT}}}tab":
+            add("\t", bold, italic)
+        if node.text:
+            add(node.text, bold, italic)
+        for ch in node:
+            walk(ch, bold, italic)
+            if ch.tail:
+                add(ch.tail, bold, italic)
+
+    walk(el, False, False)
+    return runs
 
 
 def _odt_text_of(el: ET.Element) -> str:
@@ -337,12 +572,15 @@ def _odt_text_of(el: ET.Element) -> str:
 
 def odt_to_document(data: bytes) -> Document:
     """Useful-slice ODT provider (providers/odt.rs subset): body headings
-    (<text:h> with outline-level), paragraphs (<text:p>), and tables
-    (<table:table>/row/cell, cells flattened to their paragraph text).
-    Styles, lists, images, footnotes and frames are out of this subset —
-    same seam note as the docx provider."""
+    (<text:h> with outline-level), paragraphs (<text:p>) with styled spans
+    (bold/italic via text styles, odt.rs:177-186), flat lists (<text:list>,
+    ordered iff the list style has a number level, odt.rs:154-169), and
+    tables (cells flattened to their paragraph text). Images, footnotes,
+    frames, nested list levels, and styles.xml-carried styles are out of
+    this subset — same seam note as the docx provider."""
     zf = zipfile.ZipFile(io.BytesIO(data))
     root = ET.fromstring(zf.read("content.xml"))
+    text_styles, list_ordered = _odt_styles(root)
     body = root.find(f"{{{_ODT_OFFICE}}}body")
     doc = Document()
     if body is None:
@@ -362,8 +600,26 @@ def odt_to_document(data: bytes) -> Document:
                 ))
         elif node.tag == f"{{{_ODT_TEXT}}}p":
             text = _odt_text_of(node)
-            if text.strip():
-                doc.blocks.append(Block(kind="paragraph", text=text))
+            if not text.strip():
+                continue
+            runs = _odt_inlines(node, text_styles)
+            styled = runs if any(r.bold or r.italic for r in runs) else None
+            doc.blocks.append(Block(kind="paragraph", text=text,
+                                    inlines=styled))
+        elif node.tag == f"{{{_ODT_TEXT}}}list":
+            style = node.get(f"{{{_ODT_TEXT}}}style-name") or ""
+            items = []
+            for li in node.findall(f"{{{_ODT_TEXT}}}list-item"):
+                runs: list[Inline] = []
+                for p in li.findall(f"{{{_ODT_TEXT}}}p"):
+                    runs.extend(_odt_inlines(p, text_styles))
+                if any(r.text.strip() for r in runs):
+                    items.append(runs)
+            if items:
+                doc.blocks.append(Block(
+                    kind="list", ordered=list_ordered.get(style, False),
+                    items=items,
+                ))
         elif node.tag == f"{{{_ODT_TABLE}}}table":
             rows = [
                 [_odt_text_of(tc)
@@ -380,10 +636,26 @@ def odt_to_html(data: bytes) -> str:
 
 def build_odt(blocks: list[tuple]) -> bytes:
     """Deterministic minimal ODT writer for tests/synthetic corpora.
-    blocks: ("p"|"h1".."h6", text) or ("table", rows)."""
+    blocks: ("p"|"h1".."h6", text_or_runs), ("table", rows), or
+    ("ol"|"ul", [item_text_or_runs, ...]); runs are (text, style) with
+    style ⊆ {"b","i"}. Styled runs emit text:span referencing the fixed
+    automatic styles TB/TI/TBI."""
     def esc(t: str) -> str:
         return (t.replace("&", "&amp;").replace("<", "&lt;")
                 .replace(">", "&gt;"))
+
+    def runs_xml(payload) -> str:
+        if isinstance(payload, str):
+            return esc(payload)
+        out = []
+        for text, style in payload:
+            if style:
+                name = "T" + "".join(sorted(style.upper()))
+                out.append(f'<text:span text:style-name="{name}">'
+                           f"{esc(text)}</text:span>")
+            else:
+                out.append(esc(text))
+        return "".join(out)
 
     parts = []
     for kind, payload in blocks:
@@ -396,16 +668,41 @@ def build_odt(blocks: list[tuple]) -> bytes:
                 for row in payload
             )
             parts.append(f"<table:table>{trs}</table:table>")
+        elif kind in ("ol", "ul"):
+            style = "LNUM" if kind == "ol" else "LBUL"
+            items = "".join(
+                f"<text:list-item><text:p>{runs_xml(item)}</text:p>"
+                "</text:list-item>" for item in payload
+            )
+            parts.append(f'<text:list text:style-name="{style}">{items}'
+                         "</text:list>")
         elif kind.startswith("h") and kind[1:].isdigit():
             parts.append(f'<text:h text:outline-level="{kind[1:]}">'
                          f"{esc(payload)}</text:h>")
         else:
-            parts.append(f"<text:p>{esc(payload)}</text:p>")
+            parts.append(f"<text:p>{runs_xml(payload)}</text:p>")
+    auto_styles = (
+        "<office:automatic-styles>"
+        '<style:style style:name="TB" style:family="text">'
+        '<style:text-properties fo:font-weight="bold"/></style:style>'
+        '<style:style style:name="TI" style:family="text">'
+        '<style:text-properties fo:font-style="italic"/></style:style>'
+        '<style:style style:name="TBI" style:family="text">'
+        '<style:text-properties fo:font-weight="bold" '
+        'fo:font-style="italic"/></style:style>'
+        '<text:list-style style:name="LNUM">'
+        '<text:list-level-style-number text:level="1"/></text:list-style>'
+        '<text:list-style style:name="LBUL">'
+        '<text:list-level-style-bullet text:level="1"/></text:list-style>'
+        "</office:automatic-styles>"
+    )
     content = (
         '<?xml version="1.0" encoding="UTF-8"?>'
         f'<office:document-content xmlns:office="{_ODT_OFFICE}" '
-        f'xmlns:text="{_ODT_TEXT}" xmlns:table="{_ODT_TABLE}">'
-        "<office:body><office:text>" + "".join(parts)
+        f'xmlns:text="{_ODT_TEXT}" xmlns:table="{_ODT_TABLE}" '
+        f'xmlns:style="{_ODT_STYLE}" xmlns:fo="{_ODT_FO}">'
+        + auto_styles
+        + "<office:body><office:text>" + "".join(parts)
         + "</office:text></office:body></office:document-content>"
     )
     buf = io.BytesIO()
@@ -517,7 +814,23 @@ def rtf_to_document(data: bytes) -> Document:
                 elif word == b"u":
                     cp = int(num or 0)
                     buf.append(chr(cp + 65536 if cp < 0 else cp))
-                    i += uc_skip  # skip the fallback byte(s)
+                    # skip uc_skip fallback CHARACTERS (not bytes): a
+                    # fallback is commonly a multi-byte escape — \'hh (4
+                    # bytes) or an escaped delimiter (2 bytes) — and the
+                    # skip never crosses a group boundary (RTF 1.9 §\uc)
+                    skipped = 0
+                    while skipped < uc_skip and i < n:
+                        if data[i:i + 2] == b"\\'":
+                            i += 4
+                        elif (data[i:i + 1] == b"\\"
+                              and data[i + 1:i + 2] in (b"\\", b"{", b"}",
+                                                        b"~")):
+                            i += 2
+                        elif data[i:i + 1] in (b"{", b"}"):
+                            break
+                        else:
+                            i += 1
+                        skipped += 1
                 elif word == b"trowd":
                     if not in_table:
                         flush_par()
@@ -557,6 +870,25 @@ def _esc(t: str) -> str:
             .replace(">", "&gt;").replace('"', "&quot;"))
 
 
+def _render_inlines(inlines: list[Inline]) -> str:
+    """Per-run markup, em nested inside strong (docx.rs:519-536 apply
+    order; html.rs:222-223 strong/em tags)."""
+    parts = []
+    for run in inlines:
+        s = _esc(run.text)
+        if run.italic:
+            s = f"<em>{s}</em>"
+        if run.bold:
+            s = f"<strong>{s}</strong>"
+        parts.append(s)
+    return "".join(parts)
+
+
+def _block_inner(b: Block) -> str:
+    return (_render_inlines(b.inlines) if b.inlines is not None
+            else _esc(b.text))
+
+
 def render_document_html(doc: Document) -> str:
     parts = [
         "<!DOCTYPE html>",
@@ -567,11 +899,18 @@ def render_document_html(doc: Document) -> str:
     for b in doc.blocks:
         if b.kind == "heading":
             lvl = min(max(b.level, 1), 6)
-            parts.append(f"<h{lvl}>{_esc(b.text)}</h{lvl}>")
+            parts.append(f"<h{lvl}>{_block_inner(b)}</h{lvl}>")
         elif b.kind == "paragraph":
-            parts.append(f"<p>{_esc(b.text)}</p>")
+            parts.append(f"<p>{_block_inner(b)}</p>")
         elif b.kind == "blockquote":
-            parts.append(f"<blockquote><p>{_esc(b.text)}</p></blockquote>")
+            parts.append(f"<blockquote><p>{_block_inner(b)}</p></blockquote>")
+        elif b.kind == "list":
+            tag = "ol" if b.ordered else "ul"
+            parts.append(
+                f"<{tag}>" + "".join(
+                    f"<li>{_render_inlines(item)}</li>" for item in b.items
+                ) + f"</{tag}>"
+            )
         elif b.kind == "table":
             parts.append("<table><tbody>")
             for row in b.rows:

@@ -27,7 +27,12 @@ DEFAULT_CONFS = {
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.sql.session.timeZone": "UTC",
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # local mode runs everything in the driver JVM, so this IS the executor
+    # heap: at 8g, 32 concurrent tasks' Arrow buffers + a multi-GB cached
+    # corpus GC-thrash — measured 100k-fetch rounds ran SLOWER at local[32]
+    # than local[8] until the heap was raised (BENCH.md big-round table).
+    # Cluster deployments size executors via spark-submit instead.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
     "spark.ui.enabled": "false",
 }
 
