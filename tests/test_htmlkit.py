@@ -275,3 +275,60 @@ class TestScrapePage:
     def test_missing_html(self):
         doc = scrape_page("https://e.com/", None)
         assert not doc.usable and doc.content_status == "thin"
+
+
+class TestIframeRecursion:
+    """crawler.ts:502-516: links inside iframe[src^=data:text/html] bodies
+    are URI-decoded and extracted against the same page URL."""
+
+    def _opts(self):
+        from webcrawl_spark.kernels.classify import FilterOptions
+
+        return FilterOptions(base_url="https://ex.com/",
+                             initial_url="https://ex.com/",
+                             allow_backward_crawling=True)
+
+    def test_data_url_iframe_links_extracted(self):
+        from urllib.parse import quote
+
+        from webcrawl_spark.kernels.crawl import page_links
+
+        inner = '<a href="/from-iframe">x</a>'
+        html = (
+            '<html><body><a href="/top">t</a>'
+            f'<iframe src="data:text/html,{quote(inner)}"></iframe>'
+            "</body></html>"
+        )
+        links = page_links(html, "https://ex.com/", self._opts())
+        assert links == ["https://ex.com/top", "https://ex.com/from-iframe"]
+
+    def test_nested_iframes_and_dedup(self):
+        from urllib.parse import quote
+
+        from webcrawl_spark.kernels.crawl import page_links
+
+        innermost = '<a href="/deep">d</a><a href="/top">dup</a>'
+        inner = ('<a href="/mid">m</a>'
+                 f'<iframe src="data:text/html,{quote(innermost)}"></iframe>')
+        html = ('<a href="/top">t</a>'
+                f'<iframe src="data:text/html,{quote(inner)}"></iframe>')
+        links = page_links(html, "https://ex.com/", self._opts())
+        assert links == ["https://ex.com/top", "https://ex.com/mid",
+                         "https://ex.com/deep"]
+
+    def test_non_html_data_and_external_iframes_ignored(self):
+        from webcrawl_spark.kernels.crawl import page_links
+
+        html = ('<a href="/a">a</a>'
+                '<iframe src="data:image/png;base64,AAAA"></iframe>'
+                '<iframe src="https://other.com/frame"></iframe>')
+        links = page_links(html, "https://ex.com/", self._opts())
+        assert links == ["https://ex.com/a"]
+
+    def test_self_embedding_iframe_terminates(self):
+        from webcrawl_spark.kernels.crawl import page_links
+
+        html = ('<iframe src="data:text/html,<iframe src=\'data:text/html,'
+                '<a href=/x>x</a>\'></iframe>"></iframe>')
+        links = page_links(html, "https://ex.com/", self._opts())
+        assert "https://ex.com/x" in links
