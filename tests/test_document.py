@@ -313,6 +313,56 @@ class TestOdtStylingAndLists:
         assert "<ul><li><strong>x</strong></li></ul>" in html
 
 
+class TestHyperlinks:
+    def test_docx_external_hyperlink(self):
+        """docx.rs:634-653: w:hyperlink r:id resolves through document
+        rels; link wraps the styled runs (html.rs:218-220)."""
+        from webcrawl_spark.kernels.document import build_docx, docx_to_html
+
+        d = build_docx([("p", [("see ", ""),
+                               ("the docs", "b", "https://ex.com/d?a=1&b=2"),
+                               (" now", "")])])
+        html = docx_to_html(d)
+        assert ('<p>see <a href="https://ex.com/d?a=1&amp;b=2">'
+                "<strong>the docs</strong></a> now</p>") in html
+
+    def test_docx_anchor_hyperlink(self):
+        from webcrawl_spark.kernels.document import build_docx, docx_to_html
+
+        d = build_docx([("p", [("jump", "", "#sec2")])])
+        assert '<p><a href="#sec2">jump</a></p>' in docx_to_html(d)
+
+    def test_odt_hyperlink_with_style(self):
+        """odt.rs:477-484: text:a xlink:href; styled span inside keeps its
+        strong/em inside the link."""
+        from webcrawl_spark.kernels.document import build_odt, odt_to_html
+
+        d = build_odt([("p", [("go ", ""), ("here", "i", "https://x.io/")])])
+        assert ('<p>go <a href="https://x.io/"><em>here</em></a></p>'
+                in odt_to_html(d))
+
+    def test_adjacent_runs_same_href_one_anchor(self):
+        from webcrawl_spark.kernels.document import (
+            Block, Document, Inline, render_document_html,
+        )
+
+        doc = Document(blocks=[Block(kind="paragraph", inlines=[
+            Inline(text="a ", href="https://s.ame/"),
+            Inline(text="b", bold=True, href="https://s.ame/"),
+            Inline(text=" after"),
+        ])])
+        html = render_document_html(doc)
+        assert ('<p><a href="https://s.ame/">a <strong>b</strong></a>'
+                " after</p>") in html
+
+    def test_hyperlink_in_list_item(self):
+        from webcrawl_spark.kernels.document import build_docx, docx_to_html
+
+        d = build_docx([("ul", [[("l1", "", "https://l.ink/")]])])
+        assert ('<ul><li><a href="https://l.ink/">l1</a></li></ul>'
+                in docx_to_html(d))
+
+
 class TestRtfUnicodeFallback:
     def test_hex_escape_fallback_skipped_whole(self):
         r"""\u233\'e9 — the fallback is a 4-byte \'hh escape and must be

@@ -44,13 +44,15 @@ _NS = {
 
 @dataclass
 class Inline:
-    """Styled text run (document/mod.rs Inline subset: Text/Strong/Em).
-    Rendering nests em inside strong, the docx.rs ResolvedRunStyle.apply
-    order (docx.rs:519-536). strike/code/sup/sub/links are out of this
-    subset."""
+    """Styled text run (document/mod.rs Inline subset: Text/Strong/Em/Link).
+    Rendering nests em inside strong (docx.rs:519-536 apply order) and the
+    link outermost (Inline::Link wraps styled children, docx.rs:634-653);
+    adjacent runs sharing an href render inside ONE <a>. strike/code/sup/
+    sub/footnotes are out of this subset."""
     text: str = ""
     bold: bool = False
     italic: bool = False
+    href: str | None = None
 
 
 @dataclass
@@ -215,21 +217,57 @@ def _read_on_off(el: ET.Element | None) -> bool | None:
     return v.lower() not in ("0", "false", "off")
 
 
-def _run_inlines(p: ET.Element) -> list[Inline]:
+_R_NS = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+
+
+def _docx_doc_rels(zf: zipfile.ZipFile) -> dict[str, str]:
+    """word/_rels/document.xml.rels: rId → Target (hyperlink resolution,
+    docx.rs:634-638)."""
+    try:
+        root = ET.fromstring(zf.read("word/_rels/document.xml.rels"))
+    except KeyError:
+        return {}
+    return {
+        rel.get("Id"): rel.get("Target") or ""
+        for rel in root.findall("rel:Relationship", _NS)
+    }
+
+
+def _run_inlines(p: ET.Element,
+                 rels: dict[str, str] | None = None) -> list[Inline]:
     """Paragraph runs with local rPr bold/italic (docx.rs:548-556
-    run_style_from_rpr; the style-chain inheritance through styles.xml is
-    out of this subset). Empty-text runs are dropped."""
+    run_style_from_rpr) and w:hyperlink resolution (r:id → rels target, or
+    w:anchor → '#anchor', docx.rs:634-653; runs inside the hyperlink carry
+    its href). Style-chain inheritance through styles.xml is out of this
+    subset. Empty-text runs are dropped."""
     out: list[Inline] = []
-    for r in p.iter(_w("r")):
+    rels = rels or {}
+
+    def run_of(r: ET.Element, href: str | None) -> None:
         text = "".join(t.text or "" for t in r.iter(_w("t")))
         if not text:
-            continue
+            return
         rpr = r.find(_w("rPr"))
         bold = italic = False
         if rpr is not None:
             bold = _read_on_off(rpr.find(_w("b"))) or False
             italic = _read_on_off(rpr.find(_w("i"))) or False
-        out.append(Inline(text=text, bold=bold, italic=italic))
+        out.append(Inline(text=text, bold=bold, italic=italic, href=href))
+
+    def walk(node: ET.Element, href: str | None) -> None:
+        for ch in node:
+            if ch.tag == _w("r"):
+                run_of(ch, href)
+            elif ch.tag == _w("hyperlink"):
+                rid = ch.get(f"{{{_R_NS}}}id") or ch.get("id")
+                anchor = ch.get(_w("anchor")) or ch.get("anchor")
+                target = (rels.get(rid) if rid
+                          else (f"#{anchor}" if anchor else None))
+                walk(ch, target if target else href)
+            else:
+                walk(ch, href)
+
+    walk(p, None)
     return out
 
 
@@ -322,6 +360,7 @@ def docx_to_document(data: bytes) -> Document:
     zf = zipfile.ZipFile(io.BytesIO(data))
     root = ET.fromstring(zf.read("word/document.xml"))
     numbering = _docx_numbering(zf)
+    rels = _docx_doc_rels(zf)
     body = root.find(_w("body"))
     doc = Document()
     if body is None:
@@ -333,7 +372,7 @@ def docx_to_document(data: bytes) -> Document:
             info = _docx_list_info(node, numbering)
             if info is not None:
                 nid, ordered = info
-                runs = _run_inlines(node)
+                runs = _run_inlines(node, rels)
                 if not any(r.text.strip() for r in runs):
                     continue
                 if cur_list is None or nid != cur_num_id:
@@ -347,8 +386,9 @@ def docx_to_document(data: bytes) -> Document:
             if not text.strip():
                 continue
             kind, level = _para_kind(node)
-            runs = _run_inlines(node)
-            styled = runs if any(r.bold or r.italic for r in runs) else None
+            runs = _run_inlines(node, rels)
+            styled = (runs if any(r.bold or r.italic or r.href
+                                  for r in runs) else None)
             doc.blocks.append(Block(kind=kind, level=level or 2, text=text,
                                     inlines=styled))
         elif node.tag == _w("tbl"):
@@ -374,18 +414,30 @@ def build_docx(blocks: list[tuple]) -> bytes:
         return (t.replace("&", "&amp;").replace("<", "&lt;")
                 .replace(">", "&gt;"))
 
+    hyperlinks: list[str] = []
+
     def runs_xml(payload) -> str:
         if isinstance(payload, str):
             payload = [(payload, "")]
         out = []
-        for text, style in payload:
+        for run in payload:
+            text, style = run[0], run[1]
+            href = run[2] if len(run) > 2 else None
             rpr = ""
             if style:
                 props = ("<w:b/>" if "b" in style else "") + \
                         ("<w:i/>" if "i" in style else "")
                 rpr = f"<w:rPr>{props}</w:rPr>"
-            out.append(f'<w:r>{rpr}<w:t xml:space="preserve">{esc(text)}'
-                       "</w:t></w:r>")
+            r = (f'<w:r>{rpr}<w:t xml:space="preserve">{esc(text)}'
+                 "</w:t></w:r>")
+            if href:
+                if href.startswith("#"):
+                    r = f'<w:hyperlink w:anchor="{esc(href[1:])}">{r}</w:hyperlink>'
+                else:
+                    hyperlinks.append(href)
+                    rid = f"rIdH{len(hyperlinks)}"
+                    r = f'<w:hyperlink r:id="{rid}">{r}</w:hyperlink>'
+            out.append(r)
         return "".join(out)
 
     parts = []
@@ -420,8 +472,8 @@ def build_docx(blocks: list[tuple]) -> bytes:
         parts.append(f"<w:p>{ppr}{runs_xml(payload)}</w:p>")
     document = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
-        f'<w:document xmlns:w="{_W}"><w:body>' + "".join(parts)
-        + "</w:body></w:document>"
+        f'<w:document xmlns:w="{_W}" xmlns:r="{_R_NS}"><w:body>'
+        + "".join(parts) + "</w:body></w:document>"
     )
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
@@ -464,12 +516,22 @@ def build_docx(blocks: list[tuple]) -> bytes:
                   '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
                   f'<w:numbering xmlns:w="{_W}">{abstracts}{nums}'
                   "</w:numbering>")
+        doc_rels = []
+        if has_list:
+            doc_rels.append(
+                '<Relationship Id="rId10" Type="http://schemas.'
+                'openxmlformats.org/officeDocument/2006/relationships/'
+                'numbering" Target="numbering.xml"/>')
+        for i, href in enumerate(hyperlinks, start=1):
+            doc_rels.append(
+                f'<Relationship Id="rIdH{i}" Type="http://schemas.'
+                'openxmlformats.org/officeDocument/2006/relationships/'
+                f'hyperlink" Target="{esc(href)}" TargetMode="External"/>')
+        if doc_rels:
             write("word/_rels/document.xml.rels",
                   '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
                   f'<Relationships xmlns="{_NS["rel"]}">'
-                  '<Relationship Id="rId10" Type="http://schemas.'
-                  'openxmlformats.org/officeDocument/2006/relationships/'
-                  'numbering" Target="numbering.xml"/></Relationships>')
+                  + "".join(doc_rels) + "</Relationships>")
     return buf.getvalue()
 
 
@@ -507,40 +569,49 @@ def _odt_styles(root: ET.Element) -> tuple[dict, dict]:
     return text_styles, list_ordered
 
 
+_XLINK = "http://www.w3.org/1999/xlink"
+
+
 def _odt_inlines(el: ET.Element, text_styles: dict) -> list[Inline]:
     """Styled runs of a text container: spans resolve their text style,
-    nesting ORs the flags (odt.rs:600-606); tail text carries the parent's
-    style. Adjacent same-style fragments merge into one run (span
-    granularity, matching the reference's per-span inlines)."""
+    nesting ORs the flags (odt.rs:600-606); <text:a xlink:href> carries its
+    href onto contained runs (odt.rs:477-484); tail text carries the
+    parent's context. Adjacent same-context fragments merge into one run
+    (span granularity, matching the reference's per-span inlines)."""
     runs: list[Inline] = []
 
-    def add(text: str, bold: bool, italic: bool) -> None:
+    def add(text: str, bold: bool, italic: bool, href: str | None) -> None:
         if not text:
             return
-        if runs and runs[-1].bold == bold and runs[-1].italic == italic:
+        if (runs and runs[-1].bold == bold and runs[-1].italic == italic
+                and runs[-1].href == href):
             runs[-1].text += text
         else:
-            runs.append(Inline(text=text, bold=bold, italic=italic))
+            runs.append(Inline(text=text, bold=bold, italic=italic,
+                               href=href))
 
-    def walk(node: ET.Element, bold: bool, italic: bool) -> None:
+    def walk(node: ET.Element, bold: bool, italic: bool,
+             href: str | None) -> None:
         tag = node.tag
         if tag == f"{{{_ODT_TEXT}}}span":
             b2, i2 = text_styles.get(
                 node.get(f"{{{_ODT_TEXT}}}style-name") or "", (False, False))
             bold, italic = bold or b2, italic or i2
+        elif tag == f"{{{_ODT_TEXT}}}a":
+            href = node.get(f"{{{_XLINK}}}href") or href
         elif tag == f"{{{_ODT_TEXT}}}s":
             add(" " * int(node.get(f"{{{_ODT_TEXT}}}c", "1") or 1),
-                bold, italic)
+                bold, italic, href)
         elif tag == f"{{{_ODT_TEXT}}}tab":
-            add("\t", bold, italic)
+            add("\t", bold, italic, href)
         if node.text:
-            add(node.text, bold, italic)
+            add(node.text, bold, italic, href)
         for ch in node:
-            walk(ch, bold, italic)
+            walk(ch, bold, italic, href)
             if ch.tail:
-                add(ch.tail, bold, italic)
+                add(ch.tail, bold, italic, href)
 
-    walk(el, False, False)
+    walk(el, False, False, None)
     return runs
 
 
@@ -603,7 +674,8 @@ def odt_to_document(data: bytes) -> Document:
             if not text.strip():
                 continue
             runs = _odt_inlines(node, text_styles)
-            styled = runs if any(r.bold or r.italic for r in runs) else None
+            styled = (runs if any(r.bold or r.italic or r.href
+                                  for r in runs) else None)
             doc.blocks.append(Block(kind="paragraph", text=text,
                                     inlines=styled))
         elif node.tag == f"{{{_ODT_TEXT}}}list":
@@ -648,13 +720,18 @@ def build_odt(blocks: list[tuple]) -> bytes:
         if isinstance(payload, str):
             return esc(payload)
         out = []
-        for text, style in payload:
+        for run in payload:
+            text, style = run[0], run[1]
+            href = run[2] if len(run) > 2 else None
             if style:
                 name = "T" + "".join(sorted(style.upper()))
-                out.append(f'<text:span text:style-name="{name}">'
-                           f"{esc(text)}</text:span>")
+                s = (f'<text:span text:style-name="{name}">'
+                     f"{esc(text)}</text:span>")
             else:
-                out.append(esc(text))
+                s = esc(text)
+            if href:
+                s = f'<text:a xlink:href="{esc(href)}">{s}</text:a>'
+            out.append(s)
         return "".join(out)
 
     parts = []
@@ -700,7 +777,8 @@ def build_odt(blocks: list[tuple]) -> bytes:
         '<?xml version="1.0" encoding="UTF-8"?>'
         f'<office:document-content xmlns:office="{_ODT_OFFICE}" '
         f'xmlns:text="{_ODT_TEXT}" xmlns:table="{_ODT_TABLE}" '
-        f'xmlns:style="{_ODT_STYLE}" xmlns:fo="{_ODT_FO}">'
+        f'xmlns:style="{_ODT_STYLE}" xmlns:fo="{_ODT_FO}" '
+        f'xmlns:xlink="{_XLINK}">'
         + auto_styles
         + "<office:body><office:text>" + "".join(parts)
         + "</office:text></office:body></office:document-content>"
@@ -872,15 +950,34 @@ def _esc(t: str) -> str:
 
 def _render_inlines(inlines: list[Inline]) -> str:
     """Per-run markup, em nested inside strong (docx.rs:519-536 apply
-    order; html.rs:222-223 strong/em tags)."""
-    parts = []
-    for run in inlines:
+    order; html.rs:222-223 strong/em tags); consecutive runs with the same
+    href render as the children of ONE <a> (html.rs:218-220 Link)."""
+    parts: list[str] = []
+    i = 0
+    while i < len(inlines):
+        run = inlines[i]
+        if run.href is not None:
+            j = i
+            inner = []
+            while j < len(inlines) and inlines[j].href == run.href:
+                s = _esc(inlines[j].text)
+                if inlines[j].italic:
+                    s = f"<em>{s}</em>"
+                if inlines[j].bold:
+                    s = f"<strong>{s}</strong>"
+                inner.append(s)
+                j += 1
+            parts.append(f'<a href="{_esc(run.href)}">' + "".join(inner)
+                         + "</a>")
+            i = j
+            continue
         s = _esc(run.text)
         if run.italic:
             s = f"<em>{s}</em>"
         if run.bold:
             s = f"<strong>{s}</strong>"
         parts.append(s)
+        i += 1
     return "".join(parts)
 
 
