@@ -363,6 +363,34 @@ class TestHyperlinks:
                 in docx_to_html(d))
 
 
+class TestExternalImages:
+    def test_docx_external_image(self):
+        """docx.rs:925-990: text-free paragraph with a drawing blip whose
+        rel target is http(s) → <img>; alt from docPr descr."""
+        from webcrawl_spark.kernels.document import build_docx, docx_to_html
+
+        d = build_docx([("p", "before"),
+                        ("img", ("https://cdn.ex/pic.png", "a pic")),
+                        ("p", "after")])
+        html = docx_to_html(d)
+        assert '<img src="https://cdn.ex/pic.png" alt="a pic">' in html
+        assert "<p>before</p>" in html and "<p>after</p>" in html
+
+    def test_docx_image_without_alt(self):
+        from webcrawl_spark.kernels.document import build_docx, docx_to_html
+
+        d = build_docx([("img", "https://cdn.ex/x.jpg")])
+        assert '<img src="https://cdn.ex/x.jpg">' in docx_to_html(d)
+
+    def test_odt_external_image(self):
+        from webcrawl_spark.kernels.document import build_odt, odt_to_html
+
+        d = build_odt([("img", "https://cdn.ex/o.png"), ("p", "text")])
+        html = odt_to_html(d)
+        assert '<img src="https://cdn.ex/o.png">' in html
+        assert "<p>text</p>" in html
+
+
 class TestRtfUnicodeFallback:
     def test_hex_escape_fallback_skipped_whole(self):
         r"""\u233\'e9 — the fallback is a 4-byte \'hh escape and must be

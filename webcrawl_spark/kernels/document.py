@@ -60,7 +60,7 @@ class Block:
     """Subset of the reference document model needed by the spreadsheet and
     word-processor providers: paragraphs (normal/heading/blockquote) with
     optional styled runs, flat lists, and body tables of text cells."""
-    kind: str        # "paragraph" | "heading" | "blockquote" | "table" | "list"
+    kind: str   # "paragraph" | "heading" | "blockquote" | "table" | "list" | "image"
     level: int = 2
     text: str = ""
     rows: list[list[str]] = field(default_factory=list)
@@ -69,6 +69,10 @@ class Block:
     # list blocks (html.rs:191-200: <ol>/<ul> of <li> with bare inlines)
     ordered: bool = False
     items: list[list[Inline]] = field(default_factory=list)
+    # image blocks (html.rs:203-208; EXTERNAL http(s) images only —
+    # embedded package media is dropped, docx.rs:979-990)
+    src: str = ""
+    alt: str | None = None
 
 
 @dataclass
@@ -301,6 +305,53 @@ def _docx_numbering(zf: zipfile.ZipFile) -> dict[tuple[str, str], bool]:
     return out
 
 
+def _lname(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def _attr_local(el: ET.Element, name: str) -> str | None:
+    """Attribute by local name regardless of namespace (get_attr_local)."""
+    for k, v in el.attrib.items():
+        if _lname(k) == name:
+            return v
+    return None
+
+
+def _docx_image_block(p: ET.Element,
+                      rels: dict[str, str]) -> Block | None:
+    """Image paragraph (docx.rs:925-990): a paragraph with NO visible text
+    whose drawing blip (r:embed/r:link) or VML imagedata (r:id) resolves
+    through rels to an EXTERNAL http(s) target; alt from docPr descr/title
+    (drawing) or imagedata title (VML). Embedded package media is dropped."""
+    if _para_text(p).strip():
+        return None
+    for node in p.iter():
+        if _lname(node.tag) == "drawing":
+            blip = next((n for n in node.iter()
+                         if _lname(n.tag) == "blip"), None)
+            if blip is None:
+                continue
+            rid = _attr_local(blip, "embed") or _attr_local(blip, "link")
+            docpr = next((n for n in node.iter()
+                          if _lname(n.tag) == "docPr"), None)
+            alt = (_attr_local(docpr, "descr") or _attr_local(docpr, "title")
+                   if docpr is not None else None)
+            target = rels.get(rid or "")
+            if target and target.startswith(("http://", "https://")):
+                return Block(kind="image", src=target, alt=alt)
+        elif _lname(node.tag) == "pict":
+            data = next((n for n in node.iter()
+                         if _lname(n.tag) == "imagedata"), None)
+            if data is None:
+                continue
+            rid = _attr_local(data, "id")
+            target = rels.get(rid or "")
+            if target and target.startswith(("http://", "https://")):
+                return Block(kind="image", src=target,
+                             alt=_attr_local(data, "title"))
+    return None
+
+
 def _docx_list_info(p: ET.Element,
                     numbering: dict[tuple[str, str], bool]) -> tuple[str, bool] | None:
     """(numId, ordered) when the paragraph carries numPr
@@ -382,6 +433,10 @@ def docx_to_document(data: bytes) -> Document:
                 cur_list.items.append(runs)
                 continue
             cur_list, cur_num_id = None, None
+            img = _docx_image_block(node, rels)
+            if img is not None:
+                doc.blocks.append(img)
+                continue
             text = _para_text(node)
             if not text.strip():
                 continue
@@ -453,6 +508,20 @@ def build_docx(blocks: list[tuple]) -> bytes:
                 for row in payload
             )
             parts.append(f"<w:tbl>{trs}</w:tbl>")
+            continue
+        if kind == "img":
+            src, alt = payload if isinstance(payload, tuple) else (payload,
+                                                                   None)
+            hyperlinks.append(src)
+            rid = f"rIdH{len(hyperlinks)}"
+            descr = f' descr="{esc(alt)}"' if alt else ""
+            parts.append(
+                '<w:p><w:drawing xmlns:wp="http://schemas.openxmlformats.'
+                'org/drawingml/2006/wordprocessingDrawing" xmlns:a="http://'
+                'schemas.openxmlformats.org/drawingml/2006/main">'
+                f'<wp:docPr id="1" name="img"{descr}/>'
+                f'<a:blip r:embed="{rid}"/></w:drawing></w:p>'
+            )
             continue
         if kind in ("ol", "ul"):
             has_list = True
@@ -670,6 +739,15 @@ def odt_to_document(data: bytes) -> Document:
                     text=text,
                 ))
         elif node.tag == f"{{{_ODT_TEXT}}}p":
+            # image paragraph first (odt.rs:296-301,745-758: a p holding a
+            # draw:image with an EXTERNAL http(s) href → Image block)
+            img = next((n for n in node.iter() if _lname(n.tag) == "image"),
+                       None)
+            if img is not None:
+                href = _attr_local(img, "href") or ""
+                if href.startswith(("http://", "https://")):
+                    doc.blocks.append(Block(kind="image", src=href))
+                    continue
             text = _odt_text_of(node)
             if not text.strip():
                 continue
@@ -745,6 +823,10 @@ def build_odt(blocks: list[tuple]) -> bytes:
                 for row in payload
             )
             parts.append(f"<table:table>{trs}</table:table>")
+        elif kind == "img":
+            parts.append(
+                '<text:p><draw:image '
+                f'xlink:href="{esc(payload)}"/></text:p>')
         elif kind in ("ol", "ul"):
             style = "LNUM" if kind == "ol" else "LBUL"
             items = "".join(
@@ -778,7 +860,8 @@ def build_odt(blocks: list[tuple]) -> bytes:
         f'<office:document-content xmlns:office="{_ODT_OFFICE}" '
         f'xmlns:text="{_ODT_TEXT}" xmlns:table="{_ODT_TABLE}" '
         f'xmlns:style="{_ODT_STYLE}" xmlns:fo="{_ODT_FO}" '
-        f'xmlns:xlink="{_XLINK}">'
+        f'xmlns:xlink="{_XLINK}" '
+        'xmlns:draw="urn:oasis:names:tc:opendocument:xmlns:drawing:1.0">'
         + auto_styles
         + "<office:body><office:text>" + "".join(parts)
         + "</office:text></office:body></office:document-content>"
@@ -1008,6 +1091,9 @@ def render_document_html(doc: Document) -> str:
                     f"<li>{_render_inlines(item)}</li>" for item in b.items
                 ) + f"</{tag}>"
             )
+        elif b.kind == "image":
+            alt = f' alt="{_esc(b.alt)}"' if b.alt is not None else ""
+            parts.append(f'<img src="{_esc(b.src)}"{alt}>')
         elif b.kind == "table":
             parts.append("<table><tbody>")
             for row in b.rows:
