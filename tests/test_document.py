@@ -414,6 +414,35 @@ class TestRtfUnicodeFallback:
         assert doc.blocks[0].text == "éafter"
 
 
+class TestRtfStyling:
+    def test_group_scoped_bold(self):
+        """rtf.rs:518-525: {\\b inner} styles only the group's text; the
+        brace stack restores state (rtf.rs:340-356)."""
+        from webcrawl_spark.kernels.document import rtf_to_html
+
+        html = rtf_to_html(b"{\\rtf1 Second {\\b inner} text.\\par}")
+        assert "<p>Second <strong>inner</strong> text.</p>" in html
+
+    def test_toggle_with_zero_arg(self):
+        from webcrawl_spark.kernels.document import rtf_to_html
+
+        html = rtf_to_html(b"{\\rtf1 \\b on\\b0 off \\i it\\i0 done\\par}")
+        assert ("<p><strong>on</strong>off <em>it</em>done</p>") in html
+
+    def test_plain_resets(self):
+        from webcrawl_spark.kernels.document import rtf_to_html
+
+        html = rtf_to_html(b"{\\rtf1 \\b\\i x\\plain y\\par}")
+        assert "<p><strong><em>x</em></strong>y</p>" in html
+
+    def test_unstyled_paragraph_has_no_inline_markup(self):
+        from webcrawl_spark.kernels.document import rtf_to_document
+
+        doc = rtf_to_document(b"{\\rtf1 just words\\par}")
+        assert doc.blocks[0].inlines is None
+        assert doc.blocks[0].text == "just words"
+
+
 class TestXlsxFloatFormat:
     def test_no_exponent_notation(self):
         """Rust f64::to_string (xlsx.rs:79) never emits exponents."""

@@ -888,12 +888,13 @@ def rtf_to_document(data: bytes) -> Document:
     the public RTF 1.9 spec): paragraph text split on \\par, simple tables
     (\\trowd … \\cell … \\row), destination groups ({\\* …}, fonttbl,
     colortbl, stylesheet, info, pict) skipped, \\'hh and \\uN escapes
-    decoded. Character styling, list numbering and nested tables are out of
-    this subset."""
+    decoded, and \\b/\\i character styling (toggles with optional 0 arg,
+    group-scoped via the brace stack — rtf.rs:518-525,340-356). List
+    numbering and nested tables are out of this subset."""
     if not data.startswith(b"{\\rtf"):
         raise ValueError("not an RTF document")
     doc = Document()
-    buf: list[str] = []
+    runs: list[Inline] = []
     table_rows: list[list[str]] = []
     row: list[str] = []
     in_table = False
@@ -901,12 +902,33 @@ def rtf_to_document(data: bytes) -> Document:
     depth = 0
     i, n = 0, len(data)
     uc_skip = 1      # \ucN: bytes to skip after \u
+    bold = italic = False
+    style_stack: list[tuple[bool, bool]] = []
+
+    def emit(text: str) -> None:
+        if not text:
+            return
+        if runs and runs[-1].bold == bold and runs[-1].italic == italic:
+            runs[-1].text += text
+        else:
+            runs.append(Inline(text=text, bold=bold, italic=italic))
+
+    def buf_text() -> str:
+        return "".join(r.text for r in runs)
 
     def flush_par() -> None:
-        text = "".join(buf).strip()
-        buf.clear()
+        text = buf_text().strip()
+        styled = None
+        if text and any(r.bold or r.italic for r in runs):
+            # trim whitespace at the edges without disturbing run styling
+            trimmed = [Inline(r.text, r.bold, r.italic) for r in runs]
+            trimmed[0].text = trimmed[0].text.lstrip()
+            trimmed[-1].text = trimmed[-1].text.rstrip()
+            styled = [r for r in trimmed if r.text]
+        runs.clear()
         if text:
-            doc.blocks.append(Block(kind="paragraph", text=text))
+            doc.blocks.append(Block(kind="paragraph", text=text,
+                                    inlines=styled))
 
     def flush_table() -> None:
         nonlocal in_table
@@ -920,6 +942,7 @@ def rtf_to_document(data: bytes) -> Document:
         c = data[i:i + 1]
         if c == b"{":
             depth += 1
+            style_stack.append((bold, italic))
             if skip_depth:
                 skip_depth += 1
             elif data[i + 1:i + 3] == b"\\*":
@@ -927,6 +950,8 @@ def rtf_to_document(data: bytes) -> Document:
             i += 1
         elif c == b"}":
             depth -= 1
+            if style_stack:
+                bold, italic = style_stack.pop()
             if skip_depth:
                 skip_depth -= 1
             i += 1
@@ -934,19 +959,19 @@ def rtf_to_document(data: bytes) -> Document:
             nxt = data[i + 1:i + 2]
             if nxt in (b"\\", b"{", b"}"):
                 if not skip_depth:
-                    buf.append(nxt.decode())
+                    emit(nxt.decode())
                 i += 2
             elif nxt == b"'":
                 if not skip_depth:
                     try:
-                        buf.append(bytes([int(data[i + 2:i + 4], 16)])
-                                   .decode("cp1252", errors="replace"))
+                        emit(bytes([int(data[i + 2:i + 4], 16)])
+                             .decode("cp1252", errors="replace"))
                     except ValueError:
                         pass
                 i += 4
             elif nxt == b"~":
                 if not skip_depth:
-                    buf.append("\u00a0")
+                    emit("\u00a0")
                 i += 2
             else:
                 m = re.match(rb"\\([a-zA-Z]+)(-?\d+)? ?", data[i:i + 32])
@@ -961,20 +986,26 @@ def rtf_to_document(data: bytes) -> Document:
                     skip_depth = 1
                 elif word == b"par":
                     if in_table and row:
-                        buf.append("\n")   # paragraph break inside a cell
+                        emit("\n")   # paragraph break inside a cell
                     else:
                         if in_table:
                             flush_table()  # \par after \row ends the table
                         flush_par()
                 elif word in (b"tab",):
-                    buf.append("\t")
+                    emit("\t")
                 elif word in (b"line",):
-                    buf.append("\n")
+                    emit("\n")
+                elif word == b"b":
+                    bold = num != b"0"
+                elif word == b"i":
+                    italic = num != b"0"
+                elif word == b"plain":
+                    bold = italic = False
                 elif word == b"uc":
                     uc_skip = int(num or 1)
                 elif word == b"u":
                     cp = int(num or 0)
-                    buf.append(chr(cp + 65536 if cp < 0 else cp))
+                    emit(chr(cp + 65536 if cp < 0 else cp))
                     # skip uc_skip fallback CHARACTERS (not bytes): a
                     # fallback is commonly a multi-byte escape — \'hh (4
                     # bytes) or an escaped delimiter (2 bytes) — and the
@@ -997,8 +1028,8 @@ def rtf_to_document(data: bytes) -> Document:
                         flush_par()
                         in_table = True
                 elif word == b"cell":
-                    row.append("".join(buf).strip())
-                    buf.clear()
+                    row.append(buf_text().strip())
+                    runs.clear()
                 elif word == b"row":
                     if row:
                         table_rows.append(list(row))
@@ -1011,7 +1042,7 @@ def rtf_to_document(data: bytes) -> Document:
             if not skip_depth:
                 chunk = data[i:j].replace(b"\r", b"").replace(b"\n", b"")
                 if chunk:
-                    buf.append(chunk.decode("cp1252", errors="replace"))
+                    emit(chunk.decode("cp1252", errors="replace"))
             i = j
     if in_table:
         flush_table()
