@@ -363,6 +363,45 @@ class TestHyperlinks:
                 in docx_to_html(d))
 
 
+class TestNestedLists:
+    def test_docx_nested_sublist(self):
+        """docx.rs:826-900: deeper-ilvl runs nest as sublists inside the
+        preceding item; item with paragraph + sublist renders as blocks
+        (<p> then the nested list, html.rs:100-110)."""
+        from webcrawl_spark.kernels.document import build_docx, docx_to_html
+
+        d = build_docx([("ol", ["top1", (1, "sub-a"), (1, "sub-b"),
+                                "top2"])])
+        html = docx_to_html(d)
+        assert ("<ol><li><p>top1</p><ol><li>sub-a</li><li>sub-b</li></ol>"
+                "</li><li>top2</li></ol>") in html
+
+    def test_docx_two_level_nesting(self):
+        from webcrawl_spark.kernels.document import build_docx, docx_to_html
+
+        d = build_docx([("ul", ["a", (1, "b"), (2, "c")])])
+        html = docx_to_html(d)
+        assert ("<ul><li><p>a</p><ul><li><p>b</p><ul><li>c</li></ul></li>"
+                "</ul></li></ul>") in html
+
+    def test_odt_nested_sublist(self):
+        from webcrawl_spark.kernels.document import build_odt, odt_to_html
+
+        d = build_odt([("ul", ["plain",
+                               ("holder", ("ul", ["n1", "n2"]))])])
+        html = odt_to_html(d)
+        assert ("<ul><li>plain</li><li><p>holder</p>"
+                "<ul><li>n1</li><li>n2</li></ul></li></ul>") in html
+
+    def test_odt_sublist_only_item(self):
+        from webcrawl_spark.kernels.document import build_odt, odt_to_html
+
+        d = build_odt([("ol", ["first", ("", ("ol", ["only-sub"]))])])
+        html = odt_to_html(d)
+        assert ("<ol><li>first</li><li><ol><li>only-sub</li></ol></li></ol>"
+                in html)
+
+
 class TestExternalImages:
     def test_docx_external_image(self):
         """docx.rs:925-990: text-free paragraph with a drawing blip whose

@@ -29,7 +29,8 @@ from dataclasses import dataclass, field
 from xml.etree import ElementTree as ET
 
 __all__ = [
-    "Document", "Block", "Inline", "xlsx_to_document", "render_document_html",
+    "Document", "Block", "Inline", "ListItem", "xlsx_to_document",
+    "render_document_html",
     "xlsx_to_html", "build_xlsx", "docx_to_document", "docx_to_html",
     "build_docx", "odt_to_document", "odt_to_html", "build_odt",
     "rtf_to_document", "rtf_to_html", "convert_document",
@@ -56,6 +57,17 @@ class Inline:
 
 
 @dataclass
+class ListItem:
+    """List item with optional nested sublists (document/mod.rs ListItem:
+    blocks = [Paragraph?, List...]). Rendering follows render_blocks_inline
+    (html.rs:100-110): inlines alone → bare; inlines + sublists →
+    <p>inlines</p> followed by the nested <ol>/<ul>; sublists alone → just
+    the nested lists."""
+    inlines: list[Inline] = field(default_factory=list)
+    sublists: list["Block"] = field(default_factory=list)
+
+
+@dataclass
 class Block:
     """Subset of the reference document model needed by the spreadsheet and
     word-processor providers: paragraphs (normal/heading/blockquote) with
@@ -66,9 +78,10 @@ class Block:
     rows: list[list[str]] = field(default_factory=list)
     # styled runs; None → render the plain ``text``
     inlines: list[Inline] | None = None
-    # list blocks (html.rs:191-200: <ol>/<ul> of <li> with bare inlines)
+    # list blocks (html.rs:191-200: <ol>/<ul> of <li>); items are plain
+    # list[Inline] (flat) or ListItem (carries nested sublists)
     ordered: bool = False
-    items: list[list[Inline]] = field(default_factory=list)
+    items: list = field(default_factory=list)
     # image blocks (html.rs:203-208; EXTERNAL http(s) images only —
     # embedded package media is dropped, docx.rs:979-990)
     src: str = ""
@@ -352,9 +365,10 @@ def _docx_image_block(p: ET.Element,
     return None
 
 
-def _docx_list_info(p: ET.Element,
-                    numbering: dict[tuple[str, str], bool]) -> tuple[str, bool] | None:
-    """(numId, ordered) when the paragraph carries numPr
+def _docx_list_info(
+    p: ET.Element, numbering: dict[tuple[str, str], bool],
+) -> tuple[str, bool, int] | None:
+    """(numId, ordered, ilvl) when the paragraph carries numPr
     (docx.rs:760-774 paragraph_list_info; unknown numId → unordered)."""
     ppr = p.find(_w("pPr"))
     if ppr is None:
@@ -369,7 +383,58 @@ def _docx_list_info(p: ET.Element,
     nid = nid_el.get(_w("val")) or nid_el.get("val") or ""
     ilvl = (ilvl_el.get(_w("val")) or ilvl_el.get("val") or "0") \
         if ilvl_el is not None else "0"
-    return nid, numbering.get((nid, ilvl), False)
+    return (nid, numbering.get((nid, ilvl), False),
+            int(ilvl) if ilvl.isdigit() else 0)
+
+
+def _parse_docx_list(
+    nodes: list[ET.Element], i: int,
+    numbering: dict[tuple[str, str], bool], rels: dict[str, str],
+) -> tuple[Block, int]:
+    """Consecutive numPr paragraphs → one list block, deeper ilvl runs →
+    nested sublists attached to the preceding item (docx.rs:826-900
+    parse_list: breaks on shallower ilvl or same-level numId/type change;
+    a trailing item that gained no content is dropped)."""
+    base_nid, base_ordered, base_ilvl = _docx_list_info(nodes[i], numbering)
+    block = Block(kind="list", ordered=base_ordered)
+    while i < len(nodes):
+        node = nodes[i]
+        if node.tag != _w("p"):
+            break
+        info = _docx_list_info(node, numbering)
+        if info is None:
+            break
+        nid, ordered, ilvl = info
+        if ilvl < base_ilvl:
+            break
+        if ilvl == base_ilvl and (ordered != base_ordered
+                                  or nid != base_nid):
+            break
+        if ilvl > base_ilvl:
+            # deeper run with no preceding base item: recurse anyway so the
+            # content survives (reference reaches this only via the inner
+            # loop; a leading deeper item would otherwise stall)
+            sub, i = _parse_docx_list(nodes, i, numbering, rels)
+            if not block.items:
+                block.items.append(ListItem())
+            block.items[-1].sublists.append(sub)
+            continue
+        runs = _run_inlines(node, rels)
+        item = ListItem(
+            inlines=runs if any(r.text.strip() for r in runs) else [])
+        block.items.append(item)
+        i += 1
+        while i < len(nodes) and nodes[i].tag == _w("p"):
+            sub_info = _docx_list_info(nodes[i], numbering)
+            if sub_info is None or sub_info[2] <= base_ilvl:
+                break
+            sub, i = _parse_docx_list(nodes, i, numbering, rels)
+            if sub.items:
+                item.sublists.append(sub)
+    if block.items and not block.items[-1].inlines \
+            and not block.items[-1].sublists:
+        block.items.pop()
+    return block, i
 
 
 def _para_kind(p: ET.Element) -> tuple[str, int]:
@@ -403,10 +468,9 @@ def docx_to_document(data: bytes) -> Document:
     paragraphs with heading/blockquote detection (docx.rs:317-379),
     character styling runs (bold/italic from run-local rPr,
     docx.rs:548-556), numbered/bulleted lists (numPr + numbering.xml
-    ordered/unordered, consecutive same-numId paragraphs grouped,
-    docx.rs:760-860 flattened to one level), and tables of flattened cell
-    text. Images, hyperlinks, footnotes, nested list levels, and
-    styles.xml-based inheritance are out of this subset — the operator seam
+    ordered/unordered, consecutive same-numId paragraphs grouped, deeper
+    ilvl runs nested as sublists — docx.rs:760-900), and tables of flattened cell
+    text. Footnotes and styles.xml-based inheritance are out of this subset — the operator seam
     and renderer are shared, so adding them extends this function only."""
     zf = zipfile.ZipFile(io.BytesIO(data))
     root = ET.fromstring(zf.read("word/document.xml"))
@@ -416,29 +480,24 @@ def docx_to_document(data: bytes) -> Document:
     doc = Document()
     if body is None:
         return doc
-    cur_list: Block | None = None
-    cur_num_id: str | None = None
-    for node in body:
+    nodes = list(body)
+    i = 0
+    while i < len(nodes):
+        node = nodes[i]
         if node.tag == _w("p"):
-            info = _docx_list_info(node, numbering)
-            if info is not None:
-                nid, ordered = info
-                runs = _run_inlines(node, rels)
-                if not any(r.text.strip() for r in runs):
-                    continue
-                if cur_list is None or nid != cur_num_id:
-                    cur_list = Block(kind="list", ordered=ordered)
-                    cur_num_id = nid
-                    doc.blocks.append(cur_list)
-                cur_list.items.append(runs)
+            if _docx_list_info(node, numbering) is not None:
+                block, i = _parse_docx_list(nodes, i, numbering, rels)
+                if block.items:
+                    doc.blocks.append(block)
                 continue
-            cur_list, cur_num_id = None, None
             img = _docx_image_block(node, rels)
             if img is not None:
                 doc.blocks.append(img)
+                i += 1
                 continue
             text = _para_text(node)
             if not text.strip():
+                i += 1
                 continue
             kind, level = _para_kind(node)
             runs = _run_inlines(node, rels)
@@ -447,12 +506,12 @@ def docx_to_document(data: bytes) -> Document:
             doc.blocks.append(Block(kind=kind, level=level or 2, text=text,
                                     inlines=styled))
         elif node.tag == _w("tbl"):
-            cur_list, cur_num_id = None, None
             rows = [
                 [_para_text(tc) for tc in tr.findall(_w("tc"))]
                 for tr in node.findall(_w("tr"))
             ]
             doc.blocks.append(Block(kind="table", rows=rows))
+        i += 1
     return doc
 
 
@@ -527,10 +586,16 @@ def build_docx(blocks: list[tuple]) -> bytes:
             has_list = True
             num_id = 1 if kind == "ol" else 2
             for item in payload:
+                # item = text_or_runs at ilvl 0, or (ilvl, text_or_runs)
+                if (isinstance(item, tuple) and len(item) == 2
+                        and isinstance(item[0], int)):
+                    ilvl, content = item
+                else:
+                    ilvl, content = 0, item
                 parts.append(
-                    "<w:p><w:pPr><w:numPr><w:ilvl w:val=\"0\"/>"
+                    f"<w:p><w:pPr><w:numPr><w:ilvl w:val=\"{ilvl}\"/>"
                     f"<w:numId w:val=\"{num_id}\"/></w:numPr></w:pPr>"
-                    f"{runs_xml(item)}</w:p>"
+                    f"{runs_xml(content)}</w:p>"
                 )
             continue
         ppr = ""
@@ -571,9 +636,10 @@ def build_docx(blocks: list[tuple]) -> bytes:
         if has_list:
             # numId 1 → decimal (ordered), numId 2 → bullet (unordered)
             abstracts = "".join(
-                f'<w:abstractNum w:abstractNumId="{aid}">'
-                f'<w:lvl w:ilvl="0"><w:numFmt w:val="{fmt}"/></w:lvl>'
-                "</w:abstractNum>"
+                f'<w:abstractNum w:abstractNumId="{aid}">' + "".join(
+                    f'<w:lvl w:ilvl="{lv}"><w:numFmt w:val="{fmt}"/></w:lvl>'
+                    for lv in range(4)
+                ) + "</w:abstractNum>"
                 for aid, fmt in ((0, "decimal"), (1, "bullet"))
             )
             nums = "".join(
@@ -710,14 +776,43 @@ def _odt_text_of(el: ET.Element) -> str:
     return "".join(parts)
 
 
+def _odt_list(node: ET.Element, text_styles: dict,
+              list_ordered: dict) -> Block:
+    """<text:list> → list block; list-items collect their paragraphs'
+    styled runs and recurse into nested <text:list> children (odt.rs
+    parse_list_with_inherit: the nested list inherits ordered-ness from its
+    own style, falling back to the parent's)."""
+    style = node.get(f"{{{_ODT_TEXT}}}style-name") or ""
+    ordered = list_ordered.get(style, False)
+    block = Block(kind="list", ordered=ordered)
+    for li in node.findall(f"{{{_ODT_TEXT}}}list-item"):
+        runs: list[Inline] = []
+        subs: list[Block] = []
+        for ch in li:
+            if ch.tag == f"{{{_ODT_TEXT}}}p":
+                runs.extend(_odt_inlines(ch, text_styles))
+            elif ch.tag == f"{{{_ODT_TEXT}}}list":
+                inner_style = ch.get(f"{{{_ODT_TEXT}}}style-name") or ""
+                sub = _odt_list(ch, text_styles, list_ordered)
+                if inner_style not in list_ordered:
+                    sub.ordered = ordered  # inherit from parent
+                if sub.items:
+                    subs.append(sub)
+        has_text = any(r.text.strip() for r in runs)
+        if has_text or subs:
+            block.items.append(ListItem(
+                inlines=runs if has_text else [], sublists=subs))
+    return block
+
+
 def odt_to_document(data: bytes) -> Document:
     """Useful-slice ODT provider (providers/odt.rs subset): body headings
     (<text:h> with outline-level), paragraphs (<text:p>) with styled spans
-    (bold/italic via text styles, odt.rs:177-186), flat lists (<text:list>,
-    ordered iff the list style has a number level, odt.rs:154-169), and
-    tables (cells flattened to their paragraph text). Images, footnotes,
-    frames, nested list levels, and styles.xml-carried styles are out of
-    this subset — same seam note as the docx provider."""
+    (bold/italic via text styles, odt.rs:177-186), lists (<text:list>, nested
+    via list-items' child lists; ordered iff the list style has a number
+    level, odt.rs:154-169), and
+    tables (cells flattened to their paragraph text). Footnotes, frames, and styles.xml-carried styles are out of this
+    subset — same seam note as the docx provider."""
     zf = zipfile.ZipFile(io.BytesIO(data))
     root = ET.fromstring(zf.read("content.xml"))
     text_styles, list_ordered = _odt_styles(root)
@@ -757,19 +852,9 @@ def odt_to_document(data: bytes) -> Document:
             doc.blocks.append(Block(kind="paragraph", text=text,
                                     inlines=styled))
         elif node.tag == f"{{{_ODT_TEXT}}}list":
-            style = node.get(f"{{{_ODT_TEXT}}}style-name") or ""
-            items = []
-            for li in node.findall(f"{{{_ODT_TEXT}}}list-item"):
-                runs: list[Inline] = []
-                for p in li.findall(f"{{{_ODT_TEXT}}}p"):
-                    runs.extend(_odt_inlines(p, text_styles))
-                if any(r.text.strip() for r in runs):
-                    items.append(runs)
-            if items:
-                doc.blocks.append(Block(
-                    kind="list", ordered=list_ordered.get(style, False),
-                    items=items,
-                ))
+            block = _odt_list(node, text_styles, list_ordered)
+            if block.items:
+                doc.blocks.append(block)
         elif node.tag == f"{{{_ODT_TABLE}}}table":
             rows = [
                 [_odt_text_of(tc)
@@ -828,13 +913,26 @@ def build_odt(blocks: list[tuple]) -> bytes:
                 '<text:p><draw:image '
                 f'xlink:href="{esc(payload)}"/></text:p>')
         elif kind in ("ol", "ul"):
-            style = "LNUM" if kind == "ol" else "LBUL"
-            items = "".join(
-                f"<text:list-item><text:p>{runs_xml(item)}</text:p>"
-                "</text:list-item>" for item in payload
-            )
-            parts.append(f'<text:list text:style-name="{style}">{items}'
-                         "</text:list>")
+            def list_xml(lkind, litems) -> str:
+                style = "LNUM" if lkind == "ol" else "LBUL"
+                out = [f'<text:list text:style-name="{style}">']
+                for item in litems:
+                    nested = ""
+                    content = item
+                    # (content, ("ol"|"ul", subitems)) → nested list
+                    if (isinstance(item, tuple) and len(item) == 2
+                            and isinstance(item[1], tuple) and item[1]
+                            and item[1][0] in ("ol", "ul")):
+                        content, (nk, ni) = item
+                        nested = list_xml(nk, ni)
+                    body = (f"<text:p>{runs_xml(content)}</text:p>"
+                            if content else "")
+                    out.append(f"<text:list-item>{body}{nested}"
+                               "</text:list-item>")
+                out.append("</text:list>")
+                return "".join(out)
+
+            parts.append(list_xml(kind, payload))
         elif kind.startswith("h") and kind[1:].isdigit():
             parts.append(f'<text:h text:outline-level="{kind[1:]}">'
                          f"{esc(payload)}</text:h>")
@@ -1095,6 +1193,28 @@ def _render_inlines(inlines: list[Inline]) -> str:
     return "".join(parts)
 
 
+def _render_list(b: Block) -> str:
+    """html.rs:191-200 + render_blocks_inline (html.rs:100-110): a lone
+    normal paragraph renders bare inlines; paragraph + nested lists render
+    as blocks (<p> then <ol>/<ul>); nested lists alone render bare."""
+    tag = "ol" if b.ordered else "ul"
+    parts = [f"<{tag}>"]
+    for item in b.items:
+        if isinstance(item, ListItem):
+            subs = "".join(_render_list(s) for s in item.sublists)
+            if item.inlines and item.sublists:
+                inner = f"<p>{_render_inlines(item.inlines)}</p>{subs}"
+            elif item.sublists:
+                inner = subs
+            else:
+                inner = _render_inlines(item.inlines)
+        else:
+            inner = _render_inlines(item)
+        parts.append(f"<li>{inner}</li>")
+    parts.append(f"</{tag}>")
+    return "".join(parts)
+
+
 def _block_inner(b: Block) -> str:
     return (_render_inlines(b.inlines) if b.inlines is not None
             else _esc(b.text))
@@ -1116,12 +1236,7 @@ def render_document_html(doc: Document) -> str:
         elif b.kind == "blockquote":
             parts.append(f"<blockquote><p>{_block_inner(b)}</p></blockquote>")
         elif b.kind == "list":
-            tag = "ol" if b.ordered else "ul"
-            parts.append(
-                f"<{tag}>" + "".join(
-                    f"<li>{_render_inlines(item)}</li>" for item in b.items
-                ) + f"</{tag}>"
-            )
+            parts.append(_render_list(b))
         elif b.kind == "image":
             alt = f' alt="{_esc(b.alt)}"' if b.alt is not None else ""
             parts.append(f'<img src="{_esc(b.src)}"{alt}>')
