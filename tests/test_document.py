@@ -646,3 +646,70 @@ class TestSitemapFallbacks:
 
         sitemap_seed_batches(fetch, "https://192.168.0.1/")
         assert calls == ["https://192.168.0.1/sitemap.xml"]
+
+
+class TestStylesXmlHeadings:
+    """docx.rs:180-245 + 317-379: pStyle ids resolve through styles.xml —
+    a style whose definition carries outlineLvl, or whose display NAME says
+    'heading N', is a heading even when the id is opaque."""
+
+    def _docx_with_styles(self, styles_xml: str, body_p: str) -> bytes:
+        import io
+        import zipfile
+
+        from webcrawl_spark.kernels.document import _W, _NS, build_docx
+
+        base = build_docx([("p", "seed")])
+        out = io.BytesIO()
+        with zipfile.ZipFile(io.BytesIO(base)) as zin, \
+                zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zout:
+            for name in zin.namelist():
+                data = zin.read(name)
+                if name == "word/document.xml":
+                    data = (
+                        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                        f'<w:document xmlns:w="{_W}"><w:body>{body_p}'
+                        "</w:body></w:document>"
+                    ).encode()
+                zout.writestr(name, data)
+            zout.writestr(
+                "word/styles.xml",
+                '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                f'<w:styles xmlns:w="{_W}">{styles_xml}</w:styles>')
+        return out.getvalue()
+
+    def test_opaque_style_id_with_outline_level(self):
+        from webcrawl_spark.kernels.document import docx_to_html
+
+        d = self._docx_with_styles(
+            '<w:style w:styleId="S7"><w:name w:val="Fancy"/>'
+            '<w:pPr><w:outlineLvl w:val="2"/></w:pPr></w:style>',
+            '<w:p><w:pPr><w:pStyle w:val="S7"/></w:pPr>'
+            '<w:r><w:t>deep</w:t></w:r></w:p>')
+        assert "<h3>deep</h3>" in docx_to_html(d)
+
+    def test_opaque_style_id_with_heading_name(self):
+        from webcrawl_spark.kernels.document import docx_to_html
+
+        d = self._docx_with_styles(
+            '<w:style w:styleId="X1"><w:name w:val="Heading 4"/></w:style>',
+            '<w:p><w:pPr><w:pStyle w:val="X1"/></w:pPr>'
+            '<w:r><w:t>named</w:t></w:r></w:p>')
+        assert "<h4>named</h4>" in docx_to_html(d)
+
+    def test_quote_name_fallback(self):
+        from webcrawl_spark.kernels.document import docx_to_html
+
+        d = self._docx_with_styles(
+            '<w:style w:styleId="Q9"><w:name w:val="Intense Quote"/></w:style>',
+            '<w:p><w:pPr><w:pStyle w:val="Q9"/></w:pPr>'
+            '<w:r><w:t>quoted</w:t></w:r></w:p>')
+        assert "<blockquote><p>quoted</p></blockquote>" in docx_to_html(d)
+
+    def test_parse_heading_level_dashes(self):
+        from webcrawl_spark.kernels.document import _parse_heading_level
+
+        assert _parse_heading_level("heading-3") == 3
+        assert _parse_heading_level("Heading 12") == 6  # capped
+        assert _parse_heading_level("heading") is None
+        assert _parse_heading_level("subheading 0") is None

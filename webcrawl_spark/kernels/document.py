@@ -437,11 +437,62 @@ def _parse_docx_list(
     return block, i
 
 
-def _para_kind(p: ET.Element) -> tuple[str, int]:
-    """docx.rs:317-379 subset: outlineLvl → Heading(v+1, ≤6); pStyle id
-    'HeadingN'/'Title' → heading; id containing 'quote' → blockquote; else
-    normal. (The reference additionally consults styles.xml names and font
-    size buckets — out of this subset's scope, documented.)"""
+def _docx_styles(zf: zipfile.ZipFile) -> dict[str, tuple[str, int | None]]:
+    """word/styles.xml: styleId → (display name, heading level from the
+    style's own outlineLvl or None) — docx.rs:180-245 read_styles (font
+    size buckets are out of this subset)."""
+    try:
+        root = ET.fromstring(zf.read("word/styles.xml"))
+    except KeyError:
+        return {}
+    out: dict[str, tuple[str, int | None]] = {}
+    for st in root.findall(_w("style")):
+        sid = st.get(_w("styleId")) or st.get("styleId") or ""
+        if not sid:
+            continue
+        name_el = st.find(_w("name"))
+        name = ((name_el.get(_w("val")) or name_el.get("val") or "")
+                if name_el is not None else "")
+        lvl = None
+        ppr = st.find(_w("pPr"))
+        if ppr is not None:
+            ol = ppr.find(_w("outlineLvl"))
+            if ol is not None:
+                v = ol.get(_w("val")) or ol.get("val")
+                if v and v.isdigit():
+                    lvl = min(int(v) + 1, 6)
+        out[sid] = (name, lvl)
+    return out
+
+
+def _parse_heading_level(s: str) -> int | None:
+    """docx.rs:382-397: digits after 'heading' (skipping spaces/dashes)."""
+    lower = s.lower()
+    idx = lower.find("heading")
+    if idx < 0:
+        return None
+    rest = lower[idx + len("heading"):]
+    k = 0
+    while k < len(rest) and (rest[k].isspace() or rest[k] == "-"):
+        k += 1
+    digits = ""
+    while k < len(rest) and rest[k].isdigit():
+        digits += rest[k]
+        k += 1
+    if digits and int(digits) >= 1:
+        return min(int(digits), 6)
+    return None
+
+
+def _para_kind(p: ET.Element,
+               styles: dict[str, tuple[str, int | None]] | None = None,
+               ) -> tuple[str, int]:
+    """docx.rs:317-379 paragraph_kind: direct outlineLvl → Heading(v+1, ≤6);
+    else pStyle resolved through styles.xml (style's own outlineLvl → its
+    display name's 'heading N' → the style id's 'heading N' → title/heading/
+    quote substring fallbacks on name and id). Font-size-bucket level
+    adjustment is out of this subset."""
+    styles = styles or {}
     ppr = p.find(_w("pPr"))
     if ppr is None:
         return "paragraph", 0
@@ -452,13 +503,25 @@ def _para_kind(p: ET.Element) -> tuple[str, int]:
             return "heading", min(int(v) + 1, 6)
     st = ppr.find(_w("pStyle"))
     if st is not None:
-        sid = (st.get(_w("val")) or st.get("val") or "").lower()
-        m = re.search(r"heading\s*(\d+)?", sid)
-        if m:
-            return "heading", min(int(m.group(1) or 2), 6)
-        if "title" in sid:
+        sid = st.get(_w("val")) or st.get("val") or ""
+        name, style_lvl = styles.get(sid, ("", None))
+        if style_lvl is not None:
+            return "heading", style_lvl
+        if name:
+            base = _parse_heading_level(name)
+            if base is not None:
+                return "heading", base
+            if "quote" in name.lower():
+                return "blockquote", 0
+        base = _parse_heading_level(sid)
+        if base is not None:
+            return "heading", base
+        id_l, name_l = sid.lower(), name.lower()
+        if "title" in name_l or "title" in id_l:
             return "heading", 1
-        if "quote" in sid:
+        if "heading" in name_l or "heading" in id_l:
+            return "heading", 2
+        if "quote" in name_l or "quote" in id_l:
             return "blockquote", 0
     return "paragraph", 0
 
@@ -476,6 +539,7 @@ def docx_to_document(data: bytes) -> Document:
     root = ET.fromstring(zf.read("word/document.xml"))
     numbering = _docx_numbering(zf)
     rels = _docx_doc_rels(zf)
+    styles = _docx_styles(zf)
     body = root.find(_w("body"))
     doc = Document()
     if body is None:
@@ -499,7 +563,7 @@ def docx_to_document(data: bytes) -> Document:
             if not text.strip():
                 i += 1
                 continue
-            kind, level = _para_kind(node)
+            kind, level = _para_kind(node, styles)
             runs = _run_inlines(node, rels)
             styled = (runs if any(r.bold or r.italic or r.href
                                   for r in runs) else None)
