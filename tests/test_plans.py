@@ -97,7 +97,8 @@ def test_bloom_cogroup_runs_num_buckets_tasks(spark):
         F.pmod(F.col("id"), F.lit(n_buckets)).cast("int").alias("cand_bucket"),
     )
     shards = spark.createDataFrame([], "host_bucket int, blob binary")
-    probed = crawl._bloom_probe(cand, shards)
+    # big round: task count = num_buckets (full bucket spread)
+    probed = crawl._bloom_probe(cand, shards, n_rows=100_000)
     assert probed.rdd.getNumPartitions() == n_buckets
     # each child exchanges once into num_buckets; no second exchange to the
     # default shuffle-partition count (AQE plan string repeats the tree in
@@ -106,6 +107,9 @@ def test_bloom_cogroup_runs_num_buckets_tasks(spark):
     assert final_plan.count("Exchange hashpartitioning") == 2
     assert f", {n_buckets})" in final_plan.split(
         "Exchange hashpartitioning", 1)[1][:80]
+    # tiny round: ONE task — no per-bucket python-worker spin-up storm
+    tiny = crawl._bloom_probe(cand, shards, n_rows=100)
+    assert tiny.rdd.getNumPartitions() == 1
 
 
 def test_crawl_fetch_join_broadcasts_selection(spark):

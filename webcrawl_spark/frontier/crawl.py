@@ -428,7 +428,8 @@ class SparkCrawl:
         )
         self.io.append(seed_df, "frontier", 0, partition_by=["host_bucket"])
         if eng.use_bloom:
-            self._write_shards(self.io.read_round("frontier", 0), None, 0)
+            self._write_shards(self.io.read_round("frontier", 0), None, 0,
+                               n_rows=len(rows))
         self._frontier_count = len(rows)
         self._processed = 0
         self._next_seq = len(rows)
@@ -490,8 +491,19 @@ class SparkCrawl:
             return None
         return self.io.read_round("bloom_shards", latest)
 
+    def _cogroup_parts(self, n_rows: int) -> int:
+        """Cogroup task count for the Bloom stages: spread buckets across
+        tasks on big rounds (up to num_buckets), but never more tasks than
+        ~2k rows each — an explicit repartition(N) disables AQE coalescing,
+        so tiny rounds would otherwise pay num_buckets python-worker
+        spin-ups for near-empty pandas groups (measured: the 371-fetch
+        bench crawl ran 1.4× slower at local[32] than local[8], while the
+        20k/100k probes need the full bucket spread). Hash partitioning by
+        the bucket key keeps each bucket's rows in one task at ANY count."""
+        return max(1, min(self.engine.num_buckets, n_rows // 2000 + 1))
+
     def _write_shards(self, new_rows: DataFrame, shards: DataFrame | None,
-                      round_no: int) -> None:
+                      round_no: int, n_rows: int) -> None:
         """bloom_shards[round] = merge(bloom_shards[previous], new url
         hashes), entirely executor-side: a cogroup by bucket where each task
         deserializes its bucket's blob, adds the bucket's new hashes, and
@@ -501,21 +513,21 @@ class SparkCrawl:
         import numpy as np
 
         m_bits, k = self._shard_params()
-        n_buckets = self.engine.num_buckets
+        n_parts = self._cogroup_parts(n_rows)
         dedup = self._dedup_col()
-        # pre-partition both cogroup inputs to exactly num_buckets: the
-        # cogroup's required hash distribution is then already satisfied, so
-        # applyInPandas runs num_buckets tasks instead of
+        # pre-partition both cogroup inputs to a row-count-sized task count
+        # (≤ num_buckets): the cogroup's required hash distribution is then
+        # already satisfied, so applyInPandas runs n_parts tasks instead of
         # spark.sql.shuffle.partitions (default 200) — which at 32 buckets
         # meant ~170 empty pandas groups + python-worker spin-up per stage,
         # growing with core count (the r2 negative-scaling finding).
         hashes = new_rows.select(
             "host_bucket", F.xxhash64(F.col(dedup)).alias("dedup_hash"),
-        ).repartition(n_buckets, "host_bucket")
+        ).repartition(n_parts, "host_bucket")
         if shards is None:
             shards = self.spark.createDataFrame(
                 [], "host_bucket int, blob binary")
-        shards = shards.repartition(n_buckets, "host_bucket")
+        shards = shards.repartition(n_parts, "host_bucket")
 
         def merge(key, old: pd.DataFrame, new: pd.DataFrame) -> pd.DataFrame:
             if len(old):
@@ -534,7 +546,8 @@ class SparkCrawl:
         )
         self.io.append(updated, "bloom_shards", round_no)
 
-    def _bloom_probe(self, allowed: DataFrame, shards: DataFrame) -> DataFrame:
+    def _bloom_probe(self, allowed: DataFrame, shards: DataFrame,
+                     n_rows: int) -> DataFrame:
         """Candidates + maybe_seen, via a bucket-local cogroup against the
         shard table — no driver collect, no global broadcast; each task sees
         one bucket's candidates and that bucket's blob."""
@@ -554,11 +567,11 @@ class SparkCrawl:
                 out["maybe_seen"] = blob.contains(h)
             return out
 
-        n_buckets = self.engine.num_buckets
+        n_parts = self._cogroup_parts(n_rows)
         return (
-            allowed.repartition(n_buckets, "cand_bucket")
+            allowed.repartition(n_parts, "cand_bucket")
             .groupBy("cand_bucket")
-            .cogroup(shards.repartition(n_buckets, "host_bucket")
+            .cogroup(shards.repartition(n_parts, "host_bucket")
                      .groupBy("host_bucket"))
             .applyInPandas(probe, _CAND_SCHEMA + ", maybe_seen boolean")
         )
@@ -762,7 +775,8 @@ class SparkCrawl:
         frontier_keys = self._frontier_df().select(F.col(dedup).alias("seen_key"))
         shards = self._shards_df() if eng.use_bloom else None
         if shards is not None:
-            probed = self._pin(self._bloom_probe(allowed, shards))
+            probed = self._pin(
+                self._bloom_probe(allowed, shards, n_rows=n_candidates))
             t = self._trace(round_no, "bloom probe pin", t)
             surely_new = probed.filter(~F.col("maybe_seen")) \
                                .withColumn("is_seen", F.lit(False))
@@ -805,9 +819,11 @@ class SparkCrawl:
                 if n_new:
                     base = base.unionByName(
                         new_rows_file.select(*base.columns))
-                self._write_shards(base, None, round_no)
+                self._write_shards(base, None, round_no,
+                                   n_rows=self._frontier_count + n_new)
             elif n_new:
-                self._write_shards(new_rows_file, shards, round_no)
+                self._write_shards(new_rows_file, shards, round_no,
+                                   n_rows=n_new)
         t = self._trace(round_no, "bloom shard write", t)
         self._maybe_compact_queued(queued, selected, new_rows_file, round_no)
         t = self._trace(round_no, "queued compaction", t)
