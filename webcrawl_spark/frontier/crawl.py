@@ -502,6 +502,21 @@ class SparkCrawl:
         the bucket key keeps each bucket's rows in one task at ANY count."""
         return max(1, min(self.engine.num_buckets, n_rows // 2000 + 1))
 
+    def _extract_parts(self, n_rows: int) -> int | None:
+        """Task count for the extraction stage on SMALL rounds, or None to
+        keep the input's full parallelism. A tiny selection inner-joined
+        against the corpus inherits the corpus' partition count, so a
+        30-row round ran one python-worker round trip and wrote one
+        near-empty parquet file per corpus partition — and every downstream
+        read (classify, probe) inherited that file count. ~64 rows/task
+        (markdown extraction is the expensive per-row work, so tasks stay
+        small) capped at the scheduler's parallelism; big rounds return
+        None and keep the corpus layout."""
+        if n_rows >= self.engine.small_round_threshold:
+            return None
+        cap = self.spark.sparkContext.defaultParallelism
+        return max(1, min(n_rows // 64 + 1, cap))
+
     def _write_shards(self, new_rows: DataFrame, shards: DataFrame | None,
                       round_no: int, n_rows: int) -> None:
         """bloom_shards[round] = merge(bloom_shards[previous], new url
@@ -696,6 +711,11 @@ class SparkCrawl:
                 .withColumn("html", F.lit(None).cast("binary"))
             )
             fetched = hits.unionByName(misses)
+        k_extract = self._extract_parts(n_selected)
+        if k_extract is not None:
+            # coalesce (no shuffle: html never moves) so the UDF stage and
+            # its output files match the round size, not the corpus layout
+            fetched = fetched.coalesce(k_extract)
         fetched = fetched.withColumn(
             "status", F.when(F.col("html").isNotNull(), 200).otherwise(404))
         expandable = (
@@ -992,7 +1012,11 @@ class SparkCrawl:
         return self.spark.createDataFrame(pdf, FRONTIER_SCHEMA)
 
     def _write_admitted(self, admitted: list[tuple], round_no: int) -> None:
-        df = self._local_frontier_df(admitted).withColumn(
+        # coalesce(1): driver-built rows are small by construction (small-
+        # round / limit-replay paths only), and one write task emits one
+        # file per bucket VALUE instead of one per (task × bucket) — the
+        # frontier file count stays O(buckets), not O(parallelism × buckets)
+        df = self._local_frontier_df(admitted).coalesce(1).withColumn(
             "host_bucket",
             F.pmod(F.xxhash64("host"), F.lit(self.engine.num_buckets))
             .cast("int"),
