@@ -704,8 +704,22 @@ class SparkCrawl:
                            pages["page_url"] == selected["url"], "inner")
                 .drop("page_url")
             )
+            # 404 misses: the corpus' size estimate (the full cached/scanned
+            # relation) blocks auto-broadcast, so a direct
+            # `selected ANTI pages.urls` falls back to a sort-merge join
+            # that shuffles+sorts the corpus' url column every round.
+            # Instead probe the corpus against the broadcast selection once
+            # more (column-pruned stream, no shuffle) and anti-join the
+            # selection against that ≤|selected|-row present-set — every
+            # corpus access in the round is a broadcast-probed stream.
+            present = (
+                pages.select("page_url")
+                .join(F.broadcast(selected.select(F.col("url").alias("_s"))),
+                      F.col("page_url") == F.col("_s"), "inner")
+                .select("page_url")
+            )
             misses = (
-                selected.join(pages.select("page_url"),
+                selected.join(F.broadcast(present),
                               selected["url"] == F.col("page_url"),
                               "left_anti")
                 .withColumn("html", F.lit(None).cast("binary"))
