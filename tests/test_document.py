@@ -713,3 +713,158 @@ class TestStylesXmlHeadings:
         assert _parse_heading_level("Heading 12") == 6  # capped
         assert _parse_heading_level("heading") is None
         assert _parse_heading_level("subheading 0") is None
+
+
+class TestRunStyling:
+    """docx.rs:547-577 run_style_from_rpr: strike, code rStyle, vertAlign;
+    docx.rs:594-617 run children (br, tab, note refs); odt.rs:174-203
+    text-properties line-through / text-position."""
+
+    def test_docx_strike_code_sup_sub(self):
+        from webcrawl_spark.kernels.document import build_docx, docx_to_html
+
+        d = build_docx([("p", [("gone", "s"), (" f()", "c"), (" x", ""),
+                               ("2", "^"), (" H", ""), ("2", "_")])])
+        html = docx_to_html(d)
+        assert "<del>gone</del>" in html
+        assert "<code> f()</code>" in html
+        assert "x<sup>2</sup>" in html
+        assert "H<sub>2</sub>" in html
+
+    def test_docx_style_nest_order(self):
+        """apply order del->em->strong->sup (docx.rs:520-536)."""
+        from webcrawl_spark.kernels.document import build_docx, docx_to_html
+
+        d = build_docx([("p", [("all", "bis^")])])
+        assert ("<sup><strong><em><del>all</del></em></strong></sup>"
+                in docx_to_html(d))
+
+    def test_docx_code_collapses_styling(self):
+        """docx.rs:618-630: a code run returns ONLY Inline::Code of its
+        concatenated text, dropping other styling."""
+        from webcrawl_spark.kernels.document import build_docx, docx_to_html
+
+        d = build_docx([("p", [("styled_code", "bc")])])
+        html = docx_to_html(d)
+        assert "<code>styled_code</code>" in html
+        assert "<strong><code>" not in html
+
+    def test_docx_line_break_and_tab(self):
+        from webcrawl_spark.kernels.document import build_docx, docx_to_html
+
+        d = build_docx([("p", [("one", ""), ("#br",), ("two", "")])])
+        assert "one<br>two" in docx_to_html(d)
+
+    def test_odt_strike_sup_sub_linebreak(self):
+        from webcrawl_spark.kernels.document import build_odt, odt_to_html
+
+        od = build_odt([("p", [("gone", "s"), (" mc", ""), ("2", "^"),
+                               (" H", ""), ("2", "_"),
+                               ("#br",), ("next line", "")])])
+        html = odt_to_html(od)
+        assert "<del>gone</del>" in html
+        assert "mc<sup>2</sup>" in html
+        assert "H<sub>2</sub>" in html
+        assert "<br>next line" in html
+
+
+class TestDocxNotes:
+    """docx.rs:42-81,995-1075: footnotes.xml/endnotes.xml/comments.xml ->
+    end-of-body sections (html.rs:41-80) with in-text refs
+    (html.rs:229-235)."""
+
+    def _doc(self):
+        from webcrawl_spark.kernels.document import build_docx
+
+        return build_docx(
+            [("p", [("text", ""), ("#fn", "2"), ("#en", "1"),
+                    ("#cm", "0")])],
+            footnotes={"2": ["Footnote body", [("styled note", "b")]]},
+            endnotes={"1": ["Endnote body"]},
+            comments=[("0", "Ada L", "AL", ["Comment body"])],
+        )
+
+    def test_sections_render_after_main(self):
+        from webcrawl_spark.kernels.document import docx_to_html
+
+        html = docx_to_html(self._doc())
+        main_end = html.index("</main>")
+        assert html.index('<section id="footnotes"><h2>Footnotes</h2>') \
+            > main_end
+        assert '<div id="footnote-2"><p>Footnote body</p>' \
+               "<p><strong>styled note</strong></p></div>" in html
+        assert '<section id="endnotes"><h2>Endnotes</h2>' \
+               '<div id="endnote-1"><p>Endnote body</p></div></section>' \
+               in html
+        assert ('<article id="comment-0"><header>Ada L (AL)</header>'
+                "<p>Comment body</p></article>") in html
+
+    def test_refs_superscripted_like_word(self):
+        """The Word-typical reference run (rStyle FootnoteReference +
+        vertAlign superscript) nests the style wrap OVER the ref markup
+        (Sup([FootnoteRef]) composition)."""
+        from webcrawl_spark.kernels.document import docx_to_html
+
+        html = docx_to_html(self._doc())
+        assert '<sup><sup><a href="#footnote-2">2</a></sup></sup>' in html
+        assert '<sup><sup><a href="#endnote-1">1</a></sup></sup>' in html
+        assert '<a href="#comment-0">\U0001f4ac</a>' in html
+
+    def test_separator_notes_skipped(self):
+        """docx.rs:1022-1026: separator / continuationSeparator
+        pseudo-notes never become document notes."""
+        from webcrawl_spark.kernels.document import docx_to_document
+
+        doc = docx_to_document(self._doc())
+        assert [nid for nid, _ in doc.footnotes] == ["2"]
+        assert [nid for nid, _ in doc.endnotes] == ["1"]
+
+    def test_no_notes_no_sections(self):
+        from webcrawl_spark.kernels.document import build_docx, docx_to_html
+
+        html = docx_to_html(build_docx([("p", "plain")]))
+        assert "<section" not in html
+        assert "</main></body></html>" in html
+
+
+class TestOdtNotes:
+    """odt.rs:500-566: text:note bodies and office:annotation contents
+    collect into notes/comments and never leak into paragraph text."""
+
+    def test_notes_and_annotation(self):
+        from webcrawl_spark.kernels.document import build_odt, odt_to_html
+
+        od = build_odt([
+            ("p", [("before", ""), ("#fn", "footnote", "Note body"),
+                   ("#ann", "Bob", "BB", "Annot body"), ("after", "")]),
+        ])
+        html = odt_to_html(od)
+        main = html.split("<main>")[1].split("</main>")[0]
+        assert "Note body" not in main and "Annot body" not in main
+        assert '<sup><a href="#footnote-ftn1">ftn1</a></sup>' in main
+        assert '<a href="#comment-odt-comment-1">\U0001f4ac</a>' in main
+        assert '<div id="footnote-ftn1"><p>Note body</p></div>' in html
+        assert ("<article id=\"comment-odt-comment-1\">"
+                "<header>Bob (BB)</header><p>Annot body</p>") in html
+
+    def test_endnote_class(self):
+        from webcrawl_spark.kernels.document import (build_odt,
+                                                     odt_to_document)
+
+        od = build_odt([("p", [("x", ""), ("#fn", "endnote", "E body")])])
+        doc = odt_to_document(od)
+        assert doc.footnotes == []
+        assert len(doc.endnotes) == 1
+        assert doc.endnotes[0][1][0].text == "E body"
+
+    def test_table_cell_text_excludes_notes(self):
+        """_odt_text_of skips note bodies (flow text only)."""
+        from webcrawl_spark.kernels.document import _odt_text_of
+        from xml.etree import ElementTree as ET
+
+        t = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+        el = ET.fromstring(
+            f'<text:p xmlns:text="{t}">cell<text:note text:id="f1">'
+            "<text:note-body><text:p>hidden</text:p></text:note-body>"
+            "</text:note> tail</text:p>")
+        assert _odt_text_of(el) == "cell tail"

@@ -264,6 +264,57 @@ def _cumoffsets(bodies: list[bytes]) -> list[int]:
     return offs
 
 
+class TestFontDecoding:
+    """Font-resolved text decode (pdf.rs/pdf-parse resolve text through the
+    page's font resources): ToUnicode CMaps (bfchar + bfrange), Type0
+    2-byte CID codes, /Encoding /Differences glyph names."""
+
+    def test_cid_tounicode_roundtrip(self):
+        from webcrawl_spark.kernels.pdfkit import build_pdf_fonts, pdf_text
+
+        fx = build_pdf_fonts("H\u00e9llo \u2014 w\u00f6rld",
+                             b"plain", b"200 /bullet")
+        assert pdf_text(fx).split("\n")[0] == "H\u00e9llo \u2014 w\u00f6rld"
+
+    def test_differences_glyph_names(self):
+        from webcrawl_spark.kernels.pdfkit import build_pdf_fonts, pdf_text
+
+        fx = build_pdf_fonts("x", b"b:\x41 e:\x42 q:\x43",
+                             b"65 /bullet 66 /Euro 67 /quotedblleft")
+        assert pdf_text(fx).split("\n")[1] == \
+            "b:\u2022 e:\u20ac q:\u201c"
+
+    def test_differences_uni_names_and_unknown_dropped(self):
+        from webcrawl_spark.kernels.pdfkit import build_pdf_fonts, pdf_text
+
+        fx = build_pdf_fonts("x", b"a\x41b\x42c",
+                             b"65 /uni2603 66 /glyph99999")
+        assert pdf_text(fx).split("\n")[1] == "a\u2603bc"
+
+    def test_untouched_codes_fall_back_to_base_encoding(self):
+        from webcrawl_spark.kernels.pdfkit import build_pdf_fonts, pdf_text
+
+        fx = build_pdf_fonts("x", b"keep ascii \x41", b"65 /bullet")
+        assert pdf_text(fx).split("\n")[1] == "keep ascii \u2022"
+
+    def test_unmapped_cid_dropped(self):
+        from webcrawl_spark.kernels.pdfkit import (build_pdf_fonts,
+                                                   pdf_text)
+
+        # map only 'A' (0x0041); append an unmapped code 0x0999 by hand
+        fx = build_pdf_fonts("A", b"p", b"65 /bullet")
+        fx = fx.replace(b"<0041> Tj", b"<00410999> Tj")
+        assert pdf_text(fx).split("\n")[0] == "A"
+
+    def test_plain_writer_has_no_font_decoding(self):
+        """build_pdf's simple Type1 font carries no ToUnicode/Differences;
+        extraction must take the raw-string path (oracle stability)."""
+        from webcrawl_spark.kernels.pdfkit import build_pdf, pdf_text
+
+        d = build_pdf(["abc", "caf\u00e9"])
+        assert pdf_text(d) == "abc\ncaf\u00e9"
+
+
 class TestSparkOperator:
     def test_scrape_pdfs_matches_kernel(self, spark):
         from pyspark.sql import functions as F

@@ -1,5 +1,9 @@
-"""Document converter (S4, xlsx slice): spreadsheet bytes → HTML, feeding
-the standard html→markdown pipeline like any fetched page.
+"""Document converter (S4): xlsx/docx/odt/rtf bytes → HTML, feeding the
+standard html→markdown pipeline like any fetched page. Word-processor
+providers cover paragraphs/headings/blockquotes, full character styling
+(bold/italic/strike/code/sup/sub, line breaks), nested lists, hyperlinks,
+external images, tables, and footnotes/endnotes/comments rendered as the
+reference's end-of-body sections.
 
 Mirrors the reference document stack:
 - provider: packages/firecrawl-rs/src/document/providers/xlsx.rs:19-73 —
@@ -45,15 +49,23 @@ _NS = {
 
 @dataclass
 class Inline:
-    """Styled text run (document/mod.rs Inline subset: Text/Strong/Em/Link).
-    Rendering nests em inside strong (docx.rs:519-536 apply order) and the
-    link outermost (Inline::Link wraps styled children, docx.rs:634-653);
-    adjacent runs sharing an href render inside ONE <a>. strike/code/sup/
-    sub/footnotes are out of this subset."""
-    text: str = ""
+    """Styled text run (document/mod.rs Inline: Text/Strong/Em/Del/Code/
+    Sup/Sub/Link/LineBreak/Bookmark + note/comment refs). Rendering nests
+    per ResolvedRunStyle::apply (docx.rs:520-536): del innermost, then em,
+    strong, and sup/sub outermost; the link outermost of all (Inline::Link
+    wraps styled children, docx.rs:634-653); adjacent runs sharing an href
+    render inside ONE <a>. ``code`` replaces the run's other styling with
+    a bare <code> (docx.rs:618-630 early return)."""
+    text: str = ""           # for ref kinds: the note/comment id
     bold: bool = False
     italic: bool = False
     href: str | None = None
+    strike: bool = False
+    code: bool = False
+    vert: str | None = None  # "sup" | "sub" (w:vertAlign / text-position)
+    # "text" | "br" | "footnote_ref" | "endnote_ref" | "comment_ref"
+    # | "bookmark" (html.rs:224-236 special inlines)
+    kind: str = "text"
 
 
 @dataclass
@@ -92,6 +104,13 @@ class Block:
 class Document:
     blocks: list[Block] = field(default_factory=list)
     title: str | None = None
+    # (id, blocks) in document order (document/mod.rs Note; separator
+    # pseudo-notes excluded, docx.rs:1013-1027)
+    footnotes: list[tuple[str, list[Block]]] = field(default_factory=list)
+    endnotes: list[tuple[str, list[Block]]] = field(default_factory=list)
+    # (id, author_name, author_initials, blocks) (document/mod.rs Comment)
+    comments: list[tuple[str, str | None, str | None, list[Block]]] = \
+        field(default_factory=list)
 
 
 def _fmt_float(v: float) -> str:
@@ -237,11 +256,12 @@ def _read_on_off(el: ET.Element | None) -> bool | None:
 _R_NS = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
 
 
-def _docx_doc_rels(zf: zipfile.ZipFile) -> dict[str, str]:
-    """word/_rels/document.xml.rels: rId → Target (hyperlink resolution,
-    docx.rs:634-638)."""
+def _docx_rels(zf: zipfile.ZipFile,
+               path: str = "word/_rels/document.xml.rels") -> dict[str, str]:
+    """A part's .rels: rId → Target (hyperlink resolution, docx.rs:634-638;
+    notes/comments resolve through their own rels part, docx.rs:50-70)."""
     try:
-        root = ET.fromstring(zf.read("word/_rels/document.xml.rels"))
+        root = ET.fromstring(zf.read(path))
     except KeyError:
         return {}
     return {
@@ -250,26 +270,71 @@ def _docx_doc_rels(zf: zipfile.ZipFile) -> dict[str, str]:
     }
 
 
+def _run_style(rpr: ET.Element | None) -> dict:
+    """run_style_from_rpr (docx.rs:547-577): b/i/strike on-off toggles,
+    rStyle whose id contains 'code' → code, vertAlign sup/sub."""
+    st = {"bold": False, "italic": False, "strike": False, "code": False,
+          "vert": None}
+    if rpr is None:
+        return st
+    st["bold"] = _read_on_off(rpr.find(_w("b"))) or False
+    st["italic"] = _read_on_off(rpr.find(_w("i"))) or False
+    st["strike"] = _read_on_off(rpr.find(_w("strike"))) or False
+    rstyle = rpr.find(_w("rStyle"))
+    if rstyle is not None:
+        v = rstyle.get(_w("val")) or rstyle.get("val") or ""
+        if "code" in v.lower():
+            st["code"] = True
+    va = rpr.find(_w("vertAlign"))
+    if va is not None:
+        v = (va.get(_w("val")) or va.get("val") or "").lower()
+        if v in ("sup", "superscript"):
+            st["vert"] = "sup"
+        elif v in ("sub", "subscript"):
+            st["vert"] = "sub"
+    return st
+
+
 def _run_inlines(p: ET.Element,
                  rels: dict[str, str] | None = None) -> list[Inline]:
-    """Paragraph runs with local rPr bold/italic (docx.rs:548-556
-    run_style_from_rpr) and w:hyperlink resolution (r:id → rels target, or
-    w:anchor → '#anchor', docx.rs:634-653; runs inside the hyperlink carry
-    its href). Style-chain inheritance through styles.xml is out of this
-    subset. Empty-text runs are dropped."""
+    """Paragraph runs with local rPr styling (docx.rs:547-577
+    run_style_from_rpr: bold/italic/strike toggles, code rStyle, vertAlign
+    sup/sub), run children in document order (docx.rs:594-617: w:t text,
+    w:br line breaks, w:tab → '\\t', footnote/endnote/comment references),
+    and w:hyperlink resolution (r:id → rels target, or w:anchor →
+    '#anchor', docx.rs:634-653; runs inside the hyperlink carry its href).
+    A code run collapses to its concatenated text, dropping refs
+    (docx.rs:618-630). Style-chain inheritance through styles.xml is out
+    of this subset. Runs yielding no inlines are dropped."""
     out: list[Inline] = []
     rels = rels or {}
 
     def run_of(r: ET.Element, href: str | None) -> None:
-        text = "".join(t.text or "" for t in r.iter(_w("t")))
-        if not text:
-            return
-        rpr = r.find(_w("rPr"))
-        bold = italic = False
-        if rpr is not None:
-            bold = _read_on_off(rpr.find(_w("b"))) or False
-            italic = _read_on_off(rpr.find(_w("i"))) or False
-        out.append(Inline(text=text, bold=bold, italic=italic, href=href))
+        st = _run_style(r.find(_w("rPr")))
+        items: list[Inline] = []
+        for ch in r:
+            tag = ch.tag
+            if tag == _w("t"):
+                if ch.text:
+                    items.append(Inline(text=ch.text, href=href, **st))
+            elif tag == _w("br"):
+                items.append(Inline(kind="br", href=href, **st))
+            elif tag == _w("tab"):
+                items.append(Inline(text="\t", href=href, **st))
+            elif tag in (_w("footnoteReference"), _w("endnoteReference"),
+                         _w("commentReference")):
+                rid = ch.get(_w("id")) or ch.get("id")
+                if rid is not None:
+                    kind = {_w("footnoteReference"): "footnote_ref",
+                            _w("endnoteReference"): "endnote_ref",
+                            _w("commentReference"): "comment_ref"}[tag]
+                    items.append(Inline(text=rid, kind=kind, href=href,
+                                        **st))
+        if st["code"]:
+            code_text = "".join(i.text for i in items if i.kind == "text")
+            items = ([Inline(text=code_text, code=True, href=href)]
+                     if code_text else [])
+        out.extend(items)
 
     def walk(node: ET.Element, href: str | None) -> None:
         for ch in node:
@@ -526,25 +591,26 @@ def _para_kind(p: ET.Element,
     return "paragraph", 0
 
 
-def docx_to_document(data: bytes) -> Document:
-    """Useful-slice docx provider (providers/docx.rs subset): body
-    paragraphs with heading/blockquote detection (docx.rs:317-379),
-    character styling runs (bold/italic from run-local rPr,
-    docx.rs:548-556), numbered/bulleted lists (numPr + numbering.xml
-    ordered/unordered, consecutive same-numId paragraphs grouped, deeper
-    ilvl runs nested as sublists — docx.rs:760-900), and tables of flattened cell
-    text. Footnotes and styles.xml-based inheritance are out of this subset — the operator seam
-    and renderer are shared, so adding them extends this function only."""
-    zf = zipfile.ZipFile(io.BytesIO(data))
-    root = ET.fromstring(zf.read("word/document.xml"))
-    numbering = _docx_numbering(zf)
-    rels = _docx_doc_rels(zf)
-    styles = _docx_styles(zf)
-    body = root.find(_w("body"))
-    doc = Document()
-    if body is None:
-        return doc
-    nodes = list(body)
+def _runs_styled(runs: list[Inline]) -> list[Inline] | None:
+    """The styled-runs gate: keep the run list when any run carries
+    styling, an href, or is a special inline (br/refs); plain text renders
+    through Block.text."""
+    if any(r.bold or r.italic or r.href or r.strike or r.code or r.vert
+           or r.kind != "text" for r in runs):
+        return runs
+    return None
+
+
+def _docx_blocks(nodes: list[ET.Element],
+                 numbering: dict[tuple[str, str], bool],
+                 rels: dict[str, str],
+                 styles: dict[str, tuple[str, int | None]]) -> list[Block]:
+    """Block sequence of a body-like container (document body, footnote/
+    endnote/comment content — docx.rs parse_block_children): paragraphs
+    with heading/blockquote detection (docx.rs:317-379), styled runs,
+    numbered/bulleted lists with nested sublists (docx.rs:760-900), image
+    paragraphs, and tables of flattened cell text."""
+    blocks: list[Block] = []
     i = 0
     while i < len(nodes):
         node = nodes[i]
@@ -552,30 +618,83 @@ def docx_to_document(data: bytes) -> Document:
             if _docx_list_info(node, numbering) is not None:
                 block, i = _parse_docx_list(nodes, i, numbering, rels)
                 if block.items:
-                    doc.blocks.append(block)
+                    blocks.append(block)
                 continue
             img = _docx_image_block(node, rels)
             if img is not None:
-                doc.blocks.append(img)
+                blocks.append(img)
                 i += 1
                 continue
+            runs = _run_inlines(node, rels)
             text = _para_text(node)
-            if not text.strip():
+            if not text.strip() and not any(r.kind != "text" for r in runs):
                 i += 1
                 continue
             kind, level = _para_kind(node, styles)
-            runs = _run_inlines(node, rels)
-            styled = (runs if any(r.bold or r.italic or r.href
-                                  for r in runs) else None)
-            doc.blocks.append(Block(kind=kind, level=level or 2, text=text,
-                                    inlines=styled))
+            blocks.append(Block(kind=kind, level=level or 2, text=text,
+                                inlines=_runs_styled(runs)))
         elif node.tag == _w("tbl"):
             rows = [
                 [_para_text(tc) for tc in tr.findall(_w("tc"))]
                 for tr in node.findall(_w("tr"))
             ]
-            doc.blocks.append(Block(kind="table", rows=rows))
+            blocks.append(Block(kind="table", rows=rows))
         i += 1
+    return blocks
+
+
+def docx_to_document(data: bytes) -> Document:
+    """Useful-slice docx provider (providers/docx.rs subset): body blocks
+    via _docx_blocks, plus footnotes/endnotes (word/footnotes.xml /
+    endnotes.xml, separator pseudo-notes skipped — docx.rs:995-1037
+    read_notes) and comments (word/comments.xml with author/initials —
+    docx.rs:1039-1075 read_comments), each parsed with its own rels part.
+    styles.xml-based run-style inheritance is out of this subset — the
+    operator seam and renderer are shared, so adding it extends this
+    function only."""
+    zf = zipfile.ZipFile(io.BytesIO(data))
+    root = ET.fromstring(zf.read("word/document.xml"))
+    numbering = _docx_numbering(zf)
+    rels = _docx_rels(zf)
+    styles = _docx_styles(zf)
+    body = root.find(_w("body"))
+    doc = Document()
+    if body is None:
+        return doc
+    doc.blocks = _docx_blocks(list(body), numbering, rels, styles)
+
+    for part, tag, sink in (("footnotes", "footnote", doc.footnotes),
+                            ("endnotes", "endnote", doc.endnotes)):
+        try:
+            nroot = ET.fromstring(zf.read(f"word/{part}.xml"))
+        except KeyError:
+            continue
+        nrels = _docx_rels(zf, f"word/_rels/{part}.xml.rels")
+        for n in nroot.iter(_w(tag)):
+            nid = n.get(_w("id")) or n.get("id")
+            if nid is None:
+                continue
+            ntype = n.get(_w("type")) or n.get("type")
+            if ntype in ("separator", "continuationSeparator"):
+                continue
+            sink.append((nid, _docx_blocks(list(n), numbering, nrels,
+                                           styles)))
+    try:
+        croot = ET.fromstring(zf.read("word/comments.xml"))
+    except KeyError:
+        croot = None
+    if croot is not None:
+        crels = _docx_rels(zf, "word/_rels/comments.xml.rels")
+        for c in croot.iter(_w("comment")):
+            cid = c.get(_w("id")) or c.get("id")
+            if cid is None:
+                continue
+            doc.comments.append((
+                cid,
+                c.get(_w("author")) or c.get("author"),
+                c.get(_w("initials")) or c.get("initials"),
+                _docx_blocks(list(c), numbering, crels, styles),
+            ))
     return doc
 
 
@@ -583,31 +702,60 @@ def docx_to_html(data: bytes) -> str:
     return render_document_html(docx_to_document(data))
 
 
-def build_docx(blocks: list[tuple]) -> bytes:
+def build_docx(blocks: list[tuple], footnotes: dict | None = None,
+               endnotes: dict | None = None,
+               comments: list[tuple] | None = None) -> bytes:
     """Deterministic minimal docx writer for tests/synthetic corpora.
     blocks: ("p"|"h1".."h6"|"quote", text_or_runs), ("table", rows), or
     ("ol"|"ul", [item_text_or_runs, ...]); text_or_runs is a plain string
-    or a list of (text, style) runs with style ⊆ {"b","i"} (e.g. "bi")."""
+    or a list of (text, style) runs with style ⊆ {"b","i","s","c","^","_"}
+    (bold, italic, strike, code rStyle, superscript, subscript — e.g.
+    "bi"). Special runs: ("#br",) line break, ("#fn", id) / ("#en", id) /
+    ("#cm", id) note/comment references (emitted with the typical Word
+    superscript-reference rPr for fn/en).
+    footnotes/endnotes: {id: [paragraph_payload, ...]} — written to
+    word/footnotes.xml / endnotes.xml including Word's separator
+    pseudo-notes (ids -1/0, which readers must skip).
+    comments: [(id, author, initials, [paragraph_payload, ...])]."""
     def esc(t: str) -> str:
         return (t.replace("&", "&amp;").replace("<", "&lt;")
                 .replace(">", "&gt;"))
 
     hyperlinks: list[str] = []
 
+    def rpr_xml(style: str) -> str:
+        if not style:
+            return ""
+        props = ("<w:b/>" if "b" in style else "") + \
+                ("<w:i/>" if "i" in style else "") + \
+                ("<w:strike/>" if "s" in style else "") + \
+                ('<w:rStyle w:val="CodeChar"/>' if "c" in style else "") + \
+                ('<w:vertAlign w:val="superscript"/>' if "^" in style
+                 else "") + \
+                ('<w:vertAlign w:val="subscript"/>' if "_" in style else "")
+        return f"<w:rPr>{props}</w:rPr>"
+
     def runs_xml(payload) -> str:
         if isinstance(payload, str):
             payload = [(payload, "")]
         out = []
         for run in payload:
+            if run[0] == "#br":
+                out.append("<w:r><w:br/></w:r>")
+                continue
+            if run[0] in ("#fn", "#en", "#cm"):
+                tag = {"#fn": "footnoteReference",
+                       "#en": "endnoteReference",
+                       "#cm": "commentReference"}[run[0]]
+                rpr = ("" if run[0] == "#cm" else
+                       '<w:rPr><w:rStyle w:val="FootnoteReference"/>'
+                       '<w:vertAlign w:val="superscript"/></w:rPr>')
+                out.append(f'<w:r>{rpr}<w:{tag} w:id="{run[1]}"/></w:r>')
+                continue
             text, style = run[0], run[1]
             href = run[2] if len(run) > 2 else None
-            rpr = ""
-            if style:
-                props = ("<w:b/>" if "b" in style else "") + \
-                        ("<w:i/>" if "i" in style else "")
-                rpr = f"<w:rPr>{props}</w:rPr>"
-            r = (f'<w:r>{rpr}<w:t xml:space="preserve">{esc(text)}'
-                 "</w:t></w:r>")
+            r = (f'<w:r>{rpr_xml(style)}<w:t xml:space="preserve">'
+                 f"{esc(text)}</w:t></w:r>")
             if href:
                 if href.startswith("#"):
                     r = f'<w:hyperlink w:anchor="{esc(href[1:])}">{r}</w:hyperlink>'
@@ -731,6 +879,39 @@ def build_docx(blocks: list[tuple]) -> bytes:
                   '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
                   f'<Relationships xmlns="{_NS["rel"]}">'
                   + "".join(doc_rels) + "</Relationships>")
+        for part, tag, notes in (("footnotes", "footnote", footnotes),
+                                 ("endnotes", "endnote", endnotes)):
+            if not notes:
+                continue
+            # Word always ships separator pseudo-notes (ids -1/0); readers
+            # must skip them (docx.rs:1022-1026)
+            items = [
+                f'<w:{tag} w:type="separator" w:id="-1"><w:p><w:r>'
+                f"<w:separator/></w:r></w:p></w:{tag}>",
+                f'<w:{tag} w:type="continuationSeparator" w:id="0"><w:p>'
+                f"<w:r><w:continuationSeparator/></w:r></w:p></w:{tag}>",
+            ]
+            for nid, paras in notes.items():
+                body = "".join(f"<w:p>{runs_xml(p)}</w:p>" for p in paras)
+                items.append(f'<w:{tag} w:id="{nid}">{body}</w:{tag}>')
+            write(f"word/{part}.xml",
+                  '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                  f'<w:{part} xmlns:w="{_W}">' + "".join(items)
+                  + f"</w:{part}>")
+        if comments:
+            items = []
+            for cid, author, initials, paras in comments:
+                attrs = f' w:id="{cid}"'
+                if author is not None:
+                    attrs += f' w:author="{esc(author)}"'
+                if initials is not None:
+                    attrs += f' w:initials="{esc(initials)}"'
+                body = "".join(f"<w:p>{runs_xml(p)}</w:p>" for p in paras)
+                items.append(f"<w:comment{attrs}>{body}</w:comment>")
+            write("word/comments.xml",
+                  '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                  f'<w:comments xmlns:w="{_W}">' + "".join(items)
+                  + "</w:comments>")
     return buf.getvalue()
 
 
@@ -744,22 +925,33 @@ _ODT_FO = "urn:oasis:names:tc:opendocument:xmlns:xsl-fo-compatible:1.0"
 
 
 def _odt_styles(root: ET.Element) -> tuple[dict, dict]:
-    """(text styles: name → (bold, italic), list styles: name → ordered?)
-    from the document's style declarations (odt.rs:140-186: family='text'
-    text-properties fo:font-weight=bold / fo:font-style=italic;
-    text:list-style ordered iff it has a list-level-style-number child)."""
-    text_styles: dict[str, tuple[bool, bool]] = {}
+    """(text styles: name → (bold, italic, strike, vert), list styles:
+    name → ordered?) from the document's style declarations
+    (odt.rs:140-203: family='text' text-properties fo:font-weight=bold /
+    fo:font-style=italic / text-line-through-type|style ≠ none → strike /
+    text-position contains sup|super / sub; text:list-style ordered iff it
+    has a list-level-style-number child)."""
+    text_styles: dict[str, tuple[bool, bool, bool, str | None]] = {}
     list_ordered: dict[str, bool] = {}
     for st in root.iter(f"{{{_ODT_STYLE}}}style"):
         if st.get(f"{{{_ODT_STYLE}}}family") != "text":
             continue
         name = st.get(f"{{{_ODT_STYLE}}}name") or ""
         tp = st.find(f"{{{_ODT_STYLE}}}text-properties")
-        bold = italic = False
+        bold = italic = strike = False
+        vert: str | None = None
         if tp is not None:
             bold = (tp.get(f"{{{_ODT_FO}}}font-weight") or "").lower() == "bold"
             italic = (tp.get(f"{{{_ODT_FO}}}font-style") or "").lower() == "italic"
-        text_styles[name] = (bold, italic)
+            lt = (_attr_local(tp, "text-line-through-type")
+                  or _attr_local(tp, "text-line-through-style"))
+            strike = lt is not None and lt != "none"
+            pos = (_attr_local(tp, "text-position") or "").lower()
+            if "sup" in pos or "super" in pos:
+                vert = "sup"
+            elif "sub" in pos:
+                vert = "sub"
+        text_styles[name] = (bold, italic, strike, vert)
     for ls in root.iter(f"{{{_ODT_TEXT}}}list-style"):
         name = ls.get(f"{{{_ODT_STYLE}}}name") or ""
         list_ordered[name] = any(
@@ -771,55 +963,131 @@ def _odt_styles(root: ET.Element) -> tuple[dict, dict]:
 _XLINK = "http://www.w3.org/1999/xlink"
 
 
-def _odt_inlines(el: ET.Element, text_styles: dict) -> list[Inline]:
-    """Styled runs of a text container: spans resolve their text style,
-    nesting ORs the flags (odt.rs:600-606); <text:a xlink:href> carries its
-    href onto contained runs (odt.rs:477-484); tail text carries the
-    parent's context. Adjacent same-context fragments merge into one run
-    (span granularity, matching the reference's per-span inlines)."""
+def _odt_inlines(el: ET.Element, text_styles: dict,
+                 doc: Document | None = None) -> list[Inline]:
+    """Styled runs of a text container: spans resolve their text style
+    (bold/italic/strike/sup/sub), nesting ORs the flags (odt.rs:600-606);
+    <text:a xlink:href> carries its href onto contained runs
+    (odt.rs:477-484); <text:line-break> → br, <text:bookmark-start> →
+    bookmark anchor (odt.rs:487-499); tail text carries the parent's
+    context. <text:note> bodies and <office:annotation> contents collect
+    into ``doc`` (odt.rs:500-566), leaving a ref inline in the flow — they
+    never leak into the paragraph text. Adjacent same-context fragments
+    merge into one run (span granularity, matching the reference's
+    per-span inlines)."""
     runs: list[Inline] = []
 
-    def add(text: str, bold: bool, italic: bool, href: str | None) -> None:
+    def add(text: str, st: tuple, href: str | None) -> None:
         if not text:
             return
-        if (runs and runs[-1].bold == bold and runs[-1].italic == italic
-                and runs[-1].href == href):
+        bold, italic, strike, vert = st
+        if (runs and runs[-1].kind == "text" and runs[-1].bold == bold
+                and runs[-1].italic == italic and runs[-1].href == href
+                and runs[-1].strike == strike and runs[-1].vert == vert):
             runs[-1].text += text
         else:
             runs.append(Inline(text=text, bold=bold, italic=italic,
-                               href=href))
+                               strike=strike, vert=vert, href=href))
 
-    def walk(node: ET.Element, bold: bool, italic: bool,
-             href: str | None) -> None:
+    def handle_note(node: ET.Element) -> None:
+        kind = ("endnote"
+                if _attr_local(node, "note-class") == "endnote"
+                else "footnote")
+        sink = doc.endnotes if kind == "endnote" else doc.footnotes
+        nid = (_attr_local(node, "id")
+               or f"odt-note-{len(doc.footnotes) + len(doc.endnotes) + 1}")
+        body = next((ch for ch in node
+                     if _lname(ch.tag) == "note-body"), None)
+        blocks: list[Block] = []
+        if body is not None:
+            for p in body:
+                if _lname(p.tag) == "p":
+                    inl = _odt_inlines(p, text_styles, doc)
+                    if inl:
+                        blocks.append(Block(
+                            kind="paragraph", text=_odt_text_of(p),
+                            inlines=_runs_styled(inl) or inl))
+        sink.append((nid, blocks))
+        runs.append(Inline(
+            text=nid,
+            kind="endnote_ref" if kind == "endnote" else "footnote_ref"))
+
+    def handle_annotation(node: ET.Element) -> None:
+        cid = f"odt-comment-{len(doc.comments) + 1}"
+        author = initials = None
+        for d in node.iter():
+            name = _lname(d.tag)
+            if name == "creator" and d.text and d.text.strip():
+                author = author or d.text
+            elif name == "initials" and d.text and d.text.strip():
+                initials = initials or d.text
+        blocks = []
+        for p in node:
+            if _lname(p.tag) == "p":
+                inl = _odt_inlines(p, text_styles, doc)
+                if inl:
+                    blocks.append(Block(kind="paragraph",
+                                        text=_odt_text_of(p),
+                                        inlines=_runs_styled(inl) or inl))
+        doc.comments.append((cid, author, initials, blocks))
+        runs.append(Inline(text=cid, kind="comment_ref"))
+
+    def walk(node: ET.Element, st: tuple, href: str | None) -> None:
         tag = node.tag
         if tag == f"{{{_ODT_TEXT}}}span":
-            b2, i2 = text_styles.get(
-                node.get(f"{{{_ODT_TEXT}}}style-name") or "", (False, False))
-            bold, italic = bold or b2, italic or i2
+            b2, i2, s2, v2 = text_styles.get(
+                node.get(f"{{{_ODT_TEXT}}}style-name") or "",
+                (False, False, False, None))
+            st = (st[0] or b2, st[1] or i2, st[2] or s2, st[3] or v2)
         elif tag == f"{{{_ODT_TEXT}}}a":
             href = node.get(f"{{{_XLINK}}}href") or href
         elif tag == f"{{{_ODT_TEXT}}}s":
-            add(" " * int(node.get(f"{{{_ODT_TEXT}}}c", "1") or 1),
-                bold, italic, href)
+            add(" " * int(node.get(f"{{{_ODT_TEXT}}}c", "1") or 1), st, href)
         elif tag == f"{{{_ODT_TEXT}}}tab":
-            add("\t", bold, italic, href)
+            add("\t", st, href)
+        elif tag == f"{{{_ODT_TEXT}}}line-break":
+            runs.append(Inline(kind="br", bold=st[0], italic=st[1],
+                               strike=st[2], vert=st[3], href=href))
+        elif tag == f"{{{_ODT_TEXT}}}bookmark-start":
+            name = _attr_local(node, "name")
+            if name:
+                runs.append(Inline(text=name, kind="bookmark"))
+        elif tag == f"{{{_ODT_TEXT}}}note":
+            if doc is not None:
+                handle_note(node)
+            return  # body handled above; never inline its text
+        elif _lname(tag) == "annotation":
+            if doc is not None:
+                handle_annotation(node)
+            return
         if node.text:
-            add(node.text, bold, italic, href)
+            add(node.text, st, href)
         for ch in node:
-            walk(ch, bold, italic, href)
+            walk(ch, st, href)
             if ch.tail:
-                add(ch.tail, bold, italic, href)
+                add(ch.tail, st, href)
 
-    walk(el, False, False, None)
+    st0 = (False, False, False, None)
+    if el.text:
+        add(el.text, st0, None)
+    for ch in el:
+        walk(ch, st0, None)
+        if ch.tail:
+            add(ch.tail, st0, None)
     return runs
 
 
 def _odt_text_of(el: ET.Element) -> str:
     """Flatten an OpenDocument text container: nested spans/links keep their
-    text; <text:s> expands to spaces; <text:tab> to a tab."""
+    text; <text:s> expands to spaces; <text:tab> to a tab. Note bodies and
+    annotation contents are NOT part of the flow text (they collect into
+    the document's notes/comments)."""
     parts = []
 
     def walk(node: ET.Element) -> None:
+        if (node.tag == f"{{{_ODT_TEXT}}}note"
+                or _lname(node.tag) == "annotation"):
+            return
         if node.tag == f"{{{_ODT_TEXT}}}s":
             parts.append(" " * int(node.get(f"{{{_ODT_TEXT}}}c", "1") or 1))
         elif node.tag == f"{{{_ODT_TEXT}}}tab":
@@ -841,7 +1109,7 @@ def _odt_text_of(el: ET.Element) -> str:
 
 
 def _odt_list(node: ET.Element, text_styles: dict,
-              list_ordered: dict) -> Block:
+              list_ordered: dict, doc: Document | None = None) -> Block:
     """<text:list> → list block; list-items collect their paragraphs'
     styled runs and recurse into nested <text:list> children (odt.rs
     parse_list_with_inherit: the nested list inherits ordered-ness from its
@@ -854,10 +1122,10 @@ def _odt_list(node: ET.Element, text_styles: dict,
         subs: list[Block] = []
         for ch in li:
             if ch.tag == f"{{{_ODT_TEXT}}}p":
-                runs.extend(_odt_inlines(ch, text_styles))
+                runs.extend(_odt_inlines(ch, text_styles, doc))
             elif ch.tag == f"{{{_ODT_TEXT}}}list":
                 inner_style = ch.get(f"{{{_ODT_TEXT}}}style-name") or ""
-                sub = _odt_list(ch, text_styles, list_ordered)
+                sub = _odt_list(ch, text_styles, list_ordered, doc)
                 if inner_style not in list_ordered:
                     sub.ordered = ordered  # inherit from parent
                 if sub.items:
@@ -875,8 +1143,11 @@ def odt_to_document(data: bytes) -> Document:
     (bold/italic via text styles, odt.rs:177-186), lists (<text:list>, nested
     via list-items' child lists; ordered iff the list style has a number
     level, odt.rs:154-169), and
-    tables (cells flattened to their paragraph text). Footnotes, frames, and styles.xml-carried styles are out of this
-    subset — same seam note as the docx provider."""
+    tables (cells flattened to their paragraph text), footnotes/endnotes
+    (<text:note>, odt.rs:500-530) and annotations (<office:annotation> →
+    comments with dc:creator author, odt.rs:531-566). Frames and
+    styles.xml-carried styles are out of this subset — same seam note as
+    the docx provider."""
     zf = zipfile.ZipFile(io.BytesIO(data))
     root = ET.fromstring(zf.read("content.xml"))
     text_styles, list_ordered = _odt_styles(root)
@@ -907,16 +1178,14 @@ def odt_to_document(data: bytes) -> Document:
                 if href.startswith(("http://", "https://")):
                     doc.blocks.append(Block(kind="image", src=href))
                     continue
+            runs = _odt_inlines(node, text_styles, doc)
             text = _odt_text_of(node)
-            if not text.strip():
+            if not text.strip() and not any(r.kind != "text" for r in runs):
                 continue
-            runs = _odt_inlines(node, text_styles)
-            styled = (runs if any(r.bold or r.italic or r.href
-                                  for r in runs) else None)
             doc.blocks.append(Block(kind="paragraph", text=text,
-                                    inlines=styled))
+                                    inlines=_runs_styled(runs)))
         elif node.tag == f"{{{_ODT_TEXT}}}list":
-            block = _odt_list(node, text_styles, list_ordered)
+            block = _odt_list(node, text_styles, list_ordered, doc)
             if block.items:
                 doc.blocks.append(block)
         elif node.tag == f"{{{_ODT_TABLE}}}table":
@@ -936,22 +1205,51 @@ def odt_to_html(data: bytes) -> str:
 def build_odt(blocks: list[tuple]) -> bytes:
     """Deterministic minimal ODT writer for tests/synthetic corpora.
     blocks: ("p"|"h1".."h6", text_or_runs), ("table", rows), or
-    ("ol"|"ul", [item_text_or_runs, ...]); runs are (text, style) with
-    style ⊆ {"b","i"}. Styled runs emit text:span referencing the fixed
-    automatic styles TB/TI/TBI."""
+    ("ol"|"ul", [item_text_or_runs, ...]); runs are (text, style[, href])
+    with style ⊆ {"b","i","s","^","_"} (bold, italic, strike, sup, sub) —
+    styled runs emit text:span referencing a fixed automatic style named
+    "T" + sorted letters. Special runs: ("#br",) line break, ("#fn", kind,
+    body_text) footnote/endnote (kind "footnote"|"endnote"), ("#ann",
+    author, initials, body_text) annotation."""
     def esc(t: str) -> str:
         return (t.replace("&", "&amp;").replace("<", "&lt;")
                 .replace(">", "&gt;"))
+
+    note_seq = [0]
 
     def runs_xml(payload) -> str:
         if isinstance(payload, str):
             return esc(payload)
         out = []
         for run in payload:
+            if run[0] == "#br":
+                out.append("<text:line-break/>")
+                continue
+            if run[0] == "#fn":
+                note_seq[0] += 1
+                out.append(
+                    f'<text:note text:id="ftn{note_seq[0]}" '
+                    f'text:note-class="{run[1]}">'
+                    f"<text:note-citation>{note_seq[0]}</text:note-citation>"
+                    f"<text:note-body><text:p>{esc(run[2])}</text:p>"
+                    "</text:note-body></text:note>")
+                continue
+            if run[0] == "#ann":
+                author = (f"<dc:creator>{esc(run[1])}</dc:creator>"
+                          if run[1] else "")
+                initials = (f"<officeooo:initials>{esc(run[2])}"
+                            "</officeooo:initials>" if run[2] else "")
+                out.append(
+                    f"<office:annotation>{author}{initials}"
+                    f"<text:p>{esc(run[3])}</text:p></office:annotation>")
+                continue
             text, style = run[0], run[1]
             href = run[2] if len(run) > 2 else None
             if style:
-                name = "T" + "".join(sorted(style.upper()))
+                name = "T" + "".join(sorted(
+                    {"^": "P", "_": "Q"}.get(ch, ch.upper())
+                    for ch in style))
+                used_styles.add(name)
                 s = (f'<text:span text:style-name="{name}">'
                      f"{esc(text)}</text:span>")
             else:
@@ -960,6 +1258,8 @@ def build_odt(blocks: list[tuple]) -> bytes:
                 s = f'<text:a xlink:href="{esc(href)}">{s}</text:a>'
             out.append(s)
         return "".join(out)
+
+    used_styles: set[str] = set()
 
     parts = []
     for kind, payload in blocks:
@@ -1002,15 +1302,25 @@ def build_odt(blocks: list[tuple]) -> bytes:
                          f"{esc(payload)}</text:h>")
         else:
             parts.append(f"<text:p>{runs_xml(payload)}</text:p>")
+    style_defs = []
+    for name in sorted(used_styles | {"TB", "TI", "TBI"}):
+        props = []
+        if "B" in name[1:]:
+            props.append('fo:font-weight="bold"')
+        if "I" in name[1:]:
+            props.append('fo:font-style="italic"')
+        if "S" in name[1:]:
+            props.append('style:text-line-through-style="solid"')
+        if "P" in name[1:]:
+            props.append('style:text-position="super 58%"')
+        if "Q" in name[1:]:
+            props.append('style:text-position="sub 58%"')
+        style_defs.append(
+            f'<style:style style:name="{name}" style:family="text">'
+            f'<style:text-properties {" ".join(props)}/></style:style>')
     auto_styles = (
         "<office:automatic-styles>"
-        '<style:style style:name="TB" style:family="text">'
-        '<style:text-properties fo:font-weight="bold"/></style:style>'
-        '<style:style style:name="TI" style:family="text">'
-        '<style:text-properties fo:font-style="italic"/></style:style>'
-        '<style:style style:name="TBI" style:family="text">'
-        '<style:text-properties fo:font-weight="bold" '
-        'fo:font-style="italic"/></style:style>'
+        + "".join(style_defs) +
         '<text:list-style style:name="LNUM">'
         '<text:list-level-style-number text:level="1"/></text:list-style>'
         '<text:list-style style:name="LBUL">'
@@ -1023,6 +1333,8 @@ def build_odt(blocks: list[tuple]) -> bytes:
         f'xmlns:text="{_ODT_TEXT}" xmlns:table="{_ODT_TABLE}" '
         f'xmlns:style="{_ODT_STYLE}" xmlns:fo="{_ODT_FO}" '
         f'xmlns:xlink="{_XLINK}" '
+        'xmlns:dc="http://purl.org/dc/elements/1.1/" '
+        'xmlns:officeooo="http://openoffice.org/2009/office" '
         'xmlns:draw="urn:oasis:names:tc:opendocument:xmlns:drawing:1.0">'
         + auto_styles
         + "<office:body><office:text>" + "".join(parts)
@@ -1224,10 +1536,46 @@ def _esc(t: str) -> str:
             .replace(">", "&gt;").replace('"', "&quot;"))
 
 
+def _render_one(run: Inline) -> str:
+    """One run's markup: special kinds first (html.rs:218-236 — br, note/
+    comment refs, bookmarks), then the style nest del→em→strong→sup/sub
+    (ResolvedRunStyle::apply order, docx.rs:520-536; the style wrap also
+    applies to special inlines, e.g. Word's superscripted footnote ref run
+    renders <sup><sup><a …>…)."""
+    if run.kind == "br":
+        s = "<br>"
+    elif run.kind == "footnote_ref":
+        rid = _esc(run.text)
+        s = f'<sup><a href="#footnote-{rid}">{rid}</a></sup>'
+    elif run.kind == "endnote_ref":
+        rid = _esc(run.text)
+        s = f'<sup><a href="#endnote-{rid}">{rid}</a></sup>'
+    elif run.kind == "comment_ref":
+        s = f'<a href="#comment-{_esc(run.text)}">\U0001f4ac</a>'
+    elif run.kind == "bookmark":
+        s = f'<a id="{_esc(run.text)}"></a>'
+    elif run.code:
+        # code replaces the run's other styling (docx.rs:618-630)
+        return f"<code>{_esc(run.text)}</code>"
+    else:
+        s = _esc(run.text)
+    if run.strike:
+        s = f"<del>{s}</del>"
+    if run.italic:
+        s = f"<em>{s}</em>"
+    if run.bold:
+        s = f"<strong>{s}</strong>"
+    if run.vert == "sup":
+        s = f"<sup>{s}</sup>"
+    elif run.vert == "sub":
+        s = f"<sub>{s}</sub>"
+    return s
+
+
 def _render_inlines(inlines: list[Inline]) -> str:
-    """Per-run markup, em nested inside strong (docx.rs:519-536 apply
-    order; html.rs:222-223 strong/em tags); consecutive runs with the same
-    href render as the children of ONE <a> (html.rs:218-220 Link)."""
+    """Per-run markup (style nest per _render_one); consecutive runs with
+    the same href render as the children of ONE <a> (html.rs:218-220
+    Link wraps its styled children)."""
     parts: list[str] = []
     i = 0
     while i < len(inlines):
@@ -1236,23 +1584,13 @@ def _render_inlines(inlines: list[Inline]) -> str:
             j = i
             inner = []
             while j < len(inlines) and inlines[j].href == run.href:
-                s = _esc(inlines[j].text)
-                if inlines[j].italic:
-                    s = f"<em>{s}</em>"
-                if inlines[j].bold:
-                    s = f"<strong>{s}</strong>"
-                inner.append(s)
+                inner.append(_render_one(inlines[j]))
                 j += 1
             parts.append(f'<a href="{_esc(run.href)}">' + "".join(inner)
                          + "</a>")
             i = j
             continue
-        s = _esc(run.text)
-        if run.italic:
-            s = f"<em>{s}</em>"
-        if run.bold:
-            s = f"<strong>{s}</strong>"
-        parts.append(s)
+        parts.append(_render_one(run))
         i += 1
     return "".join(parts)
 
@@ -1284,14 +1622,11 @@ def _block_inner(b: Block) -> str:
             else _esc(b.text))
 
 
-def render_document_html(doc: Document) -> str:
-    parts = [
-        "<!DOCTYPE html>",
-        '<html lang="en"><head><meta charset="UTF-8">',
-        '<meta name="viewport" content="width=device-width, initial-scale=1.0">',
-        f"<title>{_esc(doc.title or 'Document')}</title></head><body><main>",
-    ]
-    for b in doc.blocks:
+def _render_blocks(blocks: list[Block]) -> str:
+    """render_blocks (html.rs:89-98): the block loop shared by the main
+    body and the footnote/endnote/comment sections."""
+    parts: list[str] = []
+    for b in blocks:
         if b.kind == "heading":
             lvl = min(max(b.level, 1), 6)
             parts.append(f"<h{lvl}>{_block_inner(b)}</h{lvl}>")
@@ -1314,7 +1649,39 @@ def render_document_html(doc: Document) -> str:
                     for cell in row
                 ) + "</tr>")
             parts.append("</tbody></table>")
-    parts.append("</main></body></html>")
+    return "".join(parts)
+
+
+def render_document_html(doc: Document) -> str:
+    parts = [
+        "<!DOCTYPE html>",
+        '<html lang="en"><head><meta charset="UTF-8">',
+        '<meta name="viewport" content="width=device-width, initial-scale=1.0">',
+        f"<title>{_esc(doc.title or 'Document')}</title></head><body><main>",
+        _render_blocks(doc.blocks),
+        "</main>",
+    ]
+    # html.rs:41-80: end-of-body note/comment sections (only if non-empty)
+    for sec, notes in (("footnotes", doc.footnotes),
+                       ("endnotes", doc.endnotes)):
+        if notes:
+            parts.append(f'<section id="{sec}"><h2>{sec.capitalize()}</h2>')
+            for nid, blocks in notes:
+                parts.append(f'<div id="{sec[:-1]}-{_esc(nid)}">'
+                             + _render_blocks(blocks) + "</div>")
+            parts.append("</section>")
+    if doc.comments:
+        parts.append('<section id="comments"><h2>Comments</h2>')
+        for cid, author, initials, blocks in doc.comments:
+            parts.append(f'<article id="comment-{_esc(cid)}">')
+            if author is not None:
+                head = _esc(author)
+                if initials is not None:
+                    head += f" ({_esc(initials)})"
+                parts.append(f"<header>{head}</header>")
+            parts.append(_render_blocks(blocks) + "</article>")
+        parts.append("</section>")
+    parts.append("</body></html>")
     return "".join(parts)
 
 

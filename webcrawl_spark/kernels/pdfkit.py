@@ -129,6 +129,62 @@ def build_pdf(lines: list[str], title: str | None = None,
     return bytes(buf)
 
 
+def build_pdf_fonts(cid_text: str, diff_line: bytes,
+                    differences: bytes) -> bytes:
+    """Deterministic single-page fixture exercising font-resolved decoding:
+    /F1 is a Type0 (Identity-H) font whose ToUnicode CMap maps 2-byte codes
+    ``0x0041 + i`` → the characters of ``cid_text`` (bfchar for the first,
+    bfrange for the rest), shown as a hex string; /F2 is a simple font with
+    an /Encoding /Differences array (``differences`` e.g. b"65 /bullet")
+    showing the raw byte line ``diff_line``. Used by tests only — the
+    corpus writer ``build_pdf`` is unchanged."""
+    codes = b"".join(b"%04X" % (0x41 + i) for i in range(len(cid_text)))
+    first = cid_text[0]
+    bfchar = b"<0041> <%04X>" % ord(first)
+    if len(cid_text) > 1:
+        # one bfrange per char keeps destinations exact for arbitrary text
+        ranges = b"\n".join(
+            b"<%04X> <%04X> <%04X>" % (0x41 + i, 0x41 + i, ord(ch))
+            for i, ch in enumerate(cid_text[1:], start=1))
+        bfrange = b"2 beginbfrange\n" + ranges + b"\nendbfrange\n"
+    else:
+        bfrange = b""
+    cmap = (b"/CIDInit /ProcSet findresource begin\n"
+            b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+            b"1 beginbfchar\n" + bfchar + b"\nendbfchar\n" + bfrange
+            + b"end")
+    content = (b"BT /F1 11 Tf 72 720 Td <" + codes + b"> Tj ET\n"
+               b"BT /F2 11 Tf 72 700 Td (" + diff_line + b") Tj ET")
+    objects: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 4 0 R /F2 6 0 R >> >> "
+            b"/Contents 7 0 R >>"),
+        4: (b"<< /Type /Font /Subtype /Type0 /BaseFont /Fake-Identity-H "
+            b"/Encoding /Identity-H /ToUnicode 5 0 R >>"),
+        5: (b"<< /Length %d >>\nstream\n" % len(cmap) + cmap
+            + b"\nendstream"),
+        6: (b"<< /Type /Font /Subtype /Type1 /BaseFont /Fake "
+            b"/Encoding << /Type /Encoding /Differences ["
+            + differences + b"] >> >>"),
+        7: (b"<< /Length %d >>\nstream\n" % len(content) + content
+            + b"\nendstream"),
+    }
+    buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for oid in sorted(objects):
+        offsets[oid] = len(buf)
+        buf += b"%d 0 obj\n" % oid + objects[oid] + b"\nendobj\n"
+    xref_at = len(buf)
+    buf += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objects) + 1)
+    for oid in range(1, len(objects) + 1):
+        buf += b"%010d 00000 n \n" % offsets[oid]
+    buf += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objects) + 1, xref_at))
+    return bytes(buf)
+
+
 # --------------------------------------------------------------------------
 # reader
 # --------------------------------------------------------------------------
@@ -190,7 +246,7 @@ def _hex_string_bytes(raw: bytes) -> bytes:
         return b""
 
 
-def _unescape_pdf_string(raw: bytes) -> str:
+def _unescape_pdf_bytes(raw: bytes) -> bytes:
     out = bytearray()
     i = 0
     while i < len(raw):
@@ -216,7 +272,11 @@ def _unescape_pdf_string(raw: bytes) -> str:
         else:
             out += c
             i += 1
-    return _decode_text_bytes(bytes(out))
+    return bytes(out)
+
+
+def _unescape_pdf_string(raw: bytes) -> str:
+    return _decode_text_bytes(_unescape_pdf_bytes(raw))
 
 
 def _string_match_text(lit: bytes | None, hexs: bytes | None) -> str:
@@ -425,14 +485,216 @@ def pdf_metadata(data: bytes) -> tuple[int, str | None]:
     return num_pages, (title.strip() if title is not None else None)
 
 
-def _content_text(content: bytes) -> list[str]:
-    lines: list[str] = []
-    for m in _SHOW_RE.finditer(content):
-        if m.group(1) is not None or m.group(3) is not None:
-            lines.append(_string_match_text(m.group(1), m.group(3)))
+# --- font-aware decode (ToUnicode CMaps, /Differences, Type0 CID text) ----
+# pdf-parse/lopdf resolve text through the page's font resources; without
+# this, any PDF using a non-trivial encoding (subset-embedded fonts, CID
+# fonts, symbolic encodings) extracts garbage. Slice implemented: ToUnicode
+# bfchar/bfrange with scalar destinations, /Encoding /Differences glyph
+# names (AGL subset + uniXXXX), Type0 2-byte codes.
+
+_RESOURCES_REF_RE = re.compile(rb"/Resources\s+(\d+)\s+\d+\s+R")
+_FONT_ENTRY_RE = re.compile(rb"/([A-Za-z0-9.+_-]+)\s+(\d+)\s+\d+\s+R")
+_FONT_DICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.S)
+_TYPE0_RE = re.compile(rb"/Subtype\s*/Type0(?![a-zA-Z])")
+_TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_ENCODING_REF_RE = re.compile(rb"/Encoding\s+(\d+)\s+\d+\s+R")
+_DIFFERENCES_RE = re.compile(rb"/Differences\s*\[(.*?)\]", re.S)
+_DIFF_TOKEN_RE = re.compile(rb"(\d+)|/([A-Za-z0-9.]+)")
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_CMAP_HEX_RE = re.compile(rb"<([0-9a-fA-F]+)>")
+
+# Adobe Glyph List subset: the names Differences arrays commonly carry
+_GLYPHS = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~", "bullet": "•",
+    "emdash": "—", "endash": "–", "quotedblleft": "“",
+    "quotedblright": "”", "quoteleft": "‘",
+    "quoteright": "’", "ellipsis": "…", "fi": "ﬁ",
+    "fl": "ﬂ", "dagger": "†", "daggerdbl": "‡",
+    "Euro": "€", "sterling": "£", "yen": "¥",
+    "cent": "¢", "copyright": "©", "registered": "®",
+    "trademark": "™", "degree": "°", "plusminus": "±",
+    "multiply": "×", "divide": "÷", "eacute": "é",
+    "egrave": "è", "agrave": "à", "ccedilla": "ç",
+    "adieresis": "ä", "odieresis": "ö", "udieresis": "ü",
+    "Adieresis": "Ä", "Odieresis": "Ö", "Udieresis": "Ü",
+    "germandbls": "ß", "ntilde": "ñ", "aring": "å",
+    "oslash": "ø",
+}
+
+
+def _glyph_char(name: str) -> str:
+    """Glyph name → character: AGL subset, uniXXXX/uXXXX forms, single
+    ASCII letters/digits; unknown names are dropped (pdf-parse emits
+    nothing for unmapped glyphs)."""
+    if name in _GLYPHS:
+        return _GLYPHS[name]
+    if name.startswith("uni") and len(name) >= 7:
+        try:
+            return chr(int(name[3:7], 16))
+        except ValueError:
+            return ""
+    if name.startswith("u") and 5 <= len(name) <= 7:
+        try:
+            return chr(int(name[1:], 16))
+        except ValueError:
+            return ""
+    if len(name) == 1 and name.isalnum():
+        return name
+    return ""
+
+
+class _PdfFont:
+    """Per-font decode info resolved from the page's /Resources."""
+    __slots__ = ("two_byte", "cmap", "diffs")
+
+    def __init__(self, two_byte: bool, cmap: dict[int, str] | None,
+                 diffs: dict[int, str] | None) -> None:
+        self.two_byte = two_byte
+        self.cmap = cmap
+        self.diffs = diffs
+
+    def decode(self, raw: bytes) -> str:
+        if self.two_byte:
+            codes = [int.from_bytes(raw[i:i + 2], "big")
+                     for i in range(0, len(raw) - len(raw) % 2, 2)]
         else:
-            parts = [_string_match_text(s.group(1), s.group(2))
-                     for s in _TJ_STR_RE.finditer(m.group(5))]
+            codes = list(raw)
+        out: list[str] = []
+        for c in codes:
+            if self.cmap is not None and c in self.cmap:
+                out.append(self.cmap[c])
+            elif self.diffs is not None and c in self.diffs:
+                out.append(self.diffs[c])
+            elif not self.two_byte:
+                # base-encoding fallback: StandardEncoding ≈ Latin-1 on
+                # the codes a Differences array leaves untouched
+                out.append(chr(c))
+            # unmapped CID → dropped (matches pdf-parse)
+        return "".join(out)
+
+
+def _parse_tounicode(cmap_stream: bytes) -> dict[int, str]:
+    """bfchar/bfrange sections of a ToUnicode CMap; destinations are
+    UTF-16BE code units (scalar destinations; array-form bfrange is out of
+    this slice)."""
+    out: dict[int, str] = {}
+
+    def dst_text(h: bytes) -> str:
+        b = bytes.fromhex(h.decode("ascii"))
+        if len(b) % 2:
+            b = b + b"\x00"
+        return b.decode("utf-16-be", errors="ignore")
+
+    for block in _BFCHAR_RE.finditer(cmap_stream):
+        hexes = _CMAP_HEX_RE.findall(block.group(1))
+        for i in range(0, len(hexes) - 1, 2):
+            out[int(hexes[i], 16)] = dst_text(hexes[i + 1])
+    for block in _BFRANGE_RE.finditer(cmap_stream):
+        hexes = _CMAP_HEX_RE.findall(block.group(1))
+        for i in range(0, len(hexes) - 2, 3):
+            lo, hi = int(hexes[i], 16), int(hexes[i + 1], 16)
+            base = dst_text(hexes[i + 2])
+            if not base:
+                continue
+            for c in range(lo, min(hi, lo + 65535) + 1):
+                out[c] = base[:-1] + chr(ord(base[-1]) + (c - lo))
+    return out
+
+
+def _parse_differences(enc_body: bytes) -> dict[int, str] | None:
+    dm = _DIFFERENCES_RE.search(enc_body)
+    if not dm:
+        return None
+    diffs: dict[int, str] = {}
+    code = 0
+    for tok in _DIFF_TOKEN_RE.finditer(dm.group(1)):
+        if tok.group(1) is not None:
+            code = int(tok.group(1))
+        else:
+            diffs[code] = _glyph_char(tok.group(2).decode("ascii",
+                                                          "replace"))
+            code += 1
+    return diffs
+
+
+def _page_fonts(px: "_PdfObjects", page_body: bytes) -> dict[bytes, _PdfFont]:
+    """Font name → decode info from the page's /Resources /Font dict
+    (inline or via an indirect Resources object)."""
+    target = page_body
+    rm = _RESOURCES_REF_RE.search(page_body)
+    if rm:
+        resolved = px.get(int(rm.group(1)))
+        if resolved is not None:
+            target = resolved
+    fm = _FONT_DICT_RE.search(target)
+    if not fm:
+        return {}
+    fonts: dict[bytes, _PdfFont] = {}
+    for entry in _FONT_ENTRY_RE.finditer(fm.group(1)):
+        fbody = px.get(int(entry.group(2)))
+        if fbody is None:
+            continue
+        two_byte = _TYPE0_RE.search(fbody) is not None
+        cmap = None
+        tm = _TOUNICODE_RE.search(fbody)
+        if tm:
+            stream = px.stream_of(int(tm.group(1)))
+            if stream is not None:
+                cmap = _parse_tounicode(stream)
+        diffs = _parse_differences(fbody)
+        if diffs is None:
+            em = _ENCODING_REF_RE.search(fbody)
+            if em:
+                enc_body = px.get(int(em.group(1)))
+                if enc_body is not None:
+                    diffs = _parse_differences(enc_body)
+        if cmap is not None or diffs is not None or two_byte:
+            fonts[entry.group(1)] = _PdfFont(two_byte, cmap, diffs)
+    return fonts
+
+
+# content tokens in stream order: Tf font selection OR a text-show operator
+_CONTENT_TOKEN_RE = re.compile(
+    rb"/([A-Za-z0-9.+_-]+)\s+[-+0-9.]+\s+Tf"     # /F1 11 Tf
+    rb"|\(((?:[^()\\]|\\.)*)\)\s*(Tj|')"         # (s) Tj   or   (s) '
+    rb"|<([0-9a-fA-F\s]*)>\s*(Tj|')"             # <hex> Tj  or  <hex> '
+    rb"|\[((?:[^\]\\]|\\.)*)\]\s*TJ",            # [ (a) -120 <hex> ] TJ
+    re.S,
+)
+
+
+def _decode_show(lit: bytes | None, hexs: bytes | None,
+                 font: _PdfFont | None) -> str:
+    if font is None:
+        return _string_match_text(lit, hexs)
+    raw = (_unescape_pdf_bytes(lit) if lit is not None
+           else _hex_string_bytes(hexs or b""))
+    return font.decode(raw)
+
+
+def _content_text(content: bytes,
+                  fonts: dict[bytes, _PdfFont] | None = None) -> list[str]:
+    fonts = fonts or {}
+    cur: _PdfFont | None = None
+    lines: list[str] = []
+    for m in _CONTENT_TOKEN_RE.finditer(content):
+        if m.group(1) is not None:
+            cur = fonts.get(m.group(1))
+            continue
+        if m.group(2) is not None or m.group(4) is not None:
+            lines.append(_decode_show(m.group(2), m.group(4), cur))
+        else:
+            parts = [_decode_show(s.group(1), s.group(2), cur)
+                     for s in _TJ_STR_RE.finditer(m.group(6))]
             lines.append("".join(parts))
     return lines
 
@@ -441,7 +703,9 @@ def pdf_text(data: bytes) -> str:
     """Text layer in page-tree order: one text-show per line, '\\n' between
     lines, '\\n\\n' between pages (the deterministic stand-in for
     pdf-parse's render_page line model). Handles hex-string operands,
-    UTF-16BE text, filter chains, indirect /Length, object streams."""
+    UTF-16BE text, filter chains, indirect /Length, object streams, and
+    font-resolved decoding (ToUnicode CMaps, Type0 2-byte codes,
+    /Differences encodings) via the page's /Resources fonts."""
     px = _PdfObjects(data)
     page_texts: list[str] = []
     for pid in _page_ids(px):
@@ -449,6 +713,7 @@ def pdf_text(data: bytes) -> str:
         cm = _CONTENTS_RE.search(body)
         if not cm:
             continue
+        fonts = _page_fonts(px, body)
         content_ids = ([int(cm.group(1))] if cm.group(1)
                        else [int(r.group(1))
                              for r in _REF_RE.finditer(cm.group(2))])
@@ -456,7 +721,7 @@ def pdf_text(data: bytes) -> str:
         for cid in content_ids:
             raw = px.stream_of(cid)
             if raw is not None:
-                lines.extend(_content_text(raw))
+                lines.extend(_content_text(raw, fonts))
         page_texts.append("\n".join(lines))
     return "\n\n".join(page_texts)
 
