@@ -332,3 +332,53 @@ class TestIframeRecursion:
                 '<a href=/x>x</a>\'></iframe>"></iframe>')
         links = page_links(html, "https://ex.com/", self._opts())
         assert "https://ex.com/x" in links
+
+
+class TestOmceSignatures:
+    """html.rs:443-484 OMCE node-dropping: post-order signature match →
+    detach, only under onlyMainContent, pre-exclude tree. Signature algo
+    is the documented stand-in (nodesig is an unvendored external crate;
+    the service never passes signatures)."""
+
+    HTML = ('<html><head><title>t</title></head><body>'
+            '<div class="promo-x">Buy now!</div>'
+            '<p>Keep this text</p>'
+            '<div class="promo-x">Buy now!</div></body></html>')
+
+    def test_matching_nodes_dropped(self):
+        from webcrawl_spark.kernels.htmlkit import (node_signature,
+                                                    parse_html,
+                                                    transform_document)
+
+        doc = parse_html(self.HTML)
+        sig = node_signature(doc.select("div")[0], "struct")
+        out = transform_document(self.HTML, "https://x.example/",
+                                 omce_signatures=[sig]).serialize()
+        assert "Buy now" not in out
+        assert "Keep this text" in out
+
+    def test_no_signatures_no_change(self):
+        from webcrawl_spark.kernels.htmlkit import transform_document
+
+        out = transform_document(self.HTML, "https://x.example/").serialize()
+        assert "Buy now" in out
+
+    def test_unmatched_mode_ignored(self):
+        from webcrawl_spark.kernels.htmlkit import transform_document
+
+        out = transform_document(
+            self.HTML, "https://x.example/",
+            omce_signatures=["1:othermode:deadbeef"]).serialize()
+        assert "Buy now" in out
+
+    def test_only_main_content_gates_omce(self):
+        from webcrawl_spark.kernels.htmlkit import (node_signature,
+                                                    parse_html,
+                                                    transform_document)
+
+        doc = parse_html(self.HTML)
+        sig = node_signature(doc.select("div")[0], "struct")
+        out = transform_document(self.HTML, "https://x.example/",
+                                 only_main_content=False,
+                                 omce_signatures=[sig]).serialize()
+        assert "Buy now" in out

@@ -213,19 +213,66 @@ def transform_html(
     ).serialize()
 
 
+def node_signature(el: "Element", mode: str = "struct") -> str:
+    """Element signature for OMCE matching, format ``v:mode:hash`` (the
+    shape html.rs:449 splits on ':'). STAND-IN algorithm: the reference's
+    nodesig crate is an unvendored external git dependency
+    (firecrawl-rs/Cargo.toml:19), so byte parity is unverifiable; this
+    hashes (tag, sorted class list, whitespace-collapsed text) — enough
+    for signature-set round trips within this engine. The service never
+    passes signatures (SURVEY.md §2.7 X1 step 4), so this path is
+    effectively reference-off."""
+    import zlib
+
+    text = " ".join(el.text_contents().split())
+    cls = " ".join(sorted((el.attrs.get("class") or "").split()))
+    payload = f"{el.tag}\x1f{cls}\x1f{text}".encode()
+    return f"1:{mode}:{zlib.crc32(payload):08x}"
+
+
+def _omce_drop(doc: "Element", signatures: list[str]) -> None:
+    """html.rs:443-484: group signatures by their mode token, compute each
+    non-empty element's signature per mode in a post-order traversal, and
+    detach every match (children considered before parents, matching the
+    NodeEdge::End walk)."""
+    modes = {s.split(":")[1] for s in signatures if s.count(":") >= 2}
+    to_drop: list[Element] = []
+    for mode in sorted(modes):
+        matcher = f":{mode}:"
+        sigset = {s for s in signatures if matcher in s}
+
+        def post(el: "Element") -> None:
+            for ch in el.children:
+                if isinstance(ch, Element):
+                    post(ch)
+            if not el.text_contents().strip():
+                return
+            if node_signature(el, mode) in sigset:
+                to_drop.append(el)
+
+        for ch in doc.children:
+            if isinstance(ch, Element):
+                post(ch)
+    for el in to_drop:
+        el.detach()
+
+
 def transform_document(
     html: str,
     url: str,
     include_tags: list[str] | None = None,
     exclude_tags: list[str] | None = None,
     only_main_content: bool = True,
+    omce_signatures: list[str] | None = None,
 ) -> Document:
     """transform_html returning the DOM (serialize↔reparse verified
     round-trip-identical on the corpus; the markdown path consumes the tree
     directly to skip a full reparse).
 
-    omce_signatures are intentionally unsupported: the service never passes
-    them (SURVEY.md §2.7 X1 step 4)."""
+    omce_signatures drive the reference's OMCE node-dropping
+    (html.rs:443-484) with the stand-in ``node_signature`` — see its
+    docstring; the service never passes signatures, so the default path
+    is unchanged."""
     include_tags = include_tags or []
     exclude_tags = exclude_tags or []
     doc = parse_html(html)
@@ -246,10 +293,13 @@ def transform_document(
     # skipped exactly as per-selector re-selection would skip them)
     exclude_groups = [_parsed_groups(sel) for sel in exclude_tags]
 
-    def _pass_a(el: Element) -> bool:
+    def _strip_only(el: Element) -> bool:
         if el.tag in _STRIP_TAGS:
             el.detach()
             return True
+        return False
+
+    def _exclude_only(el: Element) -> bool:
         for groups in exclude_groups:
             for chain in groups:
                 if _matches_chain(el, chain, scope=doc):
@@ -257,7 +307,18 @@ def transform_document(
                     return True
         return False
 
-    _walk_elements(doc, _pass_a)
+    def _pass_a(el: Element) -> bool:
+        return _strip_only(el) or _exclude_only(el)
+
+    if only_main_content and omce_signatures:
+        # reference pass order (html.rs:426-490): strip, then OMCE against
+        # the pre-exclude tree (signatures hash text the excludes would
+        # remove), then exclude_tags
+        _walk_elements(doc, _strip_only)
+        _omce_drop(doc, omce_signatures)
+        _walk_elements(doc, _exclude_only)
+    else:
+        _walk_elements(doc, _pass_a)
 
     # Pass B — html.rs:492-509 boilerplate removal with force-include
     if only_main_content:
