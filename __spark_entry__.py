@@ -370,6 +370,27 @@ def q_doc_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("n_nationkey")
 
 
+def q_docx_notes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 word-processor converter end-to-end: build a real docx per
+    nation row (OOXML package with heading, bold run, footnote reference
+    run and word/footnotes.xml incl. Word's separator pseudo-notes),
+    convert via provider sniffing, render the reference HTML shape
+    (docx.rs provider + html.rs:41-80 footnote section). The oracle
+    reconstructs the exact HTML string in SQL — a full
+    build→parse→render check covering styling runs, the superscripted
+    footnote ref, and the end-of-body footnotes section."""
+    from webcrawl_spark.operators.document import (
+        build_docx_notes_udf, document_html_udf,
+    )
+
+    nation = _load(spark, sf_dir, "nation")["nation"]
+    return nation.select(
+        "n_nationkey",
+        document_html_udf()(
+            build_docx_notes_udf()(F.col("n_name"))).alias("doc_html"),
+    ).orderBy("n_nationkey")
+
+
 def q_minhash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH dedup in its oracle-checkable configuration: md5-shingle
     signatures with mod-2^64 permutations (recomputable in DuckDB HUGEINT
@@ -507,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_engpicker": q_engpicker,
         "q_pdf_text": q_pdf_text,
         "q_doc_convert": q_doc_convert,
+        "q_docx_notes": q_docx_notes,
         "q_minhash_oracle": q_minhash_oracle,
         "q_simhash_pairs": q_simhash_pairs,
         "q_minhash_dedup": q_minhash_dedup,
@@ -854,6 +876,27 @@ def oracle_sql() -> dict[str, str]:
                    || '</td></tr></tbody></table></main></body></html>'
                    AS doc_html
             FROM nation ORDER BY n_nationkey
+        """,
+        "q_docx_notes": """
+            WITH esc AS (
+                SELECT n_nationkey,
+                       replace(replace(replace(replace(n_name,
+                         '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+                         '"', '&quot;') AS nm
+                FROM nation
+            )
+            SELECT n_nationkey,
+                   '<!DOCTYPE html><html lang="en"><head><meta charset="UTF-8">'
+                   || '<meta name="viewport" content="width=device-width, initial-scale=1.0">'
+                   || '<title>Document</title></head><body><main>'
+                   || '<h1>' || nm || '</h1>'
+                   || '<p>' || nm || ' exports <strong>goods</strong>'
+                   || '<sup><sup><a href="#footnote-1">1</a></sup></sup></p>'
+                   || '</main><section id="footnotes"><h2>Footnotes</h2>'
+                   || '<div id="footnote-1"><p>Note for ' || nm
+                   || '</p></div></section></body></html>'
+                   AS doc_html
+            FROM esc ORDER BY n_nationkey
         """,
         "q_minhash_oracle": _minhash_oracle_sql(),
         "q_simhash_pairs": _SIMHASH_ORACLE_SQL,

@@ -23,7 +23,7 @@ from pyspark.sql.functions import pandas_udf
 from ..kernels.document import build_xlsx, convert_document, xlsx_to_html
 
 __all__ = ["xlsx_html_udf", "document_html_udf", "scrape_documents",
-           "build_xlsx_rows_udf"]
+           "build_xlsx_rows_udf", "build_docx_notes_udf"]
 
 
 def _converter_udf(fn):
@@ -71,5 +71,26 @@ def build_xlsx_rows_udf(sheet_name: str = "Sheet1"):
                 if cells is not None else []
             out.append(build_xlsx({sheet_name: grid}))
         return pd.Series(out, dtype="object")
+
+    return pandas_udf(batch, T.BinaryType())
+
+
+def build_docx_notes_udf():
+    """(name string) → binary docx: heading + a paragraph with a bold run
+    and a footnote reference, plus word/footnotes.xml (incl. Word's
+    separator pseudo-notes) — the deterministic generator behind the
+    q_docx_notes oracle query."""
+    from ..kernels.document import build_docx
+
+    def batch(names: pd.Series) -> pd.Series:
+        return pd.Series([
+            build_docx(
+                [("h1", str(n)),
+                 ("p", [(str(n) + " exports ", ""), ("goods", "b"),
+                        ("#fn", "1")])],
+                footnotes={"1": ["Note for " + str(n)]},
+            )
+            for n in names
+        ], dtype="object")
 
     return pandas_udf(batch, T.BinaryType())
