@@ -87,7 +87,7 @@ __all__ = ["SparkCrawl", "EngineConfig"]
 # markdown/links columns away); bloom shards persist per round so resume
 # never rescans the frontier.
 TABLES = ["frontier", "crawl_result", "round_metrics", "host_budget",
-          "bloom_shards", "frontier_queued"]
+          "bloom_shards", "frontier_queued", "fetched_seqs"]
 
 FRONTIER_SCHEMA = (
     "url string, url_canon string, host string, host_bucket int, "
@@ -344,8 +344,14 @@ class SparkCrawl:
             if delta is not None:
                 base = base.unionByName(delta.drop("round"))
             since = compact
-        fetched = self.io.read_rounds("crawl_result", since,
-                                      discover_partitions=False)
+        # fetched seqs come from the single-file-per-round sidecar (≙ the
+        # Iceberg equality-delete files this view emulates) — reading the
+        # wide crawl_result table here would touch one file per extraction
+        # task per round; fall back to it only on pre-sidecar checkpoints
+        fetched = self.io.read_rounds("fetched_seqs", since)
+        if fetched is None:
+            fetched = self.io.read_rounds("crawl_result", since,
+                                          discover_partitions=False)
         if fetched is None:
             return base
         fetched = fetched.select(F.col("seq").alias("fseq"))
@@ -372,8 +378,12 @@ class SparkCrawl:
         # one execution: pin, then count + write read the pinned data. An
         # empty snapshot is skipped (a partitioned write of zero rows leaves
         # a schemaless dir) — correctness is unaffected, the merge-on-read
-        # view is valid for any older snapshot.
-        remaining = remaining.localCheckpoint(eager=True)
+        # view is valid for any older snapshot. Repartitioned on the
+        # write's partition key first (one file per bucket, not per
+        # task × bucket).
+        remaining = remaining.repartition(
+            self.engine.num_buckets, "host_bucket",
+        ).localCheckpoint(eager=True)
         if remaining.count() == 0:
             return
         self.io.append(remaining, "frontier_queued", round_no,
@@ -389,6 +399,34 @@ class SparkCrawl:
         self._done = bool(meta.get("done", False))
         self._frontier_count = int(meta.get("frontier_count",
                                             self._next_seq))
+        self._backfill_fetched_seqs(committed)
+
+    def _backfill_fetched_seqs(self, committed: int) -> None:
+        """Resume repair for pre-sidecar checkpoints: every committed
+        crawl_result round must have a fetched_seqs sidecar, else the
+        queued view would silently miss those rounds' fetched seqs and
+        re-admit them. One-time O(history) listing + tiny writes (≙ an
+        Iceberg rewrite-deletes maintenance pass); no-op on current
+        checkpoints."""
+        import os as _os
+
+        seq_dir = self.io._table_dir("fetched_seqs")
+        res_dir = self.io._table_dir("crawl_result")
+        if not _os.path.isdir(res_dir):
+            return
+        for entry in _os.listdir(res_dir):
+            if not entry.startswith("round="):
+                continue
+            rnd = int(entry.split("=", 1)[1])
+            if rnd > committed or _os.path.isdir(
+                    _os.path.join(seq_dir, entry)):
+                continue
+            try:
+                rows = self.io.read_round("crawl_result", rnd)
+            except FileNotFoundError:
+                continue
+            self.io.append(rows.select("seq").coalesce(1),
+                           "fetched_seqs", rnd)
 
     def _dedup_col(self) -> str:
         return "url" if self.engine.dedup_key == "url" else "url_canon"
@@ -753,6 +791,12 @@ class SparkCrawl:
         io.append(combined, "crawl_result", round_no)
         t = self._trace(round_no, "fetch+extract write", t)
         combined_file = io.read_round("crawl_result", round_no)
+        # fetched-seq sidecar (≙ an Iceberg equality-delete file): one tiny
+        # file per round so the queued view's anti-join never re-opens the
+        # wide crawl_result files (one per extraction task per round)
+        io.append(combined_file.select("seq").coalesce(1),
+                  "fetched_seqs", round_no)
+        t = self._trace(round_no, "fetched-seq sidecar", t)
 
         if use_bucket:
             # consume tokens: new state = allowance - used (finite hosts);
@@ -933,6 +977,13 @@ class SparkCrawl:
             .drop("source_priority", "source_seq", "link_pos")
         obs = Observation(f"admit_{round_no}")
         new_rows = new_rows.observe(obs, F.count(F.lit(1)).alias("n_new"))
+        # hash-repartition on the write's partition key first: a partitioned
+        # write from task-scattered rows emits one file per (task × bucket)
+        # — up to shuffle_partitions × num_buckets near-empty files per
+        # round at high core counts, and every later frontier scan pays the
+        # listing + footer reads. One small shuffle caps it at one file per
+        # bucket per round.
+        new_rows = new_rows.repartition(eng.num_buckets, "host_bucket")
         io.append(new_rows, "frontier", round_no, partition_by=["host_bucket"])
         return int(obs.get["n_new"])
 
