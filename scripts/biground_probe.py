@@ -4,8 +4,13 @@ admission forced (small_round_threshold=1) — the 10^10-scale codepath at a
 round size where per-phase costs are signal, not noise.
 
 Usage: SPARK_GRAFT_CPUS=32 python scripts/biground_probe.py [pages_per_host]
+       [small_round_threshold]
 Prints one JSON line {cpus, pages, wall_sec, fetched, rounds, urls_per_sec}.
 Phase timings stream to stderr when SPARK_GRAFT_TRACE=1.
+small_round_threshold defaults to 1 (every round forced through the fully
+distributed path — the pessimal 10^10-shape config); pass 5000 to measure
+the engine's default config (startup transients under the candidate-count
+gate use the driver small-round path; big rounds stay distributed).
 
 Run at 8 and 32 cpus (fresh process each) for the N-vs-4N comparison of the
 round job's fixed cost (BENCH.md big-round table).
@@ -35,6 +40,7 @@ def main() -> None:
     from webcrawl_spark.session import get_spark
 
     pages_per_host = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
+    threshold = int(sys.argv[2]) if len(sys.argv) > 2 else 1
 
     spark = get_spark(
         "webcrawl-biground-probe", master=f"local[{CPUS}]",
@@ -66,7 +72,8 @@ def main() -> None:
         t0 = time.perf_counter()
         crawl = SparkCrawl(
             spark, pages, cfg, workdir,
-            engine=EngineConfig(num_buckets=CPUS, small_round_threshold=1),
+            engine=EngineConfig(num_buckets=CPUS,
+                                small_round_threshold=threshold),
         )
         rounds = crawl.run()
         wall = time.perf_counter() - t0

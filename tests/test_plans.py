@@ -129,3 +129,44 @@ def test_crawl_fetch_join_broadcasts_selection(spark):
     plan = _plan(joined)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_frontier_write_file_count(spark, tmp_path):
+    """Distributed admission must write O(num_buckets) files per round,
+    not O(tasks × buckets): a partitioned write from task-scattered rows
+    emits one file per (task, bucket-value) pair — the silent file
+    explosion that made the round job slower at 32 cores than at 8."""
+    import os
+
+    from webcrawl_spark.datagen import build_site, render_page_html
+    from webcrawl_spark.frontier.crawl import EngineConfig, SparkCrawl
+    from webcrawl_spark.frontier.oracle import CrawlConfig
+
+    site = build_site(seed=11, n_hosts=4, pages_per_host=25, n_hot_hosts=0)
+    rows = [(u, render_page_html(site, u).encode()) for u in site.urls()]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    cfg = CrawlConfig(seed_url=f"https://{site.hosts[0]}/", limit=None,
+                      max_depth=3, allow_backward_crawling=True,
+                      allow_external_content_links=True)
+    wd = str(tmp_path / "fcount")
+    n_buckets = 8
+    crawl = SparkCrawl(
+        spark, pages, cfg, wd,
+        engine=EngineConfig(num_buckets=n_buckets, small_round_threshold=1),
+    )
+    crawl.run(max_rounds=3)
+    for rnd in range(1, 3):
+        rdir = os.path.join(wd, "frontier", f"round={rnd}")
+        if not os.path.isdir(rdir):
+            continue
+        n_files = sum(
+            1 for _, _, files in os.walk(rdir)
+            for f in files if f.endswith(".parquet")
+        )
+        assert n_files <= n_buckets, (rnd, n_files)
+        sdir = os.path.join(wd, "fetched_seqs", f"round={rnd}")
+        n_seq = sum(
+            1 for _, _, files in os.walk(sdir)
+            for f in files if f.endswith(".parquet")
+        )
+        assert n_seq == 1, (rnd, n_seq)
