@@ -868,3 +868,88 @@ class TestOdtNotes:
             "<text:note-body><text:p>hidden</text:p></text:note-body>"
             "</text:note> tail</text:p>")
         assert _odt_text_of(el) == "cell tail"
+
+
+class TestRtfSupSubStrike:
+    """rtf.rs:526-548: \\strike / \\super / \\sub / \\nosupersub state,
+    group-scoped, reset by \\plain."""
+
+    def test_strike_super_sub(self):
+        from webcrawl_spark.kernels.document import rtf_to_html
+
+        rtf = (rb"{\rtf1 normal \strike struck\strike0  \super 2"
+               rb"\nosupersub  \sub low\nosupersub  end\par}")
+        h = rtf_to_html(rtf)
+        assert "<del>struck</del>" in h
+        assert "<sup>2</sup>" in h
+        assert "<sub>low</sub>" in h
+
+    def test_super_sub_mutually_exclusive(self):
+        from webcrawl_spark.kernels.document import rtf_to_html
+
+        h = rtf_to_html(rb"{\rtf1 \super up \sub down\par}")
+        assert "<sup>up </sup>" in h
+        assert "<sub>down</sub>" in h
+
+    def test_plain_resets_all(self):
+        from webcrawl_spark.kernels.document import rtf_to_html
+
+        h = rtf_to_html(rb"{\rtf1 \b\strike\super x\plain y\par}")
+        assert "<sup><strong><del>x</del></strong></sup>" in h
+        assert ">y" in h or "y</p>" in h
+
+    def test_group_scope_restores(self):
+        from webcrawl_spark.kernels.document import rtf_to_html
+
+        h = rtf_to_html(rb"{\rtf1 {\strike in} out\par}")
+        assert "<del>in</del>" in h
+        assert "<del> out" not in h
+
+
+class TestDocxParagraphBaseStyle:
+    """docx.rs:288-298 paragraph_run_style + 505-517 resolve_with: the
+    paragraph's pPr/rPr is the base; run-local Option fields override;
+    hyperlink rPr merges over the base for its runs (docx.rs:640-646)."""
+
+    def _docx(self, body_xml: bytes) -> bytes:
+        import io
+        import zipfile
+
+        from webcrawl_spark.kernels.document import build_docx
+
+        base = build_docx([("p", "placeholder")])
+        zf = zipfile.ZipFile(io.BytesIO(base))
+        names = {n: zf.read(n) for n in zf.namelist()}
+        names["word/document.xml"] = (
+            b'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            b'<w:document xmlns:w="http://schemas.openxmlformats.org/'
+            b'wordprocessingml/2006/main"><w:body>' + body_xml
+            + b"</w:body></w:document>")
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            for n, c in names.items():
+                z.writestr(n, c)
+        return buf.getvalue()
+
+    def test_base_inherited_and_locally_overridden(self):
+        from webcrawl_spark.kernels.document import docx_to_html
+
+        d = self._docx(
+            b'<w:p><w:pPr><w:rPr><w:b/></w:rPr></w:pPr>'
+            b'<w:r><w:t>inherits</w:t></w:r>'
+            b'<w:r><w:rPr><w:b w:val="0"/></w:rPr><w:t> off</w:t></w:r>'
+            b'<w:r><w:rPr><w:i/></w:rPr><w:t> both</w:t></w:r></w:p>')
+        h = docx_to_html(d)
+        assert "<strong>inherits</strong>" in h
+        assert "<strong> off</strong>" not in h
+        assert "<strong><em> both</em></strong>" in h
+
+    def test_pstyle_alone_is_not_a_run_base(self):
+        """Only the paragraph's OWN pPr/rPr is the base (the reference
+        resolves no styles.xml run chain)."""
+        from webcrawl_spark.kernels.document import docx_to_html
+
+        d = self._docx(
+            b'<w:p><w:pPr><w:pStyle w:val="Normal"/></w:pPr>'
+            b'<w:r><w:t>plain</w:t></w:r></w:p>')
+        assert "<p>plain</p>" in docx_to_html(d)

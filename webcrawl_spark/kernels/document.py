@@ -272,14 +272,16 @@ def _docx_rels(zf: zipfile.ZipFile,
 
 def _run_style(rpr: ET.Element | None) -> dict:
     """run_style_from_rpr (docx.rs:547-577): b/i/strike on-off toggles,
-    rStyle whose id contains 'code' → code, vertAlign sup/sub."""
-    st = {"bold": False, "italic": False, "strike": False, "code": False,
+    rStyle whose id contains 'code' → code, vertAlign sup/sub. None values
+    mean 'inherit' (RunStyle's Option fields) — resolved against the
+    paragraph's pPr/rPr base by _resolve_style."""
+    st = {"bold": None, "italic": None, "strike": None, "code": None,
           "vert": None}
     if rpr is None:
         return st
-    st["bold"] = _read_on_off(rpr.find(_w("b"))) or False
-    st["italic"] = _read_on_off(rpr.find(_w("i"))) or False
-    st["strike"] = _read_on_off(rpr.find(_w("strike"))) or False
+    st["bold"] = _read_on_off(rpr.find(_w("b")))
+    st["italic"] = _read_on_off(rpr.find(_w("i")))
+    st["strike"] = _read_on_off(rpr.find(_w("strike")))
     rstyle = rpr.find(_w("rStyle"))
     if rstyle is not None:
         v = rstyle.get(_w("val")) or rstyle.get("val") or ""
@@ -295,6 +297,18 @@ def _run_style(rpr: ET.Element | None) -> dict:
     return st
 
 
+def _resolve_style(base: dict, local: dict) -> dict:
+    """RunStyle::resolve_with (docx.rs:505-517): local Option fields win
+    when set, else the paragraph base, else off. ``vert`` has no 'off'
+    sentinel below baseline, so local-over-base coalescing matches
+    vert_align's Option::or."""
+    return {
+        k: (local[k] if local[k] is not None else base[k]) or
+           (None if k == "vert" else False)
+        for k in base
+    }
+
+
 def _run_inlines(p: ET.Element,
                  rels: dict[str, str] | None = None) -> list[Inline]:
     """Paragraph runs with local rPr styling (docx.rs:547-577
@@ -304,13 +318,19 @@ def _run_inlines(p: ET.Element,
     and w:hyperlink resolution (r:id → rels target, or w:anchor →
     '#anchor', docx.rs:634-653; runs inside the hyperlink carry its href).
     A code run collapses to its concatenated text, dropping refs
-    (docx.rs:618-630). Style-chain inheritance through styles.xml is out
-    of this subset. Runs yielding no inlines are dropped."""
+    (docx.rs:618-630). Run styles resolve against the paragraph's own
+    pPr/rPr base (paragraph_run_style, docx.rs:288-298); hyperlink rPr
+    merges over that base for its contained runs (docx.rs:640-646).
+    styles.xml carries no run-style chain in the reference either (only
+    heading detection) — parity holds. Runs yielding no inlines are
+    dropped."""
     out: list[Inline] = []
     rels = rels or {}
+    ppr = p.find(_w("pPr"))
+    para_base = _run_style(ppr.find(_w("rPr")) if ppr is not None else None)
 
-    def run_of(r: ET.Element, href: str | None) -> None:
-        st = _run_style(r.find(_w("rPr")))
+    def run_of(r: ET.Element, href: str | None, base: dict) -> None:
+        st = _resolve_style(base, _run_style(r.find(_w("rPr"))))
         items: list[Inline] = []
         for ch in r:
             tag = ch.tag
@@ -336,20 +356,25 @@ def _run_inlines(p: ET.Element,
                      if code_text else [])
         out.extend(items)
 
-    def walk(node: ET.Element, href: str | None) -> None:
+    def walk(node: ET.Element, href: str | None, base: dict) -> None:
         for ch in node:
             if ch.tag == _w("r"):
-                run_of(ch, href)
+                run_of(ch, href, base)
             elif ch.tag == _w("hyperlink"):
                 rid = ch.get(f"{{{_R_NS}}}id") or ch.get("id")
                 anchor = ch.get(_w("anchor")) or ch.get("anchor")
                 target = (rels.get(rid) if rid
                           else (f"#{anchor}" if anchor else None))
-                walk(ch, target if target else href)
+                # link rPr merges OVER the base for contained runs
+                # (docx.rs:640-646 merged: Option.or, stays inheritable)
+                lrpr = _run_style(ch.find(_w("rPr")))
+                merged = {k: lrpr[k] if lrpr[k] is not None else base[k]
+                          for k in base}
+                walk(ch, target if target else href, merged)
             else:
-                walk(ch, href)
+                walk(ch, href, base)
 
-    walk(p, None)
+    walk(p, None, para_base)
     return out
 
 
@@ -1376,16 +1401,19 @@ def rtf_to_document(data: bytes) -> Document:
     depth = 0
     i, n = 0, len(data)
     uc_skip = 1      # \ucN: bytes to skip after \u
-    bold = italic = False
-    style_stack: list[tuple[bool, bool]] = []
+    bold = italic = strike = False
+    vert: str | None = None
+    style_stack: list[tuple[bool, bool, bool, str | None]] = []
 
     def emit(text: str) -> None:
         if not text:
             return
-        if runs and runs[-1].bold == bold and runs[-1].italic == italic:
+        if (runs and runs[-1].bold == bold and runs[-1].italic == italic
+                and runs[-1].strike == strike and runs[-1].vert == vert):
             runs[-1].text += text
         else:
-            runs.append(Inline(text=text, bold=bold, italic=italic))
+            runs.append(Inline(text=text, bold=bold, italic=italic,
+                               strike=strike, vert=vert))
 
     def buf_text() -> str:
         return "".join(r.text for r in runs)
@@ -1393,9 +1421,11 @@ def rtf_to_document(data: bytes) -> Document:
     def flush_par() -> None:
         text = buf_text().strip()
         styled = None
-        if text and any(r.bold or r.italic for r in runs):
+        if text and any(r.bold or r.italic or r.strike or r.vert
+                        for r in runs):
             # trim whitespace at the edges without disturbing run styling
-            trimmed = [Inline(r.text, r.bold, r.italic) for r in runs]
+            trimmed = [Inline(r.text, r.bold, r.italic, strike=r.strike,
+                              vert=r.vert) for r in runs]
             trimmed[0].text = trimmed[0].text.lstrip()
             trimmed[-1].text = trimmed[-1].text.rstrip()
             styled = [r for r in trimmed if r.text]
@@ -1416,7 +1446,7 @@ def rtf_to_document(data: bytes) -> Document:
         c = data[i:i + 1]
         if c == b"{":
             depth += 1
-            style_stack.append((bold, italic))
+            style_stack.append((bold, italic, strike, vert))
             if skip_depth:
                 skip_depth += 1
             elif data[i + 1:i + 3] == b"\\*":
@@ -1425,7 +1455,7 @@ def rtf_to_document(data: bytes) -> Document:
         elif c == b"}":
             depth -= 1
             if style_stack:
-                bold, italic = style_stack.pop()
+                bold, italic, strike, vert = style_stack.pop()
             if skip_depth:
                 skip_depth -= 1
             i += 1
@@ -1473,8 +1503,20 @@ def rtf_to_document(data: bytes) -> Document:
                     bold = num != b"0"
                 elif word == b"i":
                     italic = num != b"0"
+                elif word in (b"strike", b"striked", b"striked1"):
+                    strike = num != b"0"
+                elif word == b"super":
+                    # rtf.rs:530-543: \super / \sub are mutually exclusive
+                    vert = "sup" if num != b"0" else (
+                        None if vert == "sup" else vert)
+                elif word == b"sub":
+                    vert = "sub" if num != b"0" else (
+                        None if vert == "sub" else vert)
+                elif word == b"nosupersub":
+                    vert = None
                 elif word == b"plain":
-                    bold = italic = False
+                    bold = italic = strike = False
+                    vert = None
                 elif word == b"uc":
                     uc_skip = int(num or 1)
                 elif word == b"u":
