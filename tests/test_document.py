@@ -953,3 +953,99 @@ class TestDocxParagraphBaseStyle:
             b'<w:p><w:pPr><w:pStyle w:val="Normal"/></w:pPr>'
             b'<w:r><w:t>plain</w:t></w:r></w:p>')
         assert "<p>plain</p>" in docx_to_html(d)
+
+
+class TestDocxSizeBuckets:
+    """docx.rs:425-466 + 367-377: within one heading/title style, the
+    distinct effective font sizes used in the document form a descending
+    bucket list; a paragraph at bucket index i renders i levels deeper."""
+
+    def _docx(self, styles_xml: bytes, body_xml: bytes) -> bytes:
+        import io
+        import zipfile
+
+        from webcrawl_spark.kernels.document import build_docx
+
+        base = build_docx([("p", "x")])
+        zf = zipfile.ZipFile(io.BytesIO(base))
+        names = {n: zf.read(n) for n in zf.namelist()}
+        W = (b"http://schemas.openxmlformats.org/wordprocessingml/2006/"
+             b"main")
+        names["word/styles.xml"] = (
+            b'<?xml version="1.0"?><w:styles xmlns:w="' + W + b'">'
+            + styles_xml + b"</w:styles>")
+        names["word/document.xml"] = (
+            b'<?xml version="1.0"?><w:document xmlns:w="' + W
+            + b'"><w:body>' + body_xml + b"</w:body></w:document>")
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            for n, c in names.items():
+                z.writestr(n, c)
+        return buf.getvalue()
+
+    def test_smaller_size_demotes_level(self):
+        from webcrawl_spark.kernels.document import docx_to_html
+
+        d = self._docx(
+            b'<w:style w:type="paragraph" w:styleId="H1x">'
+            b'<w:name w:val="Heading 1"/></w:style>',
+            b'<w:p><w:pPr><w:pStyle w:val="H1x"/>'
+            b'<w:rPr><w:sz w:val="48"/></w:rPr></w:pPr>'
+            b"<w:r><w:t>big</w:t></w:r></w:p>"
+            b'<w:p><w:pPr><w:pStyle w:val="H1x"/>'
+            b'<w:rPr><w:sz w:val="32"/></w:rPr></w:pPr>'
+            b"<w:r><w:t>small</w:t></w:r></w:p>",
+        )
+        h = docx_to_html(d)
+        assert "<h1>big</h1>" in h
+        assert "<h2>small</h2>" in h
+
+    def test_single_size_no_demotion(self):
+        from webcrawl_spark.kernels.document import docx_to_html
+
+        d = self._docx(
+            b'<w:style w:type="paragraph" w:styleId="H2y">'
+            b'<w:name w:val="Heading 2"/></w:style>',
+            b'<w:p><w:pPr><w:pStyle w:val="H2y"/>'
+            b'<w:rPr><w:sz w:val="40"/></w:rPr></w:pPr>'
+            b"<w:r><w:t>only</w:t></w:r></w:p>",
+        )
+        assert "<h2>only</h2>" in docx_to_html(d)
+
+    def test_style_default_size_counts(self):
+        """Paragraphs without their own sz use the style's rPr/sz default
+        (paragraph_effective_size fallback)."""
+        from webcrawl_spark.kernels.document import docx_to_html
+
+        d = self._docx(
+            b'<w:style w:type="paragraph" w:styleId="T1">'
+            b'<w:name w:val="Title"/>'
+            b'<w:rPr><w:sz w:val="56"/></w:rPr></w:style>',
+            b'<w:p><w:pPr><w:pStyle w:val="T1"/></w:pPr>'
+            b"<w:r><w:t>title default</w:t></w:r></w:p>"
+            b'<w:p><w:pPr><w:pStyle w:val="T1"/>'
+            b'<w:rPr><w:sz w:val="28"/></w:rPr></w:pPr>'
+            b"<w:r><w:t>small title</w:t></w:r></w:p>",
+        )
+        h = docx_to_html(d)
+        assert "<h1>title default</h1>" in h
+        assert "<h2>small title</h2>" in h
+
+    def test_run_size_max_wins(self):
+        """Effective size = max over pPr/rPr and run rPr sizes
+        (docx.rs:399-423)."""
+        from webcrawl_spark.kernels.document import docx_to_html
+
+        d = self._docx(
+            b'<w:style w:type="paragraph" w:styleId="H1z">'
+            b'<w:name w:val="Heading 1"/></w:style>',
+            b'<w:p><w:pPr><w:pStyle w:val="H1z"/></w:pPr>'
+            b'<w:r><w:rPr><w:sz w:val="48"/></w:rPr>'
+            b"<w:t>peak</w:t></w:r></w:p>"
+            b'<w:p><w:pPr><w:pStyle w:val="H1z"/></w:pPr>'
+            b'<w:r><w:rPr><w:sz w:val="24"/></w:rPr>'
+            b"<w:t>valley</w:t></w:r></w:p>",
+        )
+        h = docx_to_html(d)
+        assert "<h1>peak</h1>" in h
+        assert "<h2>valley</h2>" in h

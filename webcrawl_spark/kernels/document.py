@@ -527,15 +527,16 @@ def _parse_docx_list(
     return block, i
 
 
-def _docx_styles(zf: zipfile.ZipFile) -> dict[str, tuple[str, int | None]]:
+def _docx_styles(zf: zipfile.ZipFile) -> dict[str, tuple[str, int | None,
+                                                         int | None]]:
     """word/styles.xml: styleId → (display name, heading level from the
-    style's own outlineLvl or None) — docx.rs:180-245 read_styles (font
-    size buckets are out of this subset)."""
+    style's own outlineLvl or None, default half-point font size from the
+    style's rPr/sz or None) — docx.rs:180-245 read_styles."""
     try:
         root = ET.fromstring(zf.read("word/styles.xml"))
     except KeyError:
         return {}
-    out: dict[str, tuple[str, int | None]] = {}
+    out: dict[str, tuple[str, int | None, int | None]] = {}
     for st in root.findall(_w("style")):
         sid = st.get(_w("styleId")) or st.get("styleId") or ""
         if not sid:
@@ -551,8 +552,76 @@ def _docx_styles(zf: zipfile.ZipFile) -> dict[str, tuple[str, int | None]]:
                 v = ol.get(_w("val")) or ol.get("val")
                 if v and v.isdigit():
                     lvl = min(int(v) + 1, 6)
-        out[sid] = (name, lvl)
+        sz = None
+        rpr = st.find(_w("rPr"))
+        if rpr is not None:
+            sz_el = rpr.find(_w("sz"))
+            if sz_el is not None:
+                v = sz_el.get(_w("val")) or sz_el.get("val")
+                if v and v.isdigit():
+                    sz = int(v)
+        out[sid] = (name, lvl, sz)
     return out
+
+
+def _para_style_id(p: ET.Element) -> str | None:
+    ppr = p.find(_w("pPr"))
+    if ppr is None:
+        return None
+    st = ppr.find(_w("pStyle"))
+    if st is None:
+        return None
+    return st.get(_w("val")) or st.get("val")
+
+
+def _para_effective_size(p: ET.Element, styles: dict,
+                         sid: str) -> int | None:
+    """docx.rs:399-423 paragraph_effective_size: max sz over the
+    paragraph's pPr/rPr and its runs' rPr, else the style's default."""
+    max_sz: int | None = None
+    ppr = p.find(_w("pPr"))
+    if ppr is not None:
+        rpr = ppr.find(_w("rPr"))
+        if rpr is not None:
+            sz_el = rpr.find(_w("sz"))
+            if sz_el is not None:
+                v = sz_el.get(_w("val")) or sz_el.get("val")
+                if v and v.isdigit():
+                    max_sz = int(v)
+    for r in p.findall(_w("r")):
+        rpr = r.find(_w("rPr"))
+        if rpr is None:
+            continue
+        sz_el = rpr.find(_w("sz"))
+        if sz_el is not None:
+            v = sz_el.get(_w("val")) or sz_el.get("val")
+            if v and v.isdigit():
+                max_sz = int(v) if max_sz is None else max(max_sz, int(v))
+    if max_sz is not None:
+        return max_sz
+    return styles.get(sid, ("", None, None))[2]
+
+
+def _docx_size_buckets(root: ET.Element,
+                       styles: dict) -> dict[str, list[int]]:
+    """docx.rs:425-466 compute_style_size_buckets_for_doc: for each
+    heading/title-named style, the distinct effective sizes its
+    paragraphs use, sorted DESCENDING — a document using 'Heading 1' at
+    three sizes demotes the smaller ones by their bucket index."""
+    sets: dict[str, set[int]] = {}
+    for p in root.iter(_w("p")):
+        sid = _para_style_id(p)
+        if not sid:
+            continue
+        name = styles.get(sid, ("", None, None))[0]
+        id_l, name_l = sid.lower(), name.lower()
+        if not ("heading" in id_l or "title" in id_l
+                or "heading" in name_l or "title" in name_l):
+            continue
+        sz = _para_effective_size(p, styles, sid)
+        if sz is not None:
+            sets.setdefault(sid, set()).add(sz)
+    return {k: sorted(v, reverse=True) for k, v in sets.items()}
 
 
 def _parse_heading_level(s: str) -> int | None:
@@ -575,14 +644,18 @@ def _parse_heading_level(s: str) -> int | None:
 
 
 def _para_kind(p: ET.Element,
-               styles: dict[str, tuple[str, int | None]] | None = None,
+               styles: dict | None = None,
+               size_buckets: dict[str, list[int]] | None = None,
                ) -> tuple[str, int]:
     """docx.rs:317-379 paragraph_kind: direct outlineLvl → Heading(v+1, ≤6);
     else pStyle resolved through styles.xml (style's own outlineLvl → its
     display name's 'heading N' → the style id's 'heading N' → title/heading/
-    quote substring fallbacks on name and id). Font-size-bucket level
-    adjustment is out of this subset."""
+    quote substring fallbacks on name and id), then the font-size-bucket
+    demotion: within one heading style, a paragraph whose effective size
+    sits at index i of the style's descending size list renders i levels
+    deeper (docx.rs:367-377, capped at 6)."""
     styles = styles or {}
+    size_buckets = size_buckets or {}
     ppr = p.find(_w("pPr"))
     if ppr is None:
         return "paragraph", 0
@@ -594,25 +667,29 @@ def _para_kind(p: ET.Element,
     st = ppr.find(_w("pStyle"))
     if st is not None:
         sid = st.get(_w("val")) or st.get("val") or ""
-        name, style_lvl = styles.get(sid, ("", None))
-        if style_lvl is not None:
-            return "heading", style_lvl
-        if name:
+        name, style_lvl, _ = styles.get(sid, ("", None, None))
+        base: int | None = style_lvl
+        if base is None and name:
             base = _parse_heading_level(name)
-            if base is not None:
-                return "heading", base
-            if "quote" in name.lower():
+            if base is None and "quote" in name.lower():
                 return "blockquote", 0
-        base = _parse_heading_level(sid)
+        if base is None:
+            base = _parse_heading_level(sid)
+        if base is None:
+            id_l, name_l = sid.lower(), name.lower()
+            if "title" in name_l or "title" in id_l:
+                base = 1
+            elif "heading" in name_l or "heading" in id_l:
+                base = 2
+            elif "quote" in name_l or "quote" in id_l:
+                return "blockquote", 0
         if base is not None:
+            buckets = size_buckets.get(sid)
+            if buckets:
+                sz = _para_effective_size(p, styles, sid)
+                if sz is not None and sz in buckets:
+                    base = min(base + buckets.index(sz), 6)
             return "heading", base
-        id_l, name_l = sid.lower(), name.lower()
-        if "title" in name_l or "title" in id_l:
-            return "heading", 1
-        if "heading" in name_l or "heading" in id_l:
-            return "heading", 2
-        if "quote" in name_l or "quote" in id_l:
-            return "blockquote", 0
     return "paragraph", 0
 
 
@@ -629,7 +706,9 @@ def _runs_styled(runs: list[Inline]) -> list[Inline] | None:
 def _docx_blocks(nodes: list[ET.Element],
                  numbering: dict[tuple[str, str], bool],
                  rels: dict[str, str],
-                 styles: dict[str, tuple[str, int | None]]) -> list[Block]:
+                 styles: dict,
+                 size_buckets: dict[str, list[int]] | None = None,
+                 ) -> list[Block]:
     """Block sequence of a body-like container (document body, footnote/
     endnote/comment content — docx.rs parse_block_children): paragraphs
     with heading/blockquote detection (docx.rs:317-379), styled runs,
@@ -655,7 +734,7 @@ def _docx_blocks(nodes: list[ET.Element],
             if not text.strip() and not any(r.kind != "text" for r in runs):
                 i += 1
                 continue
-            kind, level = _para_kind(node, styles)
+            kind, level = _para_kind(node, styles, size_buckets)
             blocks.append(Block(kind=kind, level=level or 2, text=text,
                                 inlines=_runs_styled(runs)))
         elif node.tag == _w("tbl"):
@@ -686,7 +765,11 @@ def docx_to_document(data: bytes) -> Document:
     doc = Document()
     if body is None:
         return doc
-    doc.blocks = _docx_blocks(list(body), numbering, rels, styles)
+    # size buckets computed once from the MAIN document's paragraphs and
+    # shared with the note parts (docx.rs:34,41-81)
+    size_buckets = _docx_size_buckets(root, styles)
+    doc.blocks = _docx_blocks(list(body), numbering, rels, styles,
+                              size_buckets)
 
     for part, tag, sink in (("footnotes", "footnote", doc.footnotes),
                             ("endnotes", "endnote", doc.endnotes)):
@@ -703,7 +786,7 @@ def docx_to_document(data: bytes) -> Document:
             if ntype in ("separator", "continuationSeparator"):
                 continue
             sink.append((nid, _docx_blocks(list(n), numbering, nrels,
-                                           styles)))
+                                           styles, size_buckets)))
     try:
         croot = ET.fromstring(zf.read("word/comments.xml"))
     except KeyError:
@@ -718,7 +801,8 @@ def docx_to_document(data: bytes) -> Document:
                 cid,
                 c.get(_w("author")) or c.get("author"),
                 c.get(_w("initials")) or c.get("initials"),
-                _docx_blocks(list(c), numbering, crels, styles),
+                _docx_blocks(list(c), numbering, crels, styles,
+                             size_buckets),
             ))
     return doc
 
