@@ -1049,3 +1049,39 @@ class TestDocxSizeBuckets:
         h = docx_to_html(d)
         assert "<h1>peak</h1>" in h
         assert "<h2>valley</h2>" in h
+
+
+class TestDocumentMetadata:
+    """docx.rs:133-171 read_core_properties / odt.rs:205-236 read_meta →
+    <title> and <meta name="author"> in the rendered head
+    (html.rs:28-37); 'unknown' authors are dropped."""
+
+    def test_docx_core_properties(self):
+        from webcrawl_spark.kernels.document import build_docx, docx_to_html
+
+        h = docx_to_html(build_docx([("p", "x")], title="My Doc",
+                                    author="Jo Writer"))
+        assert "<title>My Doc</title>" in h
+        assert '<meta name="author" content="Jo Writer">' in h
+        assert h.index("</title>") < h.index('name="author"')
+
+    def test_unknown_author_dropped(self):
+        from webcrawl_spark.kernels.document import build_docx, docx_to_html
+
+        h = docx_to_html(build_docx([("p", "x")], author="Unknown"))
+        assert 'name="author"' not in h
+
+    def test_odt_meta_initial_creator_fallback(self):
+        from webcrawl_spark.kernels.document import build_odt, odt_to_html
+
+        h = odt_to_html(build_odt([("p", "y")], title="ODT T",
+                                  author="Ann"))
+        assert "<title>ODT T</title>" in h
+        assert '<meta name="author" content="Ann">' in h
+
+    def test_no_meta_defaults(self):
+        from webcrawl_spark.kernels.document import build_docx, docx_to_html
+
+        h = docx_to_html(build_docx([("p", "z")]))
+        assert "<title>Document</title>" in h
+        assert 'name="author"' not in h

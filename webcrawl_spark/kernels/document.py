@@ -104,6 +104,8 @@ class Block:
 class Document:
     blocks: list[Block] = field(default_factory=list)
     title: str | None = None
+    # <meta name="author"> in the rendered head (html.rs:33-36)
+    author: str | None = None
     # (id, blocks) in document order (document/mod.rs Note; separator
     # pseudo-notes excluded, docx.rs:1013-1027)
     footnotes: list[tuple[str, list[Block]]] = field(default_factory=list)
@@ -268,6 +270,32 @@ def _docx_rels(zf: zipfile.ZipFile,
         rel.get("Id"): rel.get("Target") or ""
         for rel in root.findall("rel:Relationship", _NS)
     }
+
+
+def _ooxml_core_meta(zf: zipfile.ZipFile,
+                     part: str) -> tuple[str | None, str | None]:
+    """(title, author) from docProps/core.xml (docx.rs:133-171
+    read_core_properties) or ODF meta.xml (odt.rs:205-236 read_meta):
+    elements matched by local name — dc:title text (trimmed, non-empty),
+    dc:creator (or ODF initial-creator) unless it says 'unknown'."""
+    try:
+        root = ET.fromstring(zf.read(part))
+    except (KeyError, ET.ParseError):
+        return None, None
+    title = author = None
+    fallback_author = None
+    for el in root.iter():
+        name = _lname(el.tag)
+        text = (el.text or "").strip()
+        if name == "title" and text and title is None:
+            title = text
+        elif name == "creator" and text and author is None:
+            if text.lower() != "unknown":
+                author = text
+        elif name == "initial-creator" and text and fallback_author is None:
+            if text.lower() != "unknown":
+                fallback_author = text
+    return title, author if author is not None else fallback_author
 
 
 def _run_style(rpr: ET.Element | None) -> dict:
@@ -763,6 +791,7 @@ def docx_to_document(data: bytes) -> Document:
     styles = _docx_styles(zf)
     body = root.find(_w("body"))
     doc = Document()
+    doc.title, doc.author = _ooxml_core_meta(zf, "docProps/core.xml")
     if body is None:
         return doc
     # size buckets computed once from the MAIN document's paragraphs and
@@ -813,7 +842,9 @@ def docx_to_html(data: bytes) -> str:
 
 def build_docx(blocks: list[tuple], footnotes: dict | None = None,
                endnotes: dict | None = None,
-               comments: list[tuple] | None = None) -> bytes:
+               comments: list[tuple] | None = None,
+               title: str | None = None,
+               author: str | None = None) -> bytes:
     """Deterministic minimal docx writer for tests/synthetic corpora.
     blocks: ("p"|"h1".."h6"|"quote", text_or_runs), ("table", rows), or
     ("ol"|"ul", [item_text_or_runs, ...]); text_or_runs is a plain string
@@ -988,6 +1019,18 @@ def build_docx(blocks: list[tuple], footnotes: dict | None = None,
                   '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
                   f'<Relationships xmlns="{_NS["rel"]}">'
                   + "".join(doc_rels) + "</Relationships>")
+        if title is not None or author is not None:
+            meta_parts = []
+            if title is not None:
+                meta_parts.append(f"<dc:title>{esc(title)}</dc:title>")
+            if author is not None:
+                meta_parts.append(f"<dc:creator>{esc(author)}</dc:creator>")
+            write("docProps/core.xml",
+                  '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                  '<cp:coreProperties xmlns:cp="http://schemas.'
+                  'openxmlformats.org/package/2006/metadata/core-'
+                  'properties" xmlns:dc="http://purl.org/dc/elements/1.1/">'
+                  + "".join(meta_parts) + "</cp:coreProperties>")
         for part, tag, notes in (("footnotes", "footnote", footnotes),
                                  ("endnotes", "endnote", endnotes)):
             if not notes:
@@ -1262,6 +1305,7 @@ def odt_to_document(data: bytes) -> Document:
     text_styles, list_ordered = _odt_styles(root)
     body = root.find(f"{{{_ODT_OFFICE}}}body")
     doc = Document()
+    doc.title, doc.author = _ooxml_core_meta(zf, "meta.xml")
     if body is None:
         return doc
     office_text = body.find(f"{{{_ODT_OFFICE}}}text")
@@ -1311,7 +1355,8 @@ def odt_to_html(data: bytes) -> str:
     return render_document_html(odt_to_document(data))
 
 
-def build_odt(blocks: list[tuple]) -> bytes:
+def build_odt(blocks: list[tuple], title: str | None = None,
+              author: str | None = None) -> bytes:
     """Deterministic minimal ODT writer for tests/synthetic corpora.
     blocks: ("p"|"h1".."h6", text_or_runs), ("table", rows), or
     ("ol"|"ul", [item_text_or_runs, ...]); runs are (text, style[, href])
@@ -1457,6 +1502,24 @@ def build_odt(blocks: list[tuple]) -> bytes:
         zi = zipfile.ZipInfo("content.xml", date_time=(2020, 1, 1, 0, 0, 0))
         zi.compress_type = zipfile.ZIP_DEFLATED
         zf.writestr(zi, content)
+        if title is not None or author is not None:
+            meta_parts = []
+            if title is not None:
+                meta_parts.append(f"<dc:title>{esc(title)}</dc:title>")
+            if author is not None:
+                meta_parts.append(
+                    f"<meta:initial-creator>{esc(author)}"
+                    "</meta:initial-creator>")
+            meta_xml = (
+                '<?xml version="1.0" encoding="UTF-8"?>'
+                '<office:document-meta xmlns:office="' + _ODT_OFFICE + '" '
+                'xmlns:dc="http://purl.org/dc/elements/1.1/" '
+                'xmlns:meta="urn:oasis:names:tc:opendocument:xmlns:'
+                'meta:1.0"><office:meta>' + "".join(meta_parts)
+                + "</office:meta></office:document-meta>")
+            mi = zipfile.ZipInfo("meta.xml", date_time=(2020, 1, 1, 0, 0, 0))
+            mi.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(mi, meta_xml)
     return buf.getvalue()
 
 
@@ -1783,7 +1846,10 @@ def render_document_html(doc: Document) -> str:
         "<!DOCTYPE html>",
         '<html lang="en"><head><meta charset="UTF-8">',
         '<meta name="viewport" content="width=device-width, initial-scale=1.0">',
-        f"<title>{_esc(doc.title or 'Document')}</title></head><body><main>",
+        f"<title>{_esc(doc.title or 'Document')}</title>"
+        + (f'<meta name="author" content="{_esc(doc.author)}">'
+           if doc.author is not None else "")
+        + "</head><body><main>",
         _render_blocks(doc.blocks),
         "</main>",
     ]
