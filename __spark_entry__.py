@@ -430,6 +430,27 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- rows-only (non-SQL-expressible) ----
 
+def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: MinHash-LSH pairs (exact-pigeonhole oracle
+    config) → connected components via distributed min-label propagation
+    with pointer doubling (operators/dedup.py:dup_components). Output =
+    (doc, component) for every doc that appears in a near-dup pair;
+    component = min doc id of its cluster — the canonical-representative
+    step of a corpus dedup pipeline. The oracle recomputes the SAME pairs
+    in SQL and closes them transitively with a recursive CTE."""
+    from webcrawl_spark.operators.dedup import (
+        dup_components, minhash_lsh_pairs, minhash_signatures_md5,
+    )
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    pairs = minhash_lsh_pairs(
+        docs, num_perm=32, bands=8, threshold=0.8,
+        max_bucket=1_000_000_000,
+        signatures=minhash_signatures_md5(32, shingle_k=5, seed=1),
+    )
+    return dup_components(pairs).orderBy("doc")
+
+
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale-path MinHash configuration (vectorized FNV shingle hash +
     Mersenne permutations — no per-shingle md5): rows-only driver check;
@@ -530,6 +551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_convert": q_doc_convert,
         "q_docx_notes": q_docx_notes,
         "q_minhash_oracle": q_minhash_oracle,
+        "q_dup_groups": q_dup_groups,
         "q_simhash_pairs": q_simhash_pairs,
         "q_minhash_dedup": q_minhash_dedup,
         "q_ann_topk": q_ann_topk,
@@ -559,11 +581,10 @@ def _quality_sql(col: str) -> str:
     )"""
 
 
-def _minhash_oracle_sql() -> str:
-    """Brute-force twin of q_minhash_oracle: same md5 shingles, same (a,b)
-    constants (imported from the operator so they can't drift), mod-2^64 in
-    HUGEINT; pairs by exact signature agreement ≥ threshold. Valid because
-    the query's LSH config is an exact pigeonhole (see q_minhash_oracle)."""
+def _minhash_pairs_cte() -> str:
+    """The md5-shingle + HUGEINT-permutation pair derivation shared by the
+    minhash dedup oracle and the dup-groups (connected components) oracle —
+    one source of truth, constants imported from the operator."""
     from webcrawl_spark.operators.dedup import minhash_md5_params
 
     values = ", ".join(
@@ -571,7 +592,7 @@ def _minhash_oracle_sql() -> str:
         for i, (a, b) in enumerate(minhash_md5_params(32, seed=1))
     )
     return f"""
-        WITH N AS (
+        N AS (
           SELECT doc_id,
                  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS n0
           FROM documents
@@ -600,10 +621,40 @@ def _minhash_oracle_sql() -> str:
           FROM M x JOIN M y ON x.p = y.p AND x.doc_id < y.doc_id
           GROUP BY x.doc_id, y.doc_id
           HAVING sum((x.mh = y.mh)::INT)::DOUBLE / 32 >= 0.8
-        )
+        )"""
+
+
+def _minhash_oracle_sql() -> str:
+    """Brute-force twin of q_minhash_oracle: same md5 shingles, same (a,b)
+    constants (imported from the operator so they can't drift), mod-2^64 in
+    HUGEINT; pairs by exact signature agreement >= threshold. Valid because
+    the query's LSH config is an exact pigeonhole (see q_minhash_oracle)."""
+    return f"""
+        WITH {_minhash_pairs_cte()}
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (SELECT db FROM pairs)
         ORDER BY doc_id
+    """
+
+
+def _dup_groups_oracle_sql() -> str:
+    """Connected components over the SAME oracle pair set via a recursive
+    CTE (transitive closure, min reachable id per node) — the exact twin
+    of q_dup_groups' distributed label propagation."""
+    return f"""
+        WITH RECURSIVE {_minhash_pairs_cte()},
+        nodes AS (
+          SELECT da AS id FROM pairs UNION SELECT db FROM pairs
+        ), edges AS (
+          SELECT da AS a, db AS b FROM pairs
+          UNION ALL SELECT db, da FROM pairs
+        ), reach(id, r) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+        )
+        SELECT id AS doc, min(r) AS component
+        FROM reach GROUP BY id ORDER BY doc
     """
 
 
@@ -899,6 +950,7 @@ def oracle_sql() -> dict[str, str]:
             FROM esc ORDER BY n_nationkey
         """,
         "q_minhash_oracle": _minhash_oracle_sql(),
+        "q_dup_groups": _dup_groups_oracle_sql(),
         "q_simhash_pairs": _SIMHASH_ORACLE_SQL,
         "q_ann_topk": _ann_oracle_sql(),
         # q_minhash_dedup (scale-path config) / q_image_plumbing /

@@ -279,3 +279,34 @@ class TestSitemap:
         row = df.select(_process_sitemap_udf(F.col("body")).alias("p")).first()
         assert row["p"]["error"] is None
         assert row["p"]["process"]
+
+
+class TestDupComponents:
+    """Connected components over near-dup pairs (dedup grouping):
+    min-label propagation + pointer doubling."""
+
+    def _components(self, spark, pairs):
+        from webcrawl_spark.operators.dedup import dup_components
+
+        df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        out = dup_components(df).collect()
+        return {r["doc"]: r["component"] for r in out}
+
+    def test_two_clusters(self, spark):
+        got = self._components(spark, [(1, 2), (2, 3), (10, 11)])
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    def test_chain_converges(self, spark):
+        """A 12-node path is the adversarial case for plain label prop
+        (O(diameter)); pointer doubling must still converge within the
+        iteration cap."""
+        chain = [(i, i + 1) for i in range(1, 12)]
+        got = self._components(spark, chain)
+        assert set(got.values()) == {1}
+        assert len(got) == 12
+
+    def test_cross_cluster_bridge(self, spark):
+        """Two clusters merged by one bridge pair collapse to one
+        component labeled by the global min."""
+        got = self._components(spark, [(5, 6), (8, 9), (6, 8)])
+        assert set(got.values()) == {5}

@@ -30,6 +30,7 @@ __all__ = [
     "exact_dedup",
     "minhash_signatures",
     "minhash_lsh_pairs",
+    "dup_components",
     "minhash_lsh_dedup",
     "simhash_column",
     "simhash_column_fnv",
@@ -381,3 +382,59 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def dup_components(pairs: DataFrame, left: str = "doc_a",
+                   right: str = "doc_b", max_iter: int = 25) -> DataFrame:
+    """Near-dup pairs → connected components: (doc, component) where
+    component = min doc id in the doc's cluster. This is the step that
+    turns pairwise near-dup output into dedup GROUPS (keep one canonical
+    doc per component) — at corpus scale a duplicate often matches
+    different members of its cluster, so pair-level keep/drop is not
+    enough.
+
+    Distributed iterative min-label propagation with pointer doubling
+    (the alternating-star idea of Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC'14, re-expressed as DataFrame joins):
+    each round every node takes the min label over itself + neighbors,
+    then shortcuts to its label's label (doubling ⇒ O(log n) rounds on
+    chains, not O(diameter)). Each round pins via localCheckpoint (plan
+    depth stays constant; blocks release on GC) and converges via a
+    bounded changed-row probe."""
+    edges = pairs.select(F.col(left).alias("a"), F.col(right).alias("b"))
+    edges = (
+        edges.unionByName(edges.select(F.col("b").alias("a"),
+                                       F.col("a").alias("b")))
+        .distinct().localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("a").alias("node")).distinct()                   .withColumn("label", F.col("node"))                   .localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        stepped = (
+            labels.join(neigh, "node", "left")
+            .select("node",
+                    F.least("label",
+                            F.coalesce("nlabel", "label")).alias("label"))
+        )
+        # pointer doubling: label ← label(label) (always ≤ current label)
+        lab2 = stepped.select(F.col("node").alias("label"),
+                              F.col("label").alias("_ll"))
+        doubled = (
+            stepped.join(lab2, "label", "left")
+            .select("node",
+                    F.coalesce("_ll", F.col("label")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            doubled.join(labels.withColumnRenamed("label", "_old"), "node")
+            .filter(F.col("label") != F.col("_old")).limit(1).count()
+        )
+        labels = doubled
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc"),
+                         F.col("label").alias("component"))
