@@ -17,7 +17,9 @@ Operator-family mapping (SURVEY.md §2 → query):
   2.6 union + dedup                    → q_union_dedup
   U2 canonicalization analogue         → q_norm_dedup (exact dedup)
   S3/U6 PDF engine                     → q_pdf_text (full build→extract oracle)
-  S4 document converter                → q_doc_convert (xlsx→HTML oracle)
+  S4 document converter                → q_doc_convert (xlsx→HTML oracle),
+                                         q_docx_notes (docx incl. styling +
+                                         footnotes → HTML oracle)
   text ops (tokens/quality/lang/fp)    → q_token_stats (word + BPE-ish),
                                          q_quality_filter, q_lang_id,
                                          q_exact_dedup_docs
@@ -28,6 +30,7 @@ Operator-family mapping (SURVEY.md §2 → query):
   MinHash-LSH dedup                    → q_minhash_oracle (exact SQL oracle,
                                          pigeonhole config) + q_minhash_dedup
                                          (scale config, rows-only)
+  near-dup clustering (components)     → q_dup_groups (recursive-CTE oracle)
   ANN top-k (RP-LSH bucketed)          → q_ann_topk (FULL oracle: bucketing
                                          recomputed in SQL from shared plane
                                          constants + exact rerank)
