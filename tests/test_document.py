@@ -1085,3 +1085,97 @@ class TestDocumentMetadata:
         h = docx_to_html(build_docx([("p", "z")]))
         assert "<title>Document</title>" in h
         assert 'name="author"' not in h
+
+
+class TestOdtStylesXml:
+    """odt.rs:88-173: styles harvested from BOTH styles.xml and
+    content.xml; paragraph styles carry heading levels (own outline-level
+    or 'Heading N' parent), quote names, and text-prop bases; code via
+    style name or courier/mono font."""
+
+    def _odt(self, styles_xml: str, content_body: str) -> bytes:
+        import io
+        import zipfile
+
+        T = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+        S = "urn:oasis:names:tc:opendocument:xmlns:style:1.0"
+        O = "urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+        FO = "urn:oasis:names:tc:opendocument:xmlns:xsl-fo-compatible:1.0"
+        content = (
+            '<?xml version="1.0"?>'
+            f'<office:document-content xmlns:office="{O}" '
+            f'xmlns:text="{T}" xmlns:style="{S}" xmlns:fo="{FO}">'
+            "<office:body><office:text>" + content_body
+            + "</office:text></office:body></office:document-content>")
+        sx = (
+            '<?xml version="1.0"?>'
+            f'<office:document-styles xmlns:office="{O}" xmlns:text="{T}" '
+            f'xmlns:style="{S}" xmlns:fo="{FO}">' + styles_xml
+            + "</office:document-styles>")
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("mimetype", "application/vnd.oasis.opendocument.text")
+            zf.writestr("content.xml", content)
+            zf.writestr("styles.xml", sx)
+        return buf.getvalue()
+
+    def test_paragraph_style_heading_from_styles_xml(self):
+        from webcrawl_spark.kernels.document import odt_to_html
+
+        d = self._odt(
+            '<style:style style:family="paragraph" style:name="H2S">'
+            '<style:paragraph-properties style:outline-level="2"/>'
+            "</style:style>",
+            '<text:p text:style-name="H2S">styled heading</text:p>')
+        assert "<h2>styled heading</h2>" in odt_to_html(d)
+
+    def test_heading_via_parent_style_name(self):
+        from webcrawl_spark.kernels.document import odt_to_html
+
+        d = self._odt(
+            '<style:style style:family="paragraph" style:name="P7" '
+            'style:parent-style-name="Heading_20_3"/>',
+            '<text:p text:style-name="P7">via parent</text:p>')
+        assert "<h3>via parent</h3>" in odt_to_html(d)
+
+    def test_quote_style_name(self):
+        from webcrawl_spark.kernels.document import odt_to_html
+
+        d = self._odt(
+            '<style:style style:family="paragraph" style:name="BlockQuote"/>',
+            '<text:p text:style-name="BlockQuote">quoted</text:p>')
+        assert "<blockquote><p>quoted</p></blockquote>" in odt_to_html(d)
+
+    def test_paragraph_text_props_as_base(self):
+        from webcrawl_spark.kernels.document import odt_to_html
+
+        d = self._odt(
+            '<style:style style:family="paragraph" style:name="BoldPara">'
+            '<style:text-properties fo:font-weight="bold"/></style:style>',
+            '<text:p text:style-name="BoldPara">all bold</text:p>')
+        assert "<p><strong>all bold</strong></p>" in odt_to_html(d)
+
+    def test_code_by_font_and_by_name(self):
+        from webcrawl_spark.kernels.document import odt_to_html
+
+        d = self._odt(
+            '<style:style style:family="text" style:name="Mono">'
+            '<style:text-properties style:font-name="Courier New"/>'
+            "</style:style>",
+            '<text:p>x <text:span text:style-name="Mono">f()</text:span>'
+            ' y <text:span text:style-name="SourceCode">g()</text:span>'
+            "</text:p>")
+        h = odt_to_html(d)
+        assert "<code>f()</code>" in h
+        assert "<code>g()</code>" in h
+
+    def test_text_style_from_styles_xml(self):
+        """Named text styles commonly live in styles.xml, not content.xml."""
+        from webcrawl_spark.kernels.document import odt_to_html
+
+        d = self._odt(
+            '<style:style style:family="text" style:name="Strong_20_Emphasis">'
+            '<style:text-properties fo:font-weight="bold"/></style:style>',
+            '<text:p>a <text:span text:style-name="Strong_20_Emphasis">'
+            "b</text:span></text:p>")
+        assert "a <strong>b</strong>" in odt_to_html(d)

@@ -1076,70 +1076,144 @@ _ODT_STYLE = "urn:oasis:names:tc:opendocument:xmlns:style:1.0"
 _ODT_FO = "urn:oasis:names:tc:opendocument:xmlns:xsl-fo-compatible:1.0"
 
 
-def _odt_styles(root: ET.Element) -> tuple[dict, dict]:
-    """(text styles: name → (bold, italic, strike, vert), list styles:
-    name → ordered?) from the document's style declarations
-    (odt.rs:140-203: family='text' text-properties fo:font-weight=bold /
-    fo:font-style=italic / text-line-through-type|style ≠ none → strike /
-    text-position contains sup|super / sub; text:list-style ordered iff it
-    has a list-level-style-number child)."""
-    text_styles: dict[str, tuple[bool, bool, bool, str | None]] = {}
-    list_ordered: dict[str, bool] = {}
-    for st in root.iter(f"{{{_ODT_STYLE}}}style"):
-        if st.get(f"{{{_ODT_STYLE}}}family") != "text":
-            continue
-        name = st.get(f"{{{_ODT_STYLE}}}name") or ""
-        tp = st.find(f"{{{_ODT_STYLE}}}text-properties")
-        bold = italic = strike = False
-        vert: str | None = None
-        if tp is not None:
-            bold = (tp.get(f"{{{_ODT_FO}}}font-weight") or "").lower() == "bold"
-            italic = (tp.get(f"{{{_ODT_FO}}}font-style") or "").lower() == "italic"
-            lt = (_attr_local(tp, "text-line-through-type")
-                  or _attr_local(tp, "text-line-through-style"))
-            strike = lt is not None and lt != "none"
-            pos = (_attr_local(tp, "text-position") or "").lower()
-            if "sup" in pos or "super" in pos:
-                vert = "sup"
-            elif "sub" in pos:
-                vert = "sub"
-        text_styles[name] = (bold, italic, strike, vert)
-    for ls in root.iter(f"{{{_ODT_TEXT}}}list-style"):
-        name = ls.get(f"{{{_ODT_STYLE}}}name") or ""
-        list_ordered[name] = any(
-            ch.tag == f"{{{_ODT_TEXT}}}list-level-style-number" for ch in ls
-        )
-    return text_styles, list_ordered
+def _odt_heading_from_name(style_name: str) -> int | None:
+    """odt.rs:425-440 parse_odt_heading_level: '_20_'/'_' → spaces;
+    'title' → 1; digits after 'heading' → clamped 1-6."""
+    normalized = style_name.replace("_20_", " ").replace("_", " ")
+    lower = normalized.lower()
+    if "title" in lower:
+        return 1
+    idx = lower.find("heading")
+    if idx < 0:
+        return None
+    digits = "".join(ch for ch in lower[idx + len("heading"):]
+                     if ch.isdigit())
+    if digits:
+        return max(1, min(int(digits), 6))
+    return None
+
+
+def _odt_text_props(tp: ET.Element) -> tuple:
+    """(bold, italic, strike, vert, code) from a style:text-properties
+    element (odt.rs:174-203 + font-name courier/mono → code,
+    odt.rs:135-142)."""
+    bold = (tp.get(f"{{{_ODT_FO}}}font-weight") or "").lower() == "bold"
+    italic = (tp.get(f"{{{_ODT_FO}}}font-style") or "").lower() == "italic"
+    lt = (_attr_local(tp, "text-line-through-type")
+          or _attr_local(tp, "text-line-through-style"))
+    strike = lt is not None and lt != "none"
+    pos = (_attr_local(tp, "text-position") or "").lower()
+    vert = ("sup" if ("sup" in pos or "super" in pos)
+            else "sub" if "sub" in pos else None)
+    font = (_attr_local(tp, "font-name") or "").lower()
+    code = "courier" in font or "mono" in font
+    return (bold, italic, strike, vert, code)
+
+
+class _OdtStyles:
+    """Style info harvested from BOTH styles.xml and content.xml
+    (odt.rs:88-173 read_styles/harvest_styles_from_doc)."""
+
+    def __init__(self) -> None:
+        # text-family styles: name → (b, i, s, vert, code)
+        self.text: dict[str, tuple] = {}
+        # paragraph-family styles' text props (the inline base)
+        self.para: dict[str, tuple] = {}
+        # paragraph style → heading level (own outline-level, else the
+        # parent-style-name's 'Heading N'/'Title')
+        self.para_heading: dict[str, int] = {}
+        self.para_declared: set[str] = set()
+        self.list_ordered: dict[str, bool] = {}
+
+    def harvest(self, root: ET.Element) -> None:
+        for st in root.iter(f"{{{_ODT_STYLE}}}style"):
+            family = st.get(f"{{{_ODT_STYLE}}}family")
+            name = st.get(f"{{{_ODT_STYLE}}}name") or ""
+            if not name:
+                continue
+            tp = st.find(f"{{{_ODT_STYLE}}}text-properties")
+            if family == "text":
+                if tp is not None:
+                    self.text[name] = _odt_text_props(tp)
+            elif family == "paragraph":
+                self.para_declared.add(name)
+                ppr = st.find(f"{{{_ODT_STYLE}}}paragraph-properties")
+                lvl = None
+                if ppr is not None:
+                    v = _attr_local(ppr, "outline-level")
+                    if v and v.isdigit():
+                        lvl = min(int(v), 6)
+                if lvl is None:
+                    parent = _attr_local(st, "parent-style-name")
+                    if parent:
+                        lvl = _odt_heading_from_name(parent)
+                if lvl is not None:
+                    self.para_heading[name] = lvl
+                if tp is not None:
+                    self.para[name] = _odt_text_props(tp)
+            elif family == "list":
+                self.list_ordered[name] = any(
+                    _lname(ch.tag) == "list-level-style-number"
+                    for ch in st)
+        for ls in root.iter(f"{{{_ODT_TEXT}}}list-style"):
+            name = ls.get(f"{{{_ODT_STYLE}}}name") or ""
+            self.list_ordered[name] = any(
+                ch.tag == f"{{{_ODT_TEXT}}}list-level-style-number"
+                for ch in ls)
+
+    def span_props(self, name: str) -> tuple:
+        """Effective text-style props for a span's style-name: declared
+        props, plus code when the NAME contains 'code'
+        (odt.rs:590-603)."""
+        b, i, s, v, c = self.text.get(name, (False, False, False, None,
+                                             False))
+        if "code" in name.lower():
+            c = True
+        return (b, i, s, v, c)
+
+
+def _odt_styles(zf: zipfile.ZipFile, content_root: ET.Element) -> _OdtStyles:
+    out = _OdtStyles()
+    try:
+        out.harvest(ET.fromstring(zf.read("styles.xml")))
+    except (KeyError, ET.ParseError):
+        pass
+    out.harvest(content_root)
+    return out
 
 
 _XLINK = "http://www.w3.org/1999/xlink"
 
 
-def _odt_inlines(el: ET.Element, text_styles: dict,
+def _odt_inlines(el: ET.Element, styles: "_OdtStyles",
                  doc: Document | None = None) -> list[Inline]:
     """Styled runs of a text container: spans resolve their text style
-    (bold/italic/strike/sup/sub), nesting ORs the flags (odt.rs:600-606);
-    <text:a xlink:href> carries its href onto contained runs
-    (odt.rs:477-484); <text:line-break> → br, <text:bookmark-start> →
-    bookmark anchor (odt.rs:487-499); tail text carries the parent's
-    context. <text:note> bodies and <office:annotation> contents collect
-    into ``doc`` (odt.rs:500-566), leaving a ref inline in the flow — they
-    never leak into the paragraph text. Adjacent same-context fragments
-    merge into one run (span granularity, matching the reference's
-    per-span inlines)."""
+    (bold/italic/strike/sup/sub/code — code also via 'code' in the style
+    name or a courier/mono font), nesting ORs the flags (odt.rs:600-609);
+    the paragraph's own paragraph-style text props are the base
+    (odt.rs:445-449 paragraph_text_props); <text:a xlink:href> carries its
+    href onto contained runs (odt.rs:477-484); <text:line-break> → br,
+    <text:bookmark-start> → bookmark anchor (odt.rs:487-499); tail text
+    carries the parent's context. <text:note> bodies and
+    <office:annotation> contents collect into ``doc`` (odt.rs:500-566),
+    leaving a ref inline in the flow — they never leak into the paragraph
+    text. Adjacent same-context fragments merge into one run (span
+    granularity, matching the reference's per-span inlines)."""
     runs: list[Inline] = []
 
     def add(text: str, st: tuple, href: str | None) -> None:
         if not text:
             return
-        bold, italic, strike, vert = st
+        bold, italic, strike, vert, code = st
         if (runs and runs[-1].kind == "text" and runs[-1].bold == bold
                 and runs[-1].italic == italic and runs[-1].href == href
-                and runs[-1].strike == strike and runs[-1].vert == vert):
+                and runs[-1].strike == strike and runs[-1].vert == vert
+                and runs[-1].code == code):
             runs[-1].text += text
         else:
             runs.append(Inline(text=text, bold=bold, italic=italic,
-                               strike=strike, vert=vert, href=href))
+                               strike=strike, vert=vert, code=code,
+                               href=href))
 
     def handle_note(node: ET.Element) -> None:
         kind = ("endnote"
@@ -1154,7 +1228,7 @@ def _odt_inlines(el: ET.Element, text_styles: dict,
         if body is not None:
             for p in body:
                 if _lname(p.tag) == "p":
-                    inl = _odt_inlines(p, text_styles, doc)
+                    inl = _odt_inlines(p, styles, doc)
                     if inl:
                         blocks.append(Block(
                             kind="paragraph", text=_odt_text_of(p),
@@ -1176,7 +1250,7 @@ def _odt_inlines(el: ET.Element, text_styles: dict,
         blocks = []
         for p in node:
             if _lname(p.tag) == "p":
-                inl = _odt_inlines(p, text_styles, doc)
+                inl = _odt_inlines(p, styles, doc)
                 if inl:
                     blocks.append(Block(kind="paragraph",
                                         text=_odt_text_of(p),
@@ -1187,10 +1261,10 @@ def _odt_inlines(el: ET.Element, text_styles: dict,
     def walk(node: ET.Element, st: tuple, href: str | None) -> None:
         tag = node.tag
         if tag == f"{{{_ODT_TEXT}}}span":
-            b2, i2, s2, v2 = text_styles.get(
-                node.get(f"{{{_ODT_TEXT}}}style-name") or "",
-                (False, False, False, None))
-            st = (st[0] or b2, st[1] or i2, st[2] or s2, st[3] or v2)
+            b2, i2, s2, v2, c2 = styles.span_props(
+                node.get(f"{{{_ODT_TEXT}}}style-name") or "")
+            st = (st[0] or b2, st[1] or i2, st[2] or s2, st[3] or v2,
+                  st[4] or c2)
         elif tag == f"{{{_ODT_TEXT}}}a":
             href = node.get(f"{{{_XLINK}}}href") or href
         elif tag == f"{{{_ODT_TEXT}}}s":
@@ -1219,7 +1293,9 @@ def _odt_inlines(el: ET.Element, text_styles: dict,
             if ch.tail:
                 add(ch.tail, st, href)
 
-    st0 = (False, False, False, None)
+    # the containing paragraph's style supplies the base props
+    st0 = styles.para.get(el.get(f"{{{_ODT_TEXT}}}style-name") or "",
+                          (False, False, False, None, False))
     if el.text:
         add(el.text, st0, None)
     for ch in el:
@@ -1260,25 +1336,25 @@ def _odt_text_of(el: ET.Element) -> str:
     return "".join(parts)
 
 
-def _odt_list(node: ET.Element, text_styles: dict,
-              list_ordered: dict, doc: Document | None = None) -> Block:
+def _odt_list(node: ET.Element, styles: "_OdtStyles",
+              doc: Document | None = None) -> Block:
     """<text:list> → list block; list-items collect their paragraphs'
     styled runs and recurse into nested <text:list> children (odt.rs
     parse_list_with_inherit: the nested list inherits ordered-ness from its
     own style, falling back to the parent's)."""
     style = node.get(f"{{{_ODT_TEXT}}}style-name") or ""
-    ordered = list_ordered.get(style, False)
+    ordered = styles.list_ordered.get(style, False)
     block = Block(kind="list", ordered=ordered)
     for li in node.findall(f"{{{_ODT_TEXT}}}list-item"):
         runs: list[Inline] = []
         subs: list[Block] = []
         for ch in li:
             if ch.tag == f"{{{_ODT_TEXT}}}p":
-                runs.extend(_odt_inlines(ch, text_styles, doc))
+                runs.extend(_odt_inlines(ch, styles, doc))
             elif ch.tag == f"{{{_ODT_TEXT}}}list":
                 inner_style = ch.get(f"{{{_ODT_TEXT}}}style-name") or ""
-                sub = _odt_list(ch, text_styles, list_ordered, doc)
-                if inner_style not in list_ordered:
+                sub = _odt_list(ch, styles, doc)
+                if inner_style not in styles.list_ordered:
                     sub.ordered = ordered  # inherit from parent
                 if sub.items:
                     subs.append(sub)
@@ -1297,12 +1373,15 @@ def odt_to_document(data: bytes) -> Document:
     level, odt.rs:154-169), and
     tables (cells flattened to their paragraph text), footnotes/endnotes
     (<text:note>, odt.rs:500-530) and annotations (<office:annotation> →
-    comments with dc:creator author, odt.rs:531-566). Frames and
-    styles.xml-carried styles are out of this subset — same seam note as
-    the docx provider."""
+    comments with dc:creator author, odt.rs:531-566). Styles harvest from
+    BOTH styles.xml and content.xml (odt.rs:88-173): paragraph styles
+    carry heading levels (own outline-level or 'Heading N' parent), quote
+    detection, and text-prop bases; code via style name / courier+mono
+    fonts. Frames are out of this subset — same seam note as the docx
+    provider."""
     zf = zipfile.ZipFile(io.BytesIO(data))
     root = ET.fromstring(zf.read("content.xml"))
-    text_styles, list_ordered = _odt_styles(root)
+    styles = _odt_styles(zf, root)
     body = root.find(f"{{{_ODT_OFFICE}}}body")
     doc = Document()
     doc.title, doc.author = _ooxml_core_meta(zf, "meta.xml")
@@ -1331,14 +1410,23 @@ def odt_to_document(data: bytes) -> Document:
                 if href.startswith(("http://", "https://")):
                     doc.blocks.append(Block(kind="image", src=href))
                     continue
-            runs = _odt_inlines(node, text_styles, doc)
+            runs = _odt_inlines(node, styles, doc)
             text = _odt_text_of(node)
             if not text.strip() and not any(r.kind != "text" for r in runs):
                 continue
-            doc.blocks.append(Block(kind="paragraph", text=text,
+            # paragraph kind from the paragraph STYLE (odt.rs:397-423:
+            # style outline-level / parent 'Heading N' → heading; a
+            # declared style whose name contains 'quote' → blockquote)
+            sname = node.get(f"{{{_ODT_TEXT}}}style-name") or ""
+            kind, level = "paragraph", 2
+            if sname in styles.para_heading:
+                kind, level = "heading", styles.para_heading[sname]
+            elif sname in styles.para_declared and "quote" in sname.lower():
+                kind = "blockquote"
+            doc.blocks.append(Block(kind=kind, level=level, text=text,
                                     inlines=_runs_styled(runs)))
         elif node.tag == f"{{{_ODT_TEXT}}}list":
-            block = _odt_list(node, text_styles, list_ordered, doc)
+            block = _odt_list(node, styles, doc)
             if block.items:
                 doc.blocks.append(block)
         elif node.tag == f"{{{_ODT_TABLE}}}table":
