@@ -172,3 +172,20 @@ class TestSitemapSeededCrawl:
         crawl = SparkCrawl(spark, pages_df, cfg, str(tmp_path / "smcrawl"))
         crawl.run()
         assert crawl.fetch_order() == oracle.fetch_order
+
+
+class TestGetInnerText:
+    """U3 — html.rs:631-648 get_inner_json: body text contents."""
+
+    def test_body_text(self):
+        from webcrawl_spark.kernels.htmlkit import get_inner_text
+
+        assert get_inner_text(
+            "<html><head><title>t</title></head>"
+            "<body><p>a <b>b</b></p><div>c</div></body></html>"
+        ) == "a bc"
+
+    def test_no_body(self):
+        from webcrawl_spark.kernels.htmlkit import get_inner_text
+
+        assert get_inner_text("") == ""
