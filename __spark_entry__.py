@@ -666,8 +666,11 @@ def _ann_oracle_sql() -> str:
     embedding from the SAME hyperplane constants the Spark UDF uses
     (imported, not copied — they cannot drift), keep only the query's probed
     buckets (base + all 1-bit flips, computed here with the same helper),
-    then exact-rerank by cosine. Sign flips from float summation-order
-    differences would need |dot| ≲ 1e-13 — verified exact at sf0.001/0.01/0.1."""
+    then exact-rerank by cosine. The top-k cut orders by the UNROUNDED
+    cosine (the inner subquery) so tie-breaking matches the Spark side
+    exactly; rounding happens only in the final projection. Sign flips from
+    float summation-order differences would need |dot| ≲ 1e-13 — verified
+    exact at sf0.001/0.01/0.1."""
     import numpy as np
 
     from webcrawl_spark.operators.similarity import (
@@ -693,9 +696,11 @@ def _ann_oracle_sql() -> str:
                    list_transform(embedding, x -> x*x), 'sum')) AS cosine,
                  ({bits}) AS bucket
           FROM embeddings)
-        SELECT vec_id, round(cosine, 6) AS cosine
-        FROM b WHERE bucket IN ({', '.join(map(str, targets))})
-        ORDER BY cosine DESC, vec_id ASC LIMIT {k}
+        SELECT vec_id, round(cosine, 6) AS cosine FROM (
+          SELECT vec_id, cosine
+          FROM b WHERE bucket IN ({', '.join(map(str, targets))})
+          ORDER BY cosine DESC, vec_id ASC LIMIT {k}
+        )
     """
 
 

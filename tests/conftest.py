@@ -6,6 +6,14 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--run-iceberg", action="store_true", default=False,
+        help="run the Iceberg-backend parity gate (needs "
+             "iceberg-spark-runtime jar + catalog confs — see "
+             "webcrawl_spark/sources/iceberg_io.py)")
+
+
 @pytest.fixture(scope="session")
 def spark():
     from webcrawl_spark.session import get_spark

@@ -53,3 +53,53 @@ def test_serialization_roundtrip():
 def test_empty_shard():
     shard = BloomShard(64, 2)
     assert not shard.contains(np.array([1, 2, 3], dtype=np.uint64)).any()
+
+
+class TestBucketSeenKeys:
+    """The executor-side per-bucket exact key read (the seen-check's exact
+    half): partition-pruned listing, incremental cache across rounds, and
+    invalidation when a rollback removes round files."""
+
+    def _write(self, root, rnd, bucket, urls):
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = os.path.join(root, f"round={rnd}", f"host_bucket={bucket}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(pa.table({"url": urls}),
+                       os.path.join(d, f"part-{rnd}.parquet"))
+
+    def test_incremental_and_invalidation(self, tmp_path):
+        import shutil
+
+        from webcrawl_spark.frontier.crawl import (
+            _SEEN_KEY_CACHE, _bucket_seen_keys,
+        )
+
+        root = str(tmp_path / "frontier")
+        self._write(root, 0, 3, ["a", "b"])
+        assert set(_bucket_seen_keys(root, 3, 0, "url").to_pylist()) == {"a", "b"}
+        # uncommitted round invisible
+        self._write(root, 1, 3, ["c"])
+        assert set(_bucket_seen_keys(root, 3, 0, "url").to_pylist()) == {"a", "b"}
+        # committed → incremental delta read on the cached entry
+        assert set(_bucket_seen_keys(root, 3, 1, "url").to_pylist()) == {"a", "b", "c"}
+        assert (root, 3, "url") in _SEEN_KEY_CACHE
+        # other bucket: nothing
+        assert len(_bucket_seen_keys(root, 7, 1, "url")) == 0
+        # rollback removes round 1 → cached paths lost → full re-read
+        shutil.rmtree(f"{root}/round=1")
+        assert set(_bucket_seen_keys(root, 3, 1, "url").to_pylist()) == {"a", "b"}
+
+    def test_row_cap_skips_caching(self, tmp_path, monkeypatch):
+        import webcrawl_spark.frontier.crawl as crawl_mod
+
+        root = str(tmp_path / "frontier")
+        self._write(root, 0, 0, [f"u{i}" for i in range(100)])
+        monkeypatch.setattr(crawl_mod, "_SEEN_CACHE_MAX_ROWS", 10)
+        crawl_mod._SEEN_KEY_CACHE.clear()
+        got = crawl_mod._bucket_seen_keys(root, 0, 0, "url")
+        assert len(got) == 100
+        assert (root, 0, "url") not in crawl_mod._SEEN_KEY_CACHE

@@ -208,3 +208,33 @@ class TestFilterUrl:
         o = opts(includes=["^/pricing$"], allow_subdomains=True)
         ok, _, _ = filter_url("https://sub.example.com/blog", "https://example.com", o)
         assert ok  # F2's subdomain branch has no include check (crawler.rs:542-549)
+
+
+class TestUnsafeHost:
+    """SSRF guard vectors (safeFetch.ts semantics): private/loopback/
+    link-local/CGNAT literals and localhost-ish names blocked; public
+    hosts and IPs pass."""
+
+    def test_blocked(self):
+        from webcrawl_spark.kernels.classify import is_unsafe_host
+
+        blocked = [
+            "localhost", "LOCALHOST", "sub.localhost", "db.local",
+            "api.internal", "127.0.0.1", "127.8.8.8", "10.0.0.1",
+            "172.16.0.1", "172.31.255.255", "192.168.1.1", "169.254.169.254",
+            "100.64.0.1", "0.0.0.0", "::1", "[::1]", "fe80::1", "fc00::1",
+            "",
+        ]
+        for h in blocked:
+            assert is_unsafe_host(h), h
+
+    def test_allowed(self):
+        from webcrawl_spark.kernels.classify import is_unsafe_host
+
+        allowed = [
+            "example.com", "www.example.co.uk", "8.8.8.8", "1.1.1.1",
+            "172.32.0.1", "192.169.0.1", "2606:4700:4700::1111",
+            "my-host.test",
+        ]
+        for h in allowed:
+            assert not is_unsafe_host(h), h

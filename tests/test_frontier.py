@@ -142,6 +142,144 @@ class TestEngineParity:
         live.run()
         assert live.fetch_order() == replay.fetch_order()
 
+    def test_ssrf_guard_in_live_mode(self, spark, site, tmp_path):
+        """Live mode must never dial private/loopback hosts: a crawled page
+        linking to 127.0.0.1 / localhost gets those links admitted (external
+        links allowed) but the FETCH layer denies them with status 403 and
+        the fetch UDF is never invoked for them (safeFetch semantics)."""
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        host = "safe-site.test"
+        evil = ["https://127.0.0.1/admin", "https://localhost/secrets",
+                "https://10.0.0.5/x", "https://169.254.169.254/meta"]
+        page = ("<html><body>" +
+                "".join(f'<a href="{u}">x</a>' for u in evil) +
+                f'<a href="https://{host}/next">n</a></body></html>')
+        corpus = {f"https://{host}/": page,
+                  f"https://{host}/next": "<html><body>leaf</body></html>"}
+        # python workers are subprocesses — record dialed urls via a spool
+        # dir, not a closure-captured set
+        spool = str(tmp_path / "dialed")
+        import os
+        os.makedirs(spool, exist_ok=True)
+
+        @pandas_udf("binary")
+        def fetch_live(urls: pd.Series) -> pd.Series:
+            import os as _os
+            import uuid as _uuid
+            with open(_os.path.join(spool, _uuid.uuid4().hex), "w") as f:
+                f.write("\n".join(u or "" for u in urls))
+            return pd.Series(
+                [corpus[u].encode() if u in corpus else None for u in urls],
+                dtype="object")
+
+        cfg = CrawlConfig(seed_url=f"https://{host}/", limit=None,
+                          max_depth=2, allow_backward_crawling=True,
+                          allow_external_content_links=True)
+        crawl = SparkCrawl(spark, None, cfg, str(tmp_path / "ssrf"),
+                           fetch_udf=fetch_live)
+        crawl.run()
+        log = {r["url"]: r["status"]
+               for r in crawl.fetch_log().select("url", "status").collect()}
+        for u in evil:
+            assert log[u] == 403, (u, log)
+        assert log[f"https://{host}/next"] == 200
+        dialed = set()
+        for fn in os.listdir(spool):
+            with open(os.path.join(spool, fn)) as f:
+                dialed.update(x for x in f.read().splitlines() if x)
+        assert not (set(evil) & dialed), "fetch UDF dialed an unsafe host"
+        assert all(u not in crawl.fetch_order() for u in evil)
+
+    def test_conditional_fetch_recrawl_serves_from_cache(self, spark, site,
+                                                         tmp_path):
+        """J5's live twin: a recrawl sharing the validator cache must serve
+        unchanged pages from cache (the 2nd run's UDF returns GARBAGE for
+        any real fetch — identical output proves every page was a 304),
+        and a changed page must be refetched + the cache updated."""
+        import hashlib
+
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import pandas_udf
+
+        from webcrawl_spark.sources.fetchcache import COND_FETCH_SCHEMA
+
+        host = "cond-site.test"
+        corpus = {
+            f"https://{host}/": (
+                f'<html><body><a href="https://{host}/a">a</a>'
+                f'<a href="https://{host}/b">b</a></body></html>'),
+            f"https://{host}/a": "<html><body><p>alpha</p></body></html>",
+            f"https://{host}/b": "<html><body><p>beta</p></body></html>",
+        }
+
+        def make_udf(pages: dict, garbage_on_fetch: bool):
+            @pandas_udf(COND_FETCH_SCHEMA)
+            def cond(urls: pd.Series, etags: pd.Series,
+                     lms: pd.Series) -> pd.DataFrame:
+                rows = []
+                for u, e in zip(urls, etags):
+                    if u not in pages:
+                        rows.append((None, None, None, False))
+                        continue
+                    html = pages[u].encode()
+                    tag = hashlib.md5(html).hexdigest()
+                    if e == tag:
+                        rows.append((None, tag, None, True))     # 304
+                    elif garbage_on_fetch:
+                        rows.append((b"<html><body>GARBAGE</body></html>",
+                                     "g", None, False))
+                    else:
+                        rows.append((html, tag, None, False))
+                return pd.DataFrame(rows, columns=[
+                    "html", "etag", "last_modified", "not_modified"])
+            return cond
+
+        cache_dir = str(tmp_path / "httpcache")
+        cfg = CrawlConfig(seed_url=f"https://{host}/", limit=None,
+                          max_depth=2, allow_backward_crawling=True)
+        c1 = SparkCrawl(spark, None, cfg, str(tmp_path / "run1"),
+                        cond_fetch_udf=make_udf(corpus, False),
+                        fetch_cache_dir=cache_dir)
+        c1.run()
+        md1 = {r["url"]: r["markdown"] for r in
+               c1.results().select("url", "markdown").collect()}
+        assert "alpha" in md1[f"https://{host}/a"]
+
+        # recrawl, same cache: garbage-on-real-fetch, so only 304s can
+        # produce the identical crawl
+        c2 = SparkCrawl(spark, None, cfg, str(tmp_path / "run2"),
+                        cond_fetch_udf=make_udf(corpus, True),
+                        fetch_cache_dir=cache_dir)
+        c2.run()
+        md2 = {r["url"]: r["markdown"] for r in
+               c2.results().select("url", "markdown").collect()}
+        assert md2 == md1
+        assert c2.fetch_order() == c1.fetch_order()
+
+        # change one page → refetched fresh, others still cache-served
+        changed = dict(corpus)
+        changed[f"https://{host}/b"] = \
+            "<html><body><p>beta changed!</p></body></html>"
+        c3 = SparkCrawl(spark, None, cfg, str(tmp_path / "run3"),
+                        cond_fetch_udf=make_udf(changed, False),
+                        fetch_cache_dir=cache_dir)
+        c3.run()
+        md3 = {r["url"]: r["markdown"] for r in
+               c3.results().select("url", "markdown").collect()}
+        assert "changed!" in md3[f"https://{host}/b"]
+        assert md3[f"https://{host}/a"] == md1[f"https://{host}/a"]
+        # cache now validates the NEW body: a 4th garbage run matches run 3
+        c4 = SparkCrawl(spark, None, cfg, str(tmp_path / "run4"),
+                        cond_fetch_udf=make_udf(changed, True),
+                        fetch_cache_dir=cache_dir)
+        c4.run()
+        md4 = {r["url"]: r["markdown"] for r in
+               c4.results().select("url", "markdown").collect()}
+        assert md4 == md3
+
     def test_robots_enforced(self, spark, site, fetch, site_pages_df, tmp_path):
         # host0 (hi % 3 == 0) disallows /sec1
         host = site.hosts[0]
@@ -153,6 +291,41 @@ class TestEngineParity:
         assert all(not u.startswith(f"{seed}sec1") for u in oracle.fetch_order)
         crawl = run_engine(spark, site_pages_df, cfg, tmp_path)
         assert crawl.fetch_order() == oracle.fetch_order
+
+
+class TestLimitReplayTrim:
+    def test_duplicate_links_consume_page_budget(self, spark, tmp_path):
+        """crawlService.ts:57-66 slices BEFORE dedup: a page [A, A, B] with
+        2 budget slots admits only A — the duplicate consumed the second
+        slot. The trimmed (per-page truncated) collect must preserve this;
+        an is_seen prefilter would wrongly admit B."""
+        host = "dup-budget.test"
+        links = [f"https://{host}/a", f"https://{host}/a",
+                 f"https://{host}/b", f"https://{host}/c"]
+        corpus = {
+            f"https://{host}/": ("<html><body>" + "".join(
+                f'<a href="{u}">x</a>' for u in links) + "</body></html>"),
+            f"https://{host}/a": "<html><body>A</body></html>",
+            f"https://{host}/b": "<html><body>B</body></html>",
+            f"https://{host}/c": "<html><body>C</body></html>",
+        }
+
+        def fetch(url):
+            return corpus.get(url)
+
+        cfg = CrawlConfig(seed_url=f"https://{host}/", limit=3, max_depth=2,
+                          allow_backward_crawling=True)
+        oracle = round_crawl(fetch, cfg)
+        pages = spark.createDataFrame(
+            [(u, h.encode()) for u, h in corpus.items()],
+            "url string, html binary")
+        crawl = run_engine(spark, pages, cfg, tmp_path)
+        assert crawl.fetch_order() == oracle.fetch_order
+        seen = {r["url"] for r in crawl.frontier().select("url").collect()}
+        assert seen == set(oracle.discovered)
+        # the replayed page really did lose its 2nd slot to the dup
+        assert f"https://{host}/b" not in seen or \
+            f"https://{host}/b" in oracle.discovered
 
 
 class TestQueuedCompaction:
@@ -241,6 +414,44 @@ class TestResume:
         a = {r["url"] for r in full.frontier().select("url").collect()}
         b = {r["url"] for r in c2.frontier().select("url").collect()}
         assert a == b
+
+    def test_warm_resume_skips_backfill_listing(self, spark, site,
+                                                site_pages_df, tmp_path,
+                                                monkeypatch):
+        """Checkpoints stamped seqs_v>=1 must never run the O(history)
+        fetched-seqs repair listing on resume; a pre-sidecar checkpoint
+        (no stamp) must still run it once."""
+        import json
+        import os
+
+        from webcrawl_spark.frontier.crawl import SparkCrawl as SC
+
+        seed = f"https://{site.hosts[0]}/"
+        cfg = CrawlConfig(seed_url=seed, limit=20, max_depth=2,
+                          allow_backward_crawling=True)
+        work = str(tmp_path / "warm")
+        c1 = SparkCrawl(spark, site_pages_df, cfg, work)
+        c1.run(max_rounds=2)
+
+        def boom(self, committed):
+            raise AssertionError("backfill ran on a stamped checkpoint")
+
+        monkeypatch.setattr(SC, "_backfill_fetched_seqs", boom)
+        c2 = SparkCrawl(spark, site_pages_df, cfg, work)
+        c2._load_state()  # must not touch the backfill
+        monkeypatch.undo()
+
+        # strip the stamp (simulate a pre-sidecar checkpoint) → runs once
+        ckpt = os.path.join(work, "_checkpoint.json")
+        meta = json.load(open(ckpt))
+        meta.pop("seqs_v")
+        json.dump(meta, open(ckpt, "w"))
+        called = []
+        monkeypatch.setattr(
+            SC, "_backfill_fetched_seqs",
+            lambda self, committed: called.append(committed))
+        SparkCrawl(spark, site_pages_df, cfg, work)._load_state()
+        assert called
 
     def test_uncommitted_round_rolled_back(self, spark, site, site_pages_df,
                                            tmp_path):

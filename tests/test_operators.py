@@ -310,3 +310,22 @@ class TestDupComponents:
         component labeled by the global min."""
         got = self._components(spark, [(5, 6), (8, 9), (6, 8)])
         assert set(got.values()) == {5}
+
+    def test_star_cluster_with_degree_cap(self, spark):
+        """Adversarial boilerplate shape: one hub matched by 400 docs (the
+        giant-component case at corpus scale). With max_degree set the hub's
+        adjacency is capped (skew guard) yet the star still converges to one
+        component because the LOWEST-id neighbors are the ones kept; a side
+        cluster must stay separate (cap can split, never merge)."""
+        from webcrawl_spark.operators.dedup import dup_components
+
+        hub = 1
+        star = [(hub, i) for i in range(2, 402)]
+        side = [(1000, 1001)]
+        df = spark.createDataFrame(star + side, "doc_a long, doc_b long")
+        out = dup_components(df, max_degree=8).collect()
+        got = {r["doc"]: r["component"] for r in out}
+        star_nodes = {n for n, c in got.items() if n < 1000}
+        assert star_nodes == set(range(1, 402))
+        assert {got[n] for n in star_nodes} == {1}
+        assert got[1000] == got[1001] == 1000

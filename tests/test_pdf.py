@@ -203,6 +203,34 @@ class TestRealWorldStructures:
         pdf = _mini_pdf(objs)
         assert pdf_text(pdf) == "ind"
 
+    def test_indirect_length_multidigit_object_id(self):
+        """Regression: '/Length 12 0 R' must resolve via the indirect path —
+        the old direct-length regex backtracked to the partial match '1'
+        ((\\d+)='1' defeats the '\\s+\\d+\\s+R' lookahead) and silently
+        truncated the stream, dropping the page text."""
+        content = b"BT (indirect-big) Tj ET"
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+            4: (b"<< /Length 12 0 R >>\nstream\n" + content
+                + b"\nendstream"),
+            12: b"%d" % len(content),
+        }
+        pdf = _mini_pdf(objs)
+        assert pdf_text(pdf) == "indirect-big"
+
+    def test_encrypt_mention_in_content_not_refused(self):
+        """A readable PDF whose text *talks about* '/Encrypt 5 0 R' (a doc
+        about PDF security) must not be refused as encrypted: the check is
+        anchored to the trailer region."""
+        objs = self._page_objs(b"BT (see /Encrypt 5 0 R usage) Tj ET")
+        pdf = _mini_pdf(objs)
+        r = scrape_pdf_result(pdf)
+        assert r["ok"] is True and r["error"] is None
+        assert "/Encrypt 5 0 R" in r["markdown"].replace("&#x2F;", "/") \
+            or "Encrypt" in r["markdown"]
+
     def test_asciihex_filter_chain(self):
         content = b"BT (ahx) Tj ET"
         body = content.hex().encode() + b">"
@@ -218,6 +246,93 @@ class TestRealWorldStructures:
         pdf = _mini_pdf(objs)
         assert pdf_text(pdf) == ""          # stream skipped, not misread
         assert pdf_metadata(pdf)[0] == 1    # page tree still parses
+
+    def test_image_only_page_unsupported_refusal(self):
+        """A 'scanned' PDF (every content stream DCT/JPX) must refuse with
+        error=unsupported and the page count still extracted from the tree
+        — not return ok with silently-empty text."""
+        objs = self._page_objs(b"\xff\xd8\xff\xe0jpegdata")
+        objs[4] = objs[4].replace(b"<< /Length",
+                                  b"<< /Filter /DCTDecode /Length")
+        r = scrape_pdf_result(_mini_pdf(objs))
+        assert r["ok"] is False and r["error"] == "unsupported"
+        assert r["num_pages"] == 1 and r["markdown"] == ""
+        # partial documents stay best-effort ok: add a decodable 2nd page
+        objs[5] = b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>"
+        objs[6] = b"<< /Length 15 >>\nstream\nBT (txt) Tj ET\nendstream"
+        objs[2] = b"<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>"
+        r2 = scrape_pdf_result(_mini_pdf(objs))
+        assert r2["ok"] is True and "txt" in r2["markdown"]
+
+    def test_png_predictor_12_content_stream(self):
+        """FlateDecode + /Predictor 12 (PNG Up) — the combination real-world
+        xref/content streams use; the payload must round-trip through the
+        un-predictor."""
+        import zlib
+        content = b"BT (predicted text) Tj ET"
+        columns = 10
+        # encode: rows of `columns` bytes, each prefixed by filter-type 2
+        # (Up) and stored as delta vs the previous row
+        padded = content + bytes((-len(content)) % columns)
+        prev = bytes(columns)
+        enc = bytearray()
+        for i in range(0, len(padded), columns):
+            row = padded[i:i + columns]
+            enc.append(2)
+            enc += bytes((row[j] - prev[j]) & 0xFF for j in range(columns))
+            prev = row
+        body = zlib.compress(bytes(enc))
+        objs = self._page_objs(b"")
+        objs[4] = (b"<< /Length %d /Filter /FlateDecode /DecodeParms "
+                   b"<< /Predictor 12 /Columns %d >> >>\nstream\n"
+                   % (len(body), columns) + body + b"\nendstream")
+        assert pdf_text(_mini_pdf(objs)).rstrip("\x00") == "predicted text"
+
+    def test_png_predictor_paeth_and_sub(self):
+        """Predictors 11 (Sub) and 14 (Paeth) rows decode correctly."""
+        import zlib
+        content = b"BT (ps) Tj ET"
+        columns = len(content)
+        # one Sub row then one Paeth row over the same bytes: encode Sub
+        row = content
+        sub = bytearray([1])
+        for j in range(columns):
+            left = row[j - 1] if j >= 1 else 0
+            sub.append((row[j] - left) & 0xFF)
+        # Paeth with prev=row: predictor for j: a=left(decoded), b=up, c=up-left
+        paeth = bytearray([4])
+        dec = bytearray()
+        for j in range(columns):
+            a = dec[j - 1] if j >= 1 else 0
+            b = row[j]
+            c = row[j - 1] if j >= 1 else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            dec.append(row[j])  # we want decoded == row again
+            paeth.append((row[j] - pr) & 0xFF)
+        body = zlib.compress(bytes(sub + paeth))
+        objs = self._page_objs(b"")
+        objs[4] = (b"<< /Length %d /Filter [/FlateDecode] /DecodeParms "
+                   b"[<< /Predictor 11 /Columns %d >>] >>\nstream\n"
+                   % (len(body), columns) + body + b"\nendstream")
+        text = pdf_text(_mini_pdf(objs))
+        # two identical decoded rows → the show-operator appears twice
+        assert text == "ps\nps"
+
+    def test_tiff_predictor_2(self):
+        import zlib
+        content = b"BT (tiff) Tj ET"
+        columns = len(content)
+        diff = bytearray([content[0]])
+        for j in range(1, columns):
+            diff.append((content[j] - content[j - 1]) & 0xFF)
+        body = zlib.compress(bytes(diff))
+        objs = self._page_objs(b"")
+        objs[4] = (b"<< /Length %d /Filter /FlateDecode /DecodeParms "
+                   b"<< /Predictor 2 /Columns %d >> >>\nstream\n"
+                   % (len(body), columns) + body + b"\nendstream")
+        assert pdf_text(_mini_pdf(objs)) == "tiff"
 
     def test_encrypted_refused(self):
         objs = self._page_objs(b"BT (sec) Tj ET")

@@ -112,6 +112,57 @@ def test_bloom_cogroup_runs_num_buckets_tasks(spark):
     assert tiny.rdd.getNumPartitions() == 1
 
 
+def test_seen_check_never_scans_frontier(spark, tmp_path):
+    """The r3 structural fix: with Bloom on, the exact seen-check happens
+    INSIDE the bucket-local cogroup (per-bucket pyarrow key read), so the
+    round's seen-check plan contains NO frontier scan, NO sort-merge join,
+    and no exchange beyond the two bucket repartitions — the full frontier
+    key column never enters a shuffle. Exactness is asserted under a
+    deliberately FP-heavy Bloom config (50% FP target), where correctness
+    can only come from the in-task exact check."""
+    from pyspark.sql import functions as F
+
+    from webcrawl_spark.datagen import build_site, render_page_html
+    from webcrawl_spark.frontier.crawl import EngineConfig, SparkCrawl
+    from webcrawl_spark.frontier.oracle import CrawlConfig
+
+    site = build_site(seed=23, n_hosts=3, pages_per_host=20, n_hot_hosts=0)
+    rows = [(u, render_page_html(site, u).encode()) for u in site.urls()]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    cfg = CrawlConfig(seed_url=f"https://{site.hosts[0]}/", limit=None,
+                      max_depth=3, allow_backward_crawling=True,
+                      allow_external_content_links=True)
+    eng = EngineConfig(num_buckets=4, bloom_fp_rate=0.5,
+                       bloom_keys_per_shard=16)
+    crawl = SparkCrawl(spark, pages, cfg, str(tmp_path / "sl"), engine=eng)
+    crawl.run(max_rounds=3)
+
+    frontier_urls = [r["url"] for r in
+                     crawl.frontier().select("url").collect()]
+    seen_set = set(frontier_urls)
+    probes = frontier_urls[:10] + [f"https://{site.hosts[0]}/nope{i}"
+                                   for i in range(10)]
+    cand = spark.createDataFrame(
+        [(0, 0, i, u) for i, u in enumerate(probes)],
+        "source_priority int, source_seq long, link_pos int, link string",
+    ).select(
+        "*",
+        F.col("link").alias("url_canon"), F.col("link").alias("dedup_key"),
+        F.xxhash64(F.col("link")).alias("dedup_hash"),
+        F.pmod(F.xxhash64(F.regexp_extract("link", r"https://([^/]+)/", 1)),
+               F.lit(eng.num_buckets)).cast("int").alias("cand_bucket"),
+    )
+    probed = crawl._bloom_probe(cand, crawl._shards_df(), n_rows=100_000)
+
+    plan = _plan(probed).split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in plan and "Join" not in plan
+    assert "frontier" not in plan           # no frontier (or queued) scan
+    assert plan.count("Exchange hashpartitioning") == 2
+
+    got = {r["link"]: r["is_seen"] for r in probed.collect()}
+    assert got == {u: (u in seen_set) for u in probes}
+
+
 def test_crawl_fetch_join_broadcasts_selection(spark):
     """The pages corpus side of the synthetic fetch must never shuffle:
     the selection is broadcast, so the plan has a BroadcastHashJoin and no

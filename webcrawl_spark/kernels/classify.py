@@ -30,6 +30,7 @@ __all__ = [
     "filter_links",
     "filter_url",
     "is_file_path",
+    "is_unsafe_host",
     "FILE_EXTENSIONS",
 ]
 
@@ -63,6 +64,7 @@ _MULTI_SUFFIXES = frozenset({
 
 class DenialReason:
     URL_PARSE_ERROR = "URL_PARSE_ERROR"
+    UNSAFE_HOST = "UNSAFE_HOST"
     DEPTH_LIMIT = "DEPTH_LIMIT"
     EXCLUDE_PATTERN = "EXCLUDE_PATTERN"
     INCLUDE_PATTERN = "INCLUDE_PATTERN"
@@ -73,6 +75,31 @@ class DenialReason:
     EXTERNAL_LINK = "EXTERNAL_LINK"
     SECTION_LINK = "SECTION_LINK"
     NON_WEB_PROTOCOL = "NON_WEB_PROTOCOL"
+
+
+def is_unsafe_host(host: str) -> bool:
+    """SSRF guard (engines/utils/safeFetch.ts semantics): True for hosts a
+    live fetcher must never dial — loopback/localhost names, .local/.internal
+    suffixes, and any literal IP that is not globally routable (private
+    RFC1918, loopback, link-local 169.254/16 + fe80::/10, CGNAT 100.64/10,
+    unspecified, multicast, reserved). Hostname-based checks only — DNS
+    re-resolution pinning is the fetch client's job; this guard classifies
+    the URL itself. Applied at the fetch layer in live (fetch_udf) mode,
+    like the reference; corpus-replay mode never dials out."""
+    import ipaddress
+
+    h = (host or "").strip().lower().rstrip(".")
+    if not h:
+        return True
+    if h == "localhost" or h.endswith((".localhost", ".local", ".internal")):
+        return True
+    if h.startswith("[") and h.endswith("]"):
+        h = h[1:-1]
+    try:
+        ip = ipaddress.ip_address(h)
+    except ValueError:
+        return False
+    return not ip.is_global
 
 
 def is_file_path(path: str) -> bool:

@@ -191,7 +191,10 @@ def build_pdf_fonts(cid_text: str, diff_line: bytes,
 
 _OBJ_HEAD_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
 _STREAM_START_RE = re.compile(rb"stream\r?\n")
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+# (?!\d) blocks the backtracked partial-number match: on '/Length 12 0 R'
+# the engine would otherwise retry (\d+)='1' (whose next char '2' defeats
+# the indirect-ref lookahead) and return a truncated length
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
 _LENGTH_REF_RE = re.compile(rb"/Length\s+(\d+)\s+\d+\s+R")
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
 # string operand: (literal with escapes) or <hex>
@@ -322,24 +325,115 @@ def _scan_objects(data: bytes) -> dict[int, bytes]:
 
 
 _INT_RE = re.compile(rb"\s*(\d+)")
+_DECODEPARMS_RE = re.compile(
+    rb"/DecodeParms\s*(<<.*?>>|\[.*?\])", re.S)
+_PREDICTOR_RE = re.compile(rb"/Predictor\s+(\d+)")
+_COLORS_RE = re.compile(rb"/Colors\s+(\d+)")
+_BPC_RE = re.compile(rb"/BitsPerComponent\s+(\d+)")
+_COLUMNS_RE = re.compile(rb"/Columns\s+(\d+)")
 
 
-def _decode_filters(raw: bytes, head: bytes) -> bytes | None:
-    """Apply the /Filter decode chain (name or array order). Supported:
-    FlateDecode, ASCIIHexDecode, ASCII85Decode. Unknown filter (DCTDecode,
-    LZW, Crypt, …) → None: the stream is skipped rather than misread."""
+def _decode_parms_list(head: bytes, n: int) -> list[bytes | None]:
+    """Per-filter /DecodeParms dicts (a single dict applies to the first
+    filter; an array aligns entry-by-entry with the /Filter array, null =
+    no parms — PDF 1.7 §7.4)."""
+    m = _DECODEPARMS_RE.search(head)
+    if not m:
+        return [None] * n
+    seg = m.group(1)
+    if seg.startswith(b"<<"):
+        return [seg] + [None] * (n - 1)
+    toks = re.findall(rb"<<.*?>>|null", seg, re.S)
+    out: list[bytes | None] = [t if t.startswith(b"<<") else None
+                               for t in toks]
+    out += [None] * (n - len(out))
+    return out[:n]
+
+
+def _apply_predictor(data: bytes, parm: bytes) -> bytes:
+    """Undo /Predictor on a decompressed Flate/LZW payload: 2 = TIFF
+    horizontal differencing, 10-15 = PNG row filters (None/Sub/Up/Average/
+    Paeth, per-row filter byte — PNG spec §9; real-world xref streams
+    almost always use predictor 12/Up). Unknown predictor values pass
+    through unchanged."""
+    pm = _PREDICTOR_RE.search(parm)
+    pred = int(pm.group(1)) if pm else 1
+    if pred < 2:
+        return data
+    colors = int(m.group(1)) if (m := _COLORS_RE.search(parm)) else 1
+    bpc = int(m.group(1)) if (m := _BPC_RE.search(parm)) else 8
+    columns = int(m.group(1)) if (m := _COLUMNS_RE.search(parm)) else 1
+    bpp = max(1, (colors * bpc + 7) // 8)
+    rowlen = (columns * colors * bpc + 7) // 8
+    if pred == 2:
+        if bpc != 8:
+            return data          # sub-byte TIFF differencing: out of slice
+        row = bytearray(data)
+        n_rows = len(row) // rowlen
+        for r in range(n_rows):
+            base = r * rowlen
+            for j in range(bpp, rowlen):
+                row[base + j] = (row[base + j] + row[base + j - bpp]) & 0xFF
+        return bytes(row)
+    # PNG predictors: each stored row = filter-type byte + rowlen bytes
+    out = bytearray()
+    prev = bytearray(rowlen)
+    i = 0
+    while i < len(data):
+        ft = data[i]
+        row = bytearray(data[i + 1:i + 1 + rowlen])
+        i += 1 + rowlen
+        if len(row) < rowlen:
+            row += bytes(rowlen - len(row))
+        if ft == 1:                                   # Sub
+            for j in range(bpp, rowlen):
+                row[j] = (row[j] + row[j - bpp]) & 0xFF
+        elif ft == 2:                                 # Up
+            for j in range(rowlen):
+                row[j] = (row[j] + prev[j]) & 0xFF
+        elif ft == 3:                                 # Average
+            for j in range(rowlen):
+                left = row[j - bpp] if j >= bpp else 0
+                row[j] = (row[j] + ((left + prev[j]) >> 1)) & 0xFF
+        elif ft == 4:                                 # Paeth
+            for j in range(rowlen):
+                a = row[j - bpp] if j >= bpp else 0
+                b = prev[j]
+                c = prev[j - bpp] if j >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+                row[j] = (row[j] + pr) & 0xFF
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _decode_filters(raw: bytes, head: bytes) -> tuple[bytes | None,
+                                                      bytes | None]:
+    """Apply the /Filter decode chain (name or array order) →
+    (payload, unsupported_filter_name). Supported: FlateDecode (incl.
+    /Predictor via DecodeParms), ASCIIHexDecode, ASCII85Decode. An
+    unsupported filter (DCTDecode/JPXDecode image codecs, LZW, Crypt, …)
+    returns (None, name): the stream is skipped rather than misread, and
+    the caller can surface the 'unsupported' refusal (lopdf raises a typed
+    filter error there)."""
     fm = _FILTER_RE.search(head)
     if not fm:
-        return raw
+        return raw, None
     if fm.group(1) is not None:
         names = [fm.group(1)]
     else:
         names = [m.group(1) for m in _FILTER_NAME_RE.finditer(fm.group(2))]
+    parms = _decode_parms_list(head, len(names))
     out = raw
-    for name in names:
+    for name, parm in zip(names, parms):
         try:
             if name == b"FlateDecode":
                 out = zlib.decompress(out)
+                if parm is not None:
+                    out = _apply_predictor(out, parm)
             elif name == b"ASCIIHexDecode":
                 body = out.split(b">", 1)[0]
                 out = _hex_string_bytes(body)
@@ -348,10 +442,10 @@ def _decode_filters(raw: bytes, head: bytes) -> bytes | None:
                 body = out.split(b"~>", 1)[0]
                 out = base64.a85decode(b"".join(body.split()))
             else:
-                return None
+                return None, name
         except Exception:
-            return None
-    return out
+            return None, None
+    return out, None
 
 
 class _PdfObjects:
@@ -362,6 +456,7 @@ class _PdfObjects:
 
     def __init__(self, data: bytes) -> None:
         self.data = data
+        self.unsupported: set[bytes] = set()   # filters met but undecodable
         self.objs = _scan_objects(data)
         for oid in list(self.objs):
             body = self.objs[oid]
@@ -423,7 +518,10 @@ class _PdfObjects:
             if fm is None:
                 return None
             raw = fm.group(1)
-        return _decode_filters(raw, head)
+        out, unsupported = _decode_filters(raw, head)
+        if unsupported is not None:
+            self.unsupported.add(unsupported)
+        return out
 
 
 def _walk_page_tree(px: "_PdfObjects", node_id: int,
@@ -460,13 +558,15 @@ def _page_ids(px: "_PdfObjects") -> list[int]:
             and not _PAGES_TYPE_RE.search(px.objs[oid])]
 
 
-def pdf_metadata(data: bytes) -> tuple[int, str | None]:
+def pdf_metadata(data: bytes,
+                 px: "_PdfObjects | None" = None) -> tuple[int, str | None]:
     """(num_pages, title) — pdf.rs:13-45: page count = page-tree leaf count
     (lopdf get_pages, incl. nested /Kids and pages packed in object
     streams); title from trailer Info first, then any object carrying
     /Title, literal or hex string, UTF-16BE-aware (lopdf
-    decode_text_string)."""
-    px = _PdfObjects(data)
+    decode_text_string). Pass ``px`` to reuse an existing object index
+    (scrape_pdf_result parses each document once)."""
+    px = px if px is not None else _PdfObjects(data)
     num_pages = len(_page_ids(px))
     title: str | None = None
     info_m = _INFO_RE.search(data)
@@ -699,14 +799,15 @@ def _content_text(content: bytes,
     return lines
 
 
-def pdf_text(data: bytes) -> str:
+def pdf_text(data: bytes, px: "_PdfObjects | None" = None) -> str:
     """Text layer in page-tree order: one text-show per line, '\\n' between
     lines, '\\n\\n' between pages (the deterministic stand-in for
     pdf-parse's render_page line model). Handles hex-string operands,
-    UTF-16BE text, filter chains, indirect /Length, object streams, and
-    font-resolved decoding (ToUnicode CMaps, Type0 2-byte codes,
-    /Differences encodings) via the page's /Resources fonts."""
-    px = _PdfObjects(data)
+    UTF-16BE text, filter chains (incl. PNG/TIFF predictors), indirect
+    /Length, object streams, and font-resolved decoding (ToUnicode CMaps,
+    Type0 2-byte codes, /Differences encodings) via the page's /Resources
+    fonts."""
+    px = px if px is not None else _PdfObjects(data)
     page_texts: list[str] = []
     for pid in _page_ids(px):
         body = px.get(pid, b"")
@@ -728,8 +829,25 @@ def pdf_text(data: bytes) -> str:
 
 def pdf_is_encrypted(data: bytes) -> bool:
     """Trailer /Encrypt present — the engine refuses rather than misreads
-    (lopdf load fails on encrypted docs → 'Failed to load PDF')."""
-    return _ENCRYPT_RE.search(data) is not None
+    (lopdf load fails on encrypted docs → 'Failed to load PDF').
+
+    The search is anchored to the trailer region (after the LAST ``trailer``
+    keyword, where incremental updates put the live trailer) so a readable
+    document whose *content* mentions '/Encrypt 5 0 R' (e.g. a PDF about PDF
+    security) is not refused. PDF 1.5+ cross-reference *streams* carry the
+    trailer dict inside a /Type /XRef object instead — for those (no
+    ``trailer`` keyword) the scan is restricted to XRef-stream object
+    headers, never literal strings or decoded content."""
+    t = data.rfind(b"trailer")
+    if t != -1:
+        return _ENCRYPT_RE.search(data, t) is not None
+    for m in re.finditer(rb"/Type\s*/XRef(?![a-zA-Z])", data):
+        start = data.rfind(b"obj", 0, m.start())
+        end = data.find(b"stream", m.end())
+        head = data[max(start, 0):end if end != -1 else m.end() + 2048]
+        if _ENCRYPT_RE.search(head):
+            return True
+    return False
 
 
 def scrape_pdf_result(
@@ -744,7 +862,14 @@ def scrape_pdf_result(
     'Failed to load PDF'; a DataFrame engine classifies):
 
       empty | not_pdf | encrypted | no_pages | insufficient_time |
-      parse_error | None (ok=True)
+      unsupported | parse_error | None (ok=True)
+
+    ``unsupported``: the document parsed (page count/title extracted from
+    the tree) but every content stream needed a codec outside the engine
+    (DCTDecode/JPX scanned pages, LZW, Crypt) — refused cleanly instead of
+    returning silently-empty text. Documents where at least one page
+    decodes return ok=True with the partial text (pdf-parse's best-effort
+    model).
     """
 
     def fail(error: str, *, num_pages: int = 0, title=None,
@@ -762,7 +887,8 @@ def scrape_pdf_result(
     if pdf_is_encrypted(data):
         return fail("encrypted")
     try:
-        num_pages, title = pdf_metadata(data)
+        px = _PdfObjects(data)          # ONE parse for metadata + text
+        num_pages, title = pdf_metadata(data, px=px)
         if num_pages == 0:
             # no parseable page tree — unloadable document
             return fail("no_pages", title=title)
@@ -771,7 +897,12 @@ def scrape_pdf_result(
                 and effective * MILLISECONDS_PER_PAGE > timeout_ms):
             return fail("insufficient_time", num_pages=effective,
                         title=title, insufficient=True)
-        escaped = escape_html(pdf_text(data))
+        text = pdf_text(data, px=px)
+        if not text.strip() and px.unsupported:
+            # image-only/exotic-codec document: page tree parsed, zero
+            # decodable content — a clean refusal, not silent empty text
+            return fail("unsupported", num_pages=effective, title=title)
+        escaped = escape_html(text)
         return {"num_pages": effective, "title": title, "html": escaped,
                 "markdown": escaped, "insufficient_time": False, "ok": True,
                 "error": None}

@@ -385,7 +385,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 
 
 def dup_components(pairs: DataFrame, left: str = "doc_a",
-                   right: str = "doc_b", max_iter: int = 25) -> DataFrame:
+                   right: str = "doc_b", max_iter: int = 25,
+                   max_degree: int | None = None) -> DataFrame:
     """Near-dup pairs → connected components: (doc, component) where
     component = min doc id in the doc's cluster. This is the step that
     turns pairwise near-dup output into dedup GROUPS (keep one canonical
@@ -400,14 +401,37 @@ def dup_components(pairs: DataFrame, left: str = "doc_a",
     then shortcuts to its label's label (doubling ⇒ O(log n) rounds on
     chains, not O(diameter)). Each round pins via localCheckpoint (plan
     depth stays constant; blocks release on GC) and converges via a
-    bounded changed-row probe."""
+    bounded changed-row probe.
+
+    ``max_degree`` is the giant-component skew guard for corpus scale: a
+    boilerplate mega-cluster (one near-empty template shared by millions of
+    docs) otherwise funnels its whole adjacency through single hot-key join
+    tasks every round. When set, each node keeps only its ``max_degree``
+    LOWEST-id neighbors before symmetrization. Components can only split,
+    never merge (edges are removed, not added), so dedup stays safe —
+    and because the kept neighbors are the lowest ids, star/clique shapes
+    (the boilerplate case) still converge to one component."""
     edges = pairs.select(F.col(left).alias("a"), F.col(right).alias("b"))
-    edges = (
-        edges.unionByName(edges.select(F.col("b").alias("a"),
-                                       F.col("a").alias("b")))
-        .distinct().localCheckpoint(eager=True)
+    edges = edges.unionByName(edges.select(F.col("b").alias("a"),
+                                           F.col("a").alias("b")))
+    if max_degree is not None:
+        # cap AFTER symmetrization and do not re-symmetrize (that would
+        # re-add every hot-node edge from the cold side): each node pulls
+        # labels from at most max_degree neighbors, so no join key fans
+        # out beyond the cap. Pull edges may end up one-directional —
+        # label flow can only be lost, never invented, preserving the
+        # split-only guarantee.
+        w_deg = Window.partitionBy("a").orderBy("b")
+        edges = (
+            edges.withColumn("_dn", F.row_number().over(w_deg))
+            .filter(F.col("_dn") <= max_degree).drop("_dn")
+        )
+    edges = edges.distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("a").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
     )
-    labels = edges.select(F.col("a").alias("node")).distinct()                   .withColumn("label", F.col("node"))                   .localCheckpoint(eager=True)
     for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges["b"] == labels["node"])

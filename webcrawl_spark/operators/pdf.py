@@ -32,7 +32,8 @@ PDF_RESULT_SCHEMA = T.StructType([
     T.StructField("insufficient_time", T.BooleanType()),
     T.StructField("ok", T.BooleanType()),
     # refusal taxonomy (kernels/pdfkit.scrape_pdf_result): empty | not_pdf |
-    # encrypted | no_pages | insufficient_time | parse_error | null (ok)
+    # encrypted | no_pages | insufficient_time | unsupported | parse_error |
+    # null (ok)
     T.StructField("error", T.StringType()),
 ])
 

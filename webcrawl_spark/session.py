@@ -18,6 +18,20 @@ from pyspark.sql import SparkSession
 
 __all__ = ["get_spark", "DEFAULT_CONFS"]
 
+def _default_driver_mem() -> str:
+    """min(32g, ~2/3 of physical RAM), floor 2g: big local-mode rounds need
+    the heap (see the spark.driver.memory note below), but a 32g default
+    would swap/OOM-kill out-of-the-box on smaller hosts. Explicit override:
+    SPARK_GRAFT_DRIVER_MEM."""
+    try:
+        pages = os.sysconf("SC_PHYS_PAGES")
+        page_size = os.sysconf("SC_PAGE_SIZE")
+        total_gb = pages * page_size / (1 << 30)
+    except (ValueError, OSError, AttributeError):
+        total_gb = 12.0
+    return f"{max(2, min(32, int(total_gb * 2 / 3)))}g"
+
+
 DEFAULT_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
@@ -31,8 +45,11 @@ DEFAULT_CONFS = {
     # heap: at 8g, 32 concurrent tasks' Arrow buffers + a multi-GB cached
     # corpus GC-thrash — measured 100k-fetch rounds ran SLOWER at local[32]
     # than local[8] until the heap was raised (BENCH.md big-round table).
-    # Cluster deployments size executors via spark-submit instead.
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+    # Default adapts to the host (min(32g, 2/3 RAM)); big-round benchmarks
+    # pin SPARK_GRAFT_DRIVER_MEM=32g. Clusters size executors via
+    # spark-submit instead.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM",
+                                          _default_driver_mem()),
     "spark.ui.enabled": "false",
 }
 

@@ -31,6 +31,8 @@ __all__ = ["TableIO"]
 
 
 class TableIO:
+    kind = "parquet"
+
     def __init__(self, spark: SparkSession, root: str) -> None:
         self.spark = spark
         self.root = root
