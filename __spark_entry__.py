@@ -31,6 +31,9 @@ Operator-family mapping (SURVEY.md §2 → query):
                                          pigeonhole config) + q_minhash_dedup
                                          (scale config, rows-only)
   near-dup clustering (components)     → q_dup_groups (recursive-CTE oracle)
+                                         + q_dup_degree_cap (skew-guarded
+                                         variant, directed-reach oracle)
+  SSRF guard classify (live fetch)     → q_ssrf_classify (octet-range oracle)
   ANN top-k (RP-LSH bucketed)          → q_ann_topk (FULL oracle: bucketing
                                          recomputed in SQL from shared plane
                                          constants + exact rerank)
@@ -454,6 +457,70 @@ def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_components(pairs).orderBy("doc")
 
 
+def q_dup_degree_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-capped connected components — the giant-component skew guard
+    (operators/dedup.py dup_components(max_degree=...)), exercised on a
+    graph where the cap actually BITES: customer↔order edges make every
+    customer a hub of ~10 neighbors (the minhash pair graph at this SF
+    maxes out at degree 2). Each node keeps only its 4 lowest-id
+    neighbors after symmetrization; pull edges stay directed (no
+    re-symmetrization), so hot-key fan-in is capped. The converged
+    min-label + pointer-doubling fixpoint is exactly min(id reachable
+    along directed pull edges), which the oracle recomputes with the same
+    capped edge derivation + a directed recursive reachability CTE."""
+    from webcrawl_spark.operators.dedup import dup_components
+
+    orders = _load(spark, sf_dir, "orders")["orders"] \
+        .filter(F.col("o_custkey") <= 300)   # SF-stable graph size
+    pairs = orders.select(
+        F.least("o_custkey", "o_orderkey").alias("doc_a"),
+        F.greatest("o_custkey", "o_orderkey").alias("doc_b"),
+    ).filter(F.col("doc_a") != F.col("doc_b")).distinct()
+    return dup_components(pairs, max_degree=4).orderBy("doc")
+
+
+def q_ssrf_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSRF guard as a classify column (kernels/classify.is_unsafe_host,
+    safeFetch.ts semantics — the live fetch mode's pre-dial deny): a
+    deterministic host fabric derived from customer keys spans private
+    (10/8, 172.16/12, 192.168/16), loopback-adjacent names (.localhost,
+    .internal), link-local (169.254/16), CGNAT (100.64/10), and GLOBAL
+    decoys (8/8, 172.32+ — just outside the private block, public names).
+    The oracle re-derives the identical hosts and classifies them by
+    parsing octets against the non-global IPv4 ranges + name-suffix rules
+    in pure SQL — it tests the classifier, not the construction."""
+    from webcrawl_spark.frontier.crawl import _unsafe_host_udf
+
+    cust = _load(spark, sf_dir, "customer")["customer"]
+    k = F.col("c_custkey")
+    s = lambda K: K.cast("string")  # noqa: E731
+    m = k % 10
+    host = (
+        F.when(m == 0, F.concat(F.lit("10."), s(k % 200), F.lit("."),
+                                s((k * 7) % 200), F.lit("."), s(k % 250 + 1)))
+        .when(m == 1, F.concat(F.lit("site"), s(k), F.lit(".example.com")))
+        .when(m == 2, F.concat(F.lit("192.168."), s(k % 200), F.lit("."),
+                               s(k % 250 + 1)))
+        .when(m == 3, F.concat(F.lit("svc"), s(k), F.lit(".localhost")))
+        .when(m == 4, F.concat(F.lit("172."), s(16 + k % 16), F.lit("."),
+                               s(k % 200), F.lit("."), s(k % 250 + 1)))
+        .when(m == 5, F.concat(F.lit("8."), s(k % 200), F.lit("."),
+                               s((k * 3) % 200), F.lit("."), s(k % 250 + 1)))
+        .when(m == 6, F.concat(F.lit("api"), s(k), F.lit(".internal")))
+        .when(m == 7, F.concat(F.lit("169.254."), s(k % 200), F.lit("."),
+                               s(k % 250 + 1)))
+        .when(m == 8, F.concat(F.lit("100."), s(64 + k % 64), F.lit("."),
+                               s(k % 200), F.lit("."), s(k % 250 + 1)))
+        .otherwise(F.concat(F.lit("172."), s(32 + k % 100), F.lit("."),
+                            s(k % 200), F.lit("."), s(k % 250 + 1)))
+    )
+    return (
+        cust.select(host.alias("host"))
+        .select("host", _unsafe_host_udf()(F.col("host")).alias("unsafe"))
+        .orderBy("host")
+    )
+
+
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale-path MinHash configuration (vectorized FNV shingle hash +
     Mersenne permutations — no per-shingle md5): rows-only driver check;
@@ -555,6 +622,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_docx_notes": q_docx_notes,
         "q_minhash_oracle": q_minhash_oracle,
         "q_dup_groups": q_dup_groups,
+        "q_dup_degree_cap": q_dup_degree_cap,
+        "q_ssrf_classify": q_ssrf_classify,
         "q_simhash_pairs": q_simhash_pairs,
         "q_minhash_dedup": q_minhash_dedup,
         "q_ann_topk": q_ann_topk,
@@ -659,6 +728,86 @@ def _dup_groups_oracle_sql() -> str:
         SELECT id AS doc, min(r) AS component
         FROM reach GROUP BY id ORDER BY doc
     """
+
+
+_DUP_DEGREE_CAP_ORACLE_SQL = """
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT least(o_custkey, o_orderkey) AS da,
+                      greatest(o_custkey, o_orderkey) AS db
+      FROM orders WHERE o_custkey != o_orderkey AND o_custkey <= 300
+    ), nodes AS (
+      SELECT da AS id FROM pairs UNION SELECT db FROM pairs
+    ), sym AS (
+      SELECT da AS a, db AS b FROM pairs
+      UNION SELECT db, da FROM pairs
+    ), capped AS (
+      SELECT a, b FROM (
+        SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY b) AS rn
+        FROM sym) WHERE rn <= 4
+    ), reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT c.a, reach.r FROM capped c JOIN reach ON c.b = reach.id
+    )
+    SELECT id AS doc, min(r) AS component
+    FROM reach GROUP BY id ORDER BY doc
+"""
+# q_dup_degree_cap oracle: the same cap derivation as
+# dup_components(max_degree=4) — symmetrize, row_number per node ordered by
+# neighbor id, keep 4; directed pull edges, NOT re-symmetrized. label(u) =
+# min id reachable along pull edges = the distributed min-label +
+# pointer-doubling fixpoint.
+
+
+_SSRF_ORACLE_SQL = """
+    WITH hosts AS (
+      SELECT CASE c_custkey % 10
+        WHEN 0 THEN '10.' || (c_custkey % 200)::VARCHAR || '.'
+                    || ((c_custkey * 7) % 200)::VARCHAR || '.'
+                    || (c_custkey % 250 + 1)::VARCHAR
+        WHEN 1 THEN 'site' || c_custkey::VARCHAR || '.example.com'
+        WHEN 2 THEN '192.168.' || (c_custkey % 200)::VARCHAR || '.'
+                    || (c_custkey % 250 + 1)::VARCHAR
+        WHEN 3 THEN 'svc' || c_custkey::VARCHAR || '.localhost'
+        WHEN 4 THEN '172.' || (16 + c_custkey % 16)::VARCHAR || '.'
+                    || (c_custkey % 200)::VARCHAR || '.'
+                    || (c_custkey % 250 + 1)::VARCHAR
+        WHEN 5 THEN '8.' || (c_custkey % 200)::VARCHAR || '.'
+                    || ((c_custkey * 3) % 200)::VARCHAR || '.'
+                    || (c_custkey % 250 + 1)::VARCHAR
+        WHEN 6 THEN 'api' || c_custkey::VARCHAR || '.internal'
+        WHEN 7 THEN '169.254.' || (c_custkey % 200)::VARCHAR || '.'
+                    || (c_custkey % 250 + 1)::VARCHAR
+        WHEN 8 THEN '100.' || (64 + c_custkey % 64)::VARCHAR || '.'
+                    || (c_custkey % 200)::VARCHAR || '.'
+                    || (c_custkey % 250 + 1)::VARCHAR
+        ELSE '172.' || (32 + c_custkey % 100)::VARCHAR || '.'
+             || (c_custkey % 200)::VARCHAR || '.'
+             || (c_custkey % 250 + 1)::VARCHAR
+      END AS host
+      FROM customer
+    )
+    SELECT host,
+           CASE
+             WHEN host = 'localhost'
+               OR host LIKE '%.localhost'
+               OR host LIKE '%.local'
+               OR host LIKE '%.internal' THEN TRUE
+             WHEN regexp_matches(host, '^\\d+\\.\\d+\\.\\d+\\.\\d+$') THEN
+                  (split_part(host, '.', 1)::INT IN (0, 10, 127))
+               OR (split_part(host, '.', 1)::INT = 192
+                   AND split_part(host, '.', 2)::INT = 168)
+               OR (split_part(host, '.', 1)::INT = 172
+                   AND split_part(host, '.', 2)::INT BETWEEN 16 AND 31)
+               OR (split_part(host, '.', 1)::INT = 169
+                   AND split_part(host, '.', 2)::INT = 254)
+               OR (split_part(host, '.', 1)::INT = 100
+                   AND split_part(host, '.', 2)::INT BETWEEN 64 AND 127)
+               OR (split_part(host, '.', 1)::INT >= 224)
+             ELSE FALSE
+           END AS unsafe
+    FROM hosts ORDER BY host
+"""
 
 
 def _ann_oracle_sql() -> str:
@@ -959,6 +1108,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_minhash_oracle": _minhash_oracle_sql(),
         "q_dup_groups": _dup_groups_oracle_sql(),
+        "q_dup_degree_cap": _DUP_DEGREE_CAP_ORACLE_SQL,
+        "q_ssrf_classify": _SSRF_ORACLE_SQL,
         "q_simhash_pairs": _SIMHASH_ORACLE_SQL,
         "q_ann_topk": _ann_oracle_sql(),
         # q_minhash_dedup (scale-path config) / q_image_plumbing /

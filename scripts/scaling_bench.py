@@ -170,8 +170,20 @@ def main() -> None:
         "```",
         "",
     ]
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    # regenerate only the machine-written region; everything at and after
+    # the CURATED marker (probe tables, protocol notes, round-over-round
+    # history maintained by hand) is preserved verbatim
+    bench_path = os.path.join(REPO, "BENCH.md")
+    marker = "<!-- CURATED -->"
+    tail = ""
+    if os.path.exists(bench_path):
+        old = open(bench_path).read()
+        if marker in old:
+            tail = old[old.index(marker):]
+    with open(bench_path, "w") as f:
         f.write("\n".join(lines))
+        if tail:
+            f.write("\n" + tail)
     print(json.dumps({
         "eff_2_8": round(eff_2_8, 3), "eff_8_32": round(eff_8_32, 3),
         "control_2_8": round(ctrl_2_8, 3), "control_8_32": round(ctrl_8_32, 3),

@@ -1033,8 +1033,11 @@ class SparkCrawl:
         combined_file = io.read_round("crawl_result", round_no)
         # fetched-seq sidecar (≙ an Iceberg equality-delete file): one tiny
         # file per round so the queued view's anti-join never re-opens the
-        # wide crawl_result files (one per extraction task per round)
-        io.append(combined_file.select("seq").coalesce(1),
+        # wide crawl_result files (one per extraction task per round).
+        # Sourced from the PINNED selection (seq sets are identical by
+        # construction: combined = fetched(selected) 1:1) — no read-back of
+        # the just-written round files.
+        io.append(selected.select("seq").coalesce(1),
                   "fetched_seqs", round_no)
         t = self._trace(round_no, "fetched-seq sidecar", t)
 
@@ -1143,22 +1146,36 @@ class SparkCrawl:
         t = self._trace(round_no, "queued compaction", t)
 
         # ---- per-round metrics + per-bucket lineage ----
-        denials = {
-            r["denial_reason"]: r["count"]
-            for r in cls.filter(~F.col("c.allowed"))
-            .groupBy(F.col("c.denial_reason").alias("denial_reason"))
-            .count().collect()
-        }
-        t = self._trace(round_no, "denial agg", t)
-        bucket_counts = ({
-            int(r["host_bucket"]): r["count"]
-            for r in new_rows_file.groupBy("host_bucket").count().collect()
-        } if n_new else {})
-        fetched_buckets = {
-            int(r["host_bucket"]): r["count"]
-            for r in selected.groupBy("host_bucket").count().collect()
-        }
-        t = self._trace(round_no, "bucket counts", t)
+        # ONE collect for all three metric groups (denial reasons, new-url
+        # buckets, fetched buckets): unioned tiny aggs over pinned data run
+        # as parallel stages of a single job instead of three driver
+        # round-trips per round (the round's fixed cost is job-count-bound)
+        stats = (
+            cls.filter(~F.col("c.allowed"))
+            .groupBy(F.lit("denial").alias("kind"),
+                     F.col("c.denial_reason").alias("key"))
+            .count()
+            .unionByName(
+                selected.groupBy(
+                    F.lit("bucket_fetched").alias("kind"),
+                    F.col("host_bucket").cast("string").alias("key"),
+                ).count())
+        )
+        if n_new:
+            stats = stats.unionByName(
+                new_rows_file.groupBy(
+                    F.lit("bucket_new").alias("kind"),
+                    F.col("host_bucket").cast("string").alias("key"),
+                ).count())
+        grouped: dict[str, dict] = {"denial": {}, "bucket_new": {},
+                                    "bucket_fetched": {}}
+        for r in stats.collect():
+            grouped[r["kind"]][r["key"]] = r["count"]
+        denials = grouped["denial"]
+        bucket_counts = {int(k): v for k, v in grouped["bucket_new"].items()}
+        fetched_buckets = {int(k): v
+                           for k, v in grouped["bucket_fetched"].items()}
+        t = self._trace(round_no, "metrics agg", t)
         io.append_json(
             {
                 "round": round_no, "fetched": n_selected, "new_urls": n_new,

@@ -86,12 +86,19 @@ def rp_lsh_buckets(df: DataFrame, dim: int, n_bits: int = 12, seed: int = 7,
 
 def _query_buckets(query: np.ndarray, planes: np.ndarray,
                    n_bits: int, probe_flips: int) -> list[int]:
+    """Multi-probe bucket set: the query's own bucket plus all buckets
+    within Hamming distance ``probe_flips`` (0-2). Deeper probing trades
+    scan fraction for recall without rebucketing — the standard multi-probe
+    LSH knob."""
     signs = (planes @ query) > 0
     weights = (1 << np.arange(n_bits)).astype(np.int64)
     base = int(signs @ weights)
     buckets = [base]
     if probe_flips >= 1:
         buckets += [base ^ (1 << b) for b in range(n_bits)]
+    if probe_flips >= 2:
+        buckets += [base ^ (1 << a) ^ (1 << b)
+                    for a in range(n_bits) for b in range(a + 1, n_bits)]
     return buckets
 
 
