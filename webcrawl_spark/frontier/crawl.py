@@ -829,7 +829,7 @@ class SparkCrawl:
         to the UDF, serve 304s from the cached body, and record fresh
         validated responses back. The pin materializes the round's
         responses ONCE so the cache write never re-invokes the fetch."""
-        cache = (self.fetch_cache.snapshot()
+        cache = (self.fetch_cache.probe(safe.select("url"))
                  if self.fetch_cache is not None else None)
         if cache is None:
             base = (
@@ -838,18 +838,19 @@ class SparkCrawl:
                 .withColumn("_c_html", F.lit(None).cast("binary"))
             )
         else:
-            hit = (
-                cache.join(F.broadcast(safe.select("url")), "url", "inner")
-                .select("url", F.col("etag").alias("_c_etag"),
-                        F.col("last_modified").alias("_c_lm"),
-                        F.col("html").alias("_c_html"))
-            )
+            hit = cache.select(
+                "url", F.col("etag").alias("_c_etag"),
+                F.col("last_modified").alias("_c_lm"),
+                F.col("html").alias("_c_html"))
             base = safe.join(F.broadcast(hit), "url", "left")
         resp = self.cond_fetch_udf(F.col("url"), F.col("_c_etag"),
                                    F.col("_c_lm"))
+        # pin FIRST, derive after: the pin materializes the fetch UDF's
+        # struct exactly once — no Catalyst project-collapse can duplicate
+        # the (side-effecting) fetch expression into the derived columns
+        base = self._pin(base.withColumn("_r", resp))
         fetched = (
-            base.withColumn("_r", resp)
-            .withColumn(
+            base.withColumn(
                 "html",
                 F.when(F.col("_r.not_modified")
                        & F.col("_c_html").isNotNull(), F.col("_c_html"))
@@ -858,7 +859,6 @@ class SparkCrawl:
                 "status",
                 F.when(F.col("html").isNotNull(), 200).otherwise(404))
         )
-        fetched = self._pin(fetched)
         if self.fetch_cache is not None:
             fresh = fetched.filter(
                 ~F.coalesce(F.col("_r.not_modified"), F.lit(False))

@@ -50,13 +50,35 @@ class FetchCache:
                    for _, _, files in os.walk(self.root) for f in files)
 
     def snapshot(self) -> DataFrame | None:
-        """Latest validated entry per url (None when empty)."""
+        """Latest validated entry per url over the WHOLE cache (None when
+        empty). Full-cache window — use for inspection/tests; the round
+        path uses ``probe`` so the per-round cost never scales with cache
+        size."""
         if not self._has_data():
             return None
         df = self.spark.read.schema(self.SCHEMA).parquet(self.root)
         w = Window.partitionBy("url").orderBy(F.desc("gen"))
         return (
             df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "gen")
+        )
+
+    def probe(self, urls: DataFrame) -> DataFrame | None:
+        """Latest validated entry per url, restricted to ``urls`` (a
+        1-column `url` DataFrame, e.g. the round's politeness-bounded
+        selection): the cache STREAMS against the broadcast url set —
+        no full-cache shuffle — and the latest-per-url window runs over
+        the ≤|urls|×gens hit rows only. This is the round-path read; on
+        Iceberg the cache is a MERGE-on-url table and this becomes a
+        plain filtered scan."""
+        if not self._has_data():
+            return None
+        df = self.spark.read.schema(self.SCHEMA).parquet(self.root)
+        hits = df.join(F.broadcast(urls.select("url")), "url", "inner")
+        w = Window.partitionBy("url").orderBy(F.desc("gen"))
+        return (
+            hits.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn", "gen")
         )
