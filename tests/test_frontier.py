@@ -192,6 +192,68 @@ class TestEngineParity:
         assert not (set(evil) & dialed), "fetch UDF dialed an unsafe host"
         assert all(u not in crawl.fetch_order() for u in evil)
 
+    def test_live_robots_cache(self, spark, tmp_path):
+        """North-rule robots.txt cache, live mode: robots fetched ONCE per
+        host (cached in the robots_cache table, reused across rounds AND
+        resume), disallowed paths denied with status 999 and never
+        dialed."""
+        import os
+
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        host = "robots-site.test"
+        corpus = {
+            f"https://{host}/robots.txt":
+                "User-agent: *\nDisallow: /private\n",
+            f"https://{host}/": (
+                f'<html><body><a href="https://{host}/ok">ok</a>'
+                f'<a href="https://{host}/private/x">p</a></body></html>'),
+            f"https://{host}/ok": "<html><body>fine</body></html>",
+            f"https://{host}/private/x": "<html><body>secret</body></html>",
+        }
+        spool = str(tmp_path / "dials")
+        os.makedirs(spool, exist_ok=True)
+
+        @pandas_udf("binary")
+        def fetch_live(urls: pd.Series) -> pd.Series:
+            import os as _os
+            import uuid as _uuid
+            with open(_os.path.join(spool, _uuid.uuid4().hex), "w") as f:
+                f.write("\n".join(u or "" for u in urls))
+            return pd.Series(
+                [corpus[u].encode() if u in corpus else None for u in urls],
+                dtype="object")
+
+        cfg = CrawlConfig(seed_url=f"https://{host}/", limit=None,
+                          max_depth=2, allow_backward_crawling=True)
+        work = str(tmp_path / "robots")
+        crawl = SparkCrawl(spark, None, cfg, work, fetch_udf=fetch_live,
+                           engine=EngineConfig(live_robots=True))
+        crawl.run()
+
+        log = {r["url"]: r["status"]
+               for r in crawl.fetch_log().select("url", "status").collect()}
+        assert log[f"https://{host}/private/x"] == 999
+        assert log[f"https://{host}/ok"] == 200
+
+        def dialed():
+            out = []
+            for fn in os.listdir(spool):
+                with open(os.path.join(spool, fn)) as f:
+                    out.extend(x for x in f.read().splitlines() if x)
+            return out
+
+        d = dialed()
+        assert f"https://{host}/private/x" not in d
+        assert d.count(f"https://{host}/robots.txt") == 1  # cached once
+
+        # resume on the same workdir: robots served from the cache table
+        resumed = SparkCrawl(spark, None, cfg, work, fetch_udf=fetch_live,
+                             engine=EngineConfig(live_robots=True))
+        resumed.run()
+        assert dialed().count(f"https://{host}/robots.txt") == 1
+
     def test_conditional_fetch_recrawl_serves_from_cache(self, spark, site,
                                                          tmp_path):
         """J5's live twin: a recrawl sharing the validator cache must serve

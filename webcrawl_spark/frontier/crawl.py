@@ -92,7 +92,7 @@ __all__ = ["SparkCrawl", "EngineConfig"]
 # markdown/links columns away); bloom shards persist per round so resume
 # never rescans the frontier.
 TABLES = ["frontier", "crawl_result", "round_metrics", "host_budget",
-          "bloom_shards", "frontier_queued", "fetched_seqs"]
+          "bloom_shards", "frontier_queued", "fetched_seqs", "robots_cache"]
 
 FRONTIER_SCHEMA = (
     "url string, url_canon string, host string, host_bucket int, "
@@ -121,6 +121,7 @@ class EngineConfig:
         small_round_threshold: int = 5000,
         compact_queued_every: int = 8,
         ssrf_guard: bool = True,
+        live_robots: bool = False,
     ) -> None:
         self.num_buckets = num_buckets
         self.dedup_key = dedup_key
@@ -144,6 +145,14 @@ class EngineConfig:
         # get status 403, the fetch UDF is never invoked for them. Corpus
         # replay never dials out, so the guard is a no-op there.
         self.ssrf_guard = ssrf_guard
+        # live modes only: per-host robots.txt cache (the north rule's
+        # "robots.txt cache"): each round fetches robots.txt ONCE for
+        # selection hosts not yet cached (robots_cache table, committed
+        # with the round), and selected URLs a host's robots disallow are
+        # denied at the fetch layer with status 999 — never dialed.
+        # Complements the classify-time robots gate (cfg.enforce_robots,
+        # reference parity) for crawls whose robots aren't known up front.
+        self.live_robots = live_robots
 
 
 def _crawl_links_udf(cfg: CrawlConfig):
@@ -809,6 +818,9 @@ class SparkCrawl:
             )
         else:
             safe, denied = selected, None
+        robots_denied = None
+        if eng.live_robots:
+            safe, robots_denied = self._apply_live_robots(safe)
         if self.cond_fetch_udf is not None:
             fetched = self._cond_fetch(safe)
         else:
@@ -818,9 +830,76 @@ class SparkCrawl:
                 "status",
                 F.when(F.col("html").isNotNull(), 200).otherwise(404),
             )
-        if denied is not None:
-            fetched = fetched.unionByName(denied.select(*fetched.columns))
+        for extra in (denied, robots_denied):
+            if extra is not None:
+                fetched = fetched.unionByName(extra.select(*fetched.columns))
         return fetched
+
+    def _fetch_body_col(self, url_col):
+        """Raw fetch of an arbitrary URL column via whichever live UDF the
+        crawl was built with (plain or conditional, validators null)."""
+        if self.cond_fetch_udf is not None:
+            return self.cond_fetch_udf(
+                url_col, F.lit(None).cast("string"),
+                F.lit(None).cast("string"))["html"]
+        return self.fetch_udf(url_col)
+
+    def _apply_live_robots(self, safe: DataFrame):
+        """North-rule robots.txt cache, live modes: fetch robots once per
+        newly-seen selection host (appended to the robots_cache table, so
+        resume never refetches), then deny selected URLs the host's robots
+        disallow — status 999, fetch UDF never invoked for them. All joins
+        are bounded by the round's host set: the cache streams against a
+        broadcast of the selection hosts, never shuffles."""
+        io = self.io
+        round_no = io.committed_round() + 1
+        sel_hosts = safe.select("host").distinct()
+        try:
+            cached = io.read("robots_cache").select("host", "robots")
+        except FileNotFoundError:
+            cached = None
+        if cached is not None:
+            known = cached.join(F.broadcast(sel_hosts), "host", "inner")
+        else:
+            known = self.spark.createDataFrame(
+                [], "host string, robots string")
+        missing = self._pin(sel_hosts.join(
+            F.broadcast(known.select("host")), "host", "left_anti"))
+        if missing.count():
+            body = self._fetch_body_col(
+                F.concat(F.lit("https://"), F.col("host"),
+                         F.lit("/robots.txt")))
+            fetched = missing.select(
+                "host",
+                F.coalesce(F.decode(body, "UTF-8"), F.lit(""))
+                .alias("robots"),
+            )
+            # write-then-read-back: the robots fetch runs exactly once,
+            # and a crash before the round commit rolls the file back
+            io.append(fetched.coalesce(1), "robots_cache", round_no)
+            known = known.unionByName(
+                io.read_round("robots_cache", round_no)
+                .select("host", "robots"))
+
+        from ..kernels.robots import robots_allowed
+
+        def batch(robots: pd.Series, urls: pd.Series) -> pd.Series:
+            return pd.Series([robots_allowed(r, u or "")
+                              for r, u in zip(robots, urls)])
+
+        allowed_udf = pandas_udf(batch, T.BooleanType())
+        flagged = self._pin(
+            safe.join(F.broadcast(known), "host", "left")
+            .withColumn("_rb_ok", allowed_udf(F.col("robots"), F.col("url")))
+            .drop("robots")
+        )
+        ok = flagged.filter(F.col("_rb_ok")).drop("_rb_ok")
+        blocked = (
+            flagged.filter(~F.col("_rb_ok")).drop("_rb_ok")
+            .withColumn("html", F.lit(None).cast("binary"))
+            .withColumn("status", F.lit(999))
+        )
+        return ok, blocked
 
     def _cond_fetch(self, safe: DataFrame) -> DataFrame:
         """Conditional GET round (J5's live form): probe the validator
