@@ -34,6 +34,11 @@ Operator-family mapping (SURVEY.md §2 → query):
                                          + q_dup_degree_cap (skew-guarded
                                          variant, directed-reach oracle)
   SSRF guard classify (live fetch)     → q_ssrf_classify (octet-range oracle)
+  embedding near-dup (bucketed cosine) → q_embed_neardup (bucket+cosine
+                                         recomputed in SQL from shared
+                                         hyperplane constants)
+  n-gram Jaccard (exact, verification) → q_ngram_jaccard (tokenization +
+                                         set-ratio twin in SQL)
   ANN top-k (RP-LSH bucketed)          → q_ann_topk (FULL oracle: bucketing
                                          recomputed in SQL from shared plane
                                          constants + exact rerank)
@@ -521,6 +526,42 @@ def q_ssrf_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (bucket self-join + exact
+    cosine verify, operators/similarity.py) — FULL oracle: the DuckDB twin
+    recomputes every vector's sign-bit bucket from the SAME hyperplane
+    constants (imported), self-joins on bucket, and verifies with the same
+    sequential-order cosine. Threshold chosen so the synthetic (near-
+    random) embeddings yield a non-trivial pair set; cosine rounded to 6
+    in the projection only."""
+    from webcrawl_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
+    return (
+        embedding_near_dup_pairs(emb, dim=64, threshold=0.18, n_bits=6,
+                                 seed=7, id_col="vec_id")
+        .select("doc_a", "doc_b", F.round("cosine", 6).alias("cosine"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs (verification-scale operator) over a
+    bounded doc subset — FULL oracle: the DuckDB twin replicates the
+    tokenization (lower, \\s+ split of the trimmed text), the partial-gram
+    edge for short docs, and the set-semantics intersect/union ratio."""
+    from webcrawl_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _load(spark, sf_dir, "documents")["documents"] \
+        .filter((F.col("doc_id") < 200) & (F.trim("text") != "")) \
+        .withColumn("text", F.trim(F.col("text")))
+    return (
+        ngram_jaccard_pairs(docs, n=3, threshold=0.3)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale-path MinHash configuration (vectorized FNV shingle hash +
     Mersenne permutations — no per-shingle md5): rows-only driver check;
@@ -624,6 +665,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dup_groups": q_dup_groups,
         "q_dup_degree_cap": q_dup_degree_cap,
         "q_ssrf_classify": q_ssrf_classify,
+        "q_embed_neardup": q_embed_neardup,
+        "q_ngram_jaccard": q_ngram_jaccard,
         "q_simhash_pairs": q_simhash_pairs,
         "q_minhash_dedup": q_minhash_dedup,
         "q_ann_topk": q_ann_topk,
@@ -751,6 +794,65 @@ _DUP_DEGREE_CAP_ORACLE_SQL = """
     )
     SELECT id AS doc, min(r) AS component
     FROM reach GROUP BY id ORDER BY doc
+"""
+def _embed_neardup_oracle_sql() -> str:
+    """Bucketed near-dup twin: sign-bit buckets from the shared hyperplane
+    constants, bucket self-join with vec_id ordering, exact cosine — the
+    same sequential summation the ann oracle already proved
+    order-identical across engines."""
+    import numpy as np  # noqa: F401  (parity with _ann_oracle_sql imports)
+
+    from webcrawl_spark.operators.similarity import _hyperplanes
+
+    n_bits, seed, dim = 6, 7, 64
+    planes = _hyperplanes(dim, n_bits, seed)
+    bits = " + ".join(
+        "(CASE WHEN ("
+        + " + ".join(f"embedding[{i + 1}]*({planes[j, i]!r})"
+                     for i in range(dim))
+        + f") > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(n_bits)
+    )
+    return f"""
+        WITH b AS (
+          SELECT vec_id, embedding, ({bits}) AS bucket,
+                 sqrt(list_aggregate(
+                   list_transform(embedding, x -> x*x), 'sum')) AS nrm
+          FROM embeddings
+        ), pairs AS (
+          SELECT x.vec_id AS doc_a, y.vec_id AS doc_b,
+                 list_aggregate(list_transform(range(1, {dim + 1}),
+                   i -> x.embedding[i::INT] * y.embedding[i::INT]), 'sum')
+                 / (x.nrm * y.nrm) AS cosine
+          FROM b x JOIN b y
+            ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        )
+        SELECT DISTINCT doc_a, doc_b, round(cosine, 6) AS cosine
+        FROM pairs WHERE cosine >= 0.18
+        ORDER BY doc_a, doc_b
+    """
+
+
+_NGRAM_JACCARD_ORACLE_SQL = r"""
+    WITH W AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS w
+      FROM documents WHERE doc_id < 200 AND trim(text) != ''
+    ), G AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(0, greatest(len(w) - 3, 0) + 1),
+               i -> array_to_string(w[(i+1)::INT:(i+3)::INT], ' '))) AS g
+      FROM W
+    ), P AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.g, b.g))::DOUBLE
+             / len(list_distinct(list_concat(a.g, b.g))) AS jaccard
+      FROM G a JOIN G b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+    FROM P WHERE jaccard >= 0.3
+    ORDER BY doc_a, doc_b
 """
 # q_dup_degree_cap oracle: the same cap derivation as
 # dup_components(max_degree=4) — symmetrize, row_number per node ordered by
@@ -1110,6 +1212,8 @@ def oracle_sql() -> dict[str, str]:
         "q_dup_groups": _dup_groups_oracle_sql(),
         "q_dup_degree_cap": _DUP_DEGREE_CAP_ORACLE_SQL,
         "q_ssrf_classify": _SSRF_ORACLE_SQL,
+        "q_embed_neardup": _embed_neardup_oracle_sql(),
+        "q_ngram_jaccard": _NGRAM_JACCARD_ORACLE_SQL,
         "q_simhash_pairs": _SIMHASH_ORACLE_SQL,
         "q_ann_topk": _ann_oracle_sql(),
         # q_minhash_dedup (scale-path config) / q_image_plumbing /

@@ -216,6 +216,47 @@ class TestMultimodal:
         assert len(v1) == 5
         assert v1[1]["frame_ts"] == pytest.approx(2.0)
 
+    def test_audio_plumbing(self, spark):
+        from webcrawl_spark.operators.multimodal import (
+            _decode_audio_real, audio_features,
+        )
+
+        rows = [(f"a{i}", bytes([i] * (200 + i))) for i in range(6)]
+        df = spark.createDataFrame(rows, "media_id string, payload binary")
+        out = {r["media_id"]: r for r in
+               audio_features(df, fake=True).collect()}
+        assert len(out) == 6
+        r = out["a4"]
+        assert r["n_bytes"] == 204 and r["n_samples"] == 102
+        assert r["duration_s"] == pytest.approx(102 / r["sample_rate"])
+        assert len(r["feature"]) == 8
+        with pytest.raises(NotImplementedError):
+            _decode_audio_real(b"x")
+
+    def test_resize_plumbing(self, spark):
+        from webcrawl_spark.operators.multimodal import (
+            _decode_image_fake, _resize_image_real, resize_images,
+        )
+
+        rows = [(f"m{i}", bytes([i] * 4000)) for i in range(6)]
+        df = spark.createDataFrame(rows, "media_id string, payload binary")
+        out = {r["media_id"]: r for r in
+               resize_images(df, max_w=100, max_h=80, fake=True).collect()}
+        assert len(out) == 6
+        for i in range(6):
+            r = out[f"m{i}"]
+            src_w, src_h, _, _ = _decode_image_fake(bytes([i] * 4000))
+            # aspect-preserving fit, never upscaled
+            assert r["width"] <= 100 and r["height"] <= 80
+            assert r["scale"] <= 1.0
+            assert r["width"] == max(1, int(src_w * r["scale"]))
+            assert len(r["resized"]) <= 4000
+            # byte budget tracks the area ratio
+            assert len(r["resized"]) == max(
+                1, int(4000 * r["scale"] * r["scale"]))
+        with pytest.raises(NotImplementedError):
+            _resize_image_real(b"x", 10, 10)
+
 
 class TestSitemap:
     def test_parse_urlset(self):
