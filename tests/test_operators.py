@@ -370,3 +370,25 @@ class TestDupComponents:
         assert star_nodes == set(range(1, 402))
         assert {got[n] for n in star_nodes} == {1}
         assert got[1000] == got[1001] == 1000
+
+
+class TestEnsureParallel:
+    def test_single_partition_input_is_spread(self, spark):
+        """A one-file parquet read arrives as one partition; the signature
+        stages must fan it out to the scheduler's parallelism so the
+        Arrow-UDF work doesn't serialize on one core."""
+        from webcrawl_spark.operators.dedup import _ensure_parallel
+
+        df = spark.range(1000).coalesce(1)
+        out = _ensure_parallel(df)
+        assert out.rdd.getNumPartitions() == \
+            spark.sparkContext.defaultParallelism
+
+    def test_already_parallel_input_untouched(self, spark):
+        """At corpus scale inputs carry >= cores partitions — the guard must
+        be an identity there (no extra shuffle in the plan)."""
+        from webcrawl_spark.operators.dedup import _ensure_parallel
+
+        n = spark.sparkContext.defaultParallelism
+        df = spark.range(1000).repartition(n + 4)
+        assert _ensure_parallel(df) is df

@@ -41,6 +41,19 @@ __all__ = [
 _MERSENNE = (1 << 61) - 1
 
 
+def _ensure_parallel(df: DataFrame) -> DataFrame:
+    """Small-input parallelism guard for the Arrow-UDF signature stages: a
+    small parquet file arrives as ONE partition, serializing the whole
+    signature computation on one core regardless of cluster size. Spread
+    to the scheduler's parallelism when the input has fewer partitions —
+    at corpus scale inputs carry far more partitions than cores and this
+    is a no-op (no shuffle added)."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Keep one row (lowest id) per exact normalized-text duplicate group."""
@@ -179,7 +192,7 @@ def minhash_lsh_pairs(
     # ContextCleaner when the DataFrame is garbage-collected, so repeated
     # operator calls in one session don't accumulate storage (a plain
     # .cache() lives in the CacheManager until explicitly unpersisted).
-    sigs = df.select(
+    sigs = _ensure_parallel(df).select(
         F.col(id_col),
         (signatures or minhash_signatures(num_perm))(F.col(text_col))
         .alias("sig"),
@@ -319,7 +332,7 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
     verify with JVM-side XOR popcount. ``simhash`` selects the hash variant:
     default is the vectorized FNV scale path; pass ``simhash_column()`` for
     the md5 oracle-recomputable configuration."""
-    sims = df.select(
+    sims = _ensure_parallel(df).select(
         F.col(id_col).alias("doc"),
         (simhash or simhash_column_fnv())(F.col(text_col)).alias("sim"),
     ).localCheckpoint(eager=False)  # self-cleaning pin, see minhash_lsh_pairs
