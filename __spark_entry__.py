@@ -640,6 +640,58 @@ def q_image_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition signals: duplicate 2/3-gram
+    fractions + top-word fraction (linear sorted-run fold, no shuffle)."""
+    from webcrawl_spark.operators.textstats import repetition_stats
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    stats = repetition_stats(F.col("text"))
+    return docs.select(
+        "doc_id",
+        stats["n_words"].alias("n_words"),
+        F.round(stats["dup_2gram_frac"], 6).alias("dup_2gram_frac"),
+        F.round(stats["dup_3gram_frac"], 6).alias("dup_3gram_frac"),
+        F.round(stats["top_word_frac"], 6).alias("top_word_frac"),
+    ).orderBy("doc_id")
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: deterministic per-doc email/IP/card/phone suffixes are
+    appended (documents carry none natively), then redacted with the
+    chained native regexp passes."""
+    from webcrawl_spark.operators.textstats import redact_pii
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    suffix = F.format_string(
+        " contact u%d@mail.example.com or 10.0.%d.7,"
+        " card 4111111111%06d, tel +1 (555) %03d-0199",
+        F.col("doc_id"), F.pmod(F.col("doc_id"), F.lit(256)),
+        F.pmod(F.col("doc_id"), F.lit(1000000)),
+        F.pmod(F.col("doc_id"), F.lit(1000)),
+    )
+    seeded = docs.select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("seeded"))
+    return seeded.select(
+        "doc_id", redact_pii(F.col("seeded")).alias("clean_text")
+    ).orderBy("doc_id")
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (CCNet-style): documents are given a
+    line structure by splitting on ' the ', then lines shared by >= 8
+    distinct docs are dropped corpus-wide."""
+    from webcrawl_spark.operators.dedup import remove_boilerplate_lines
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    structured = docs.select(
+        "doc_id", F.regexp_replace("text", " the ", "\n").alias("text"))
+    out = remove_boilerplate_lines(structured, min_docs=8)
+    return out.select(
+        "doc_id", F.col("text").alias("clean_text"), "n_lines_removed"
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_admission_reasons": q_admission_reasons,
@@ -672,6 +724,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_topk": q_ann_topk,
         "q_crawl_round": q_crawl_round,
         "q_image_plumbing": q_image_plumbing,
+        "q_repetition": q_repetition,
+        "q_pii_redact": q_pii_redact,
+        "q_line_dedup": q_line_dedup,
     }
 
 
@@ -983,6 +1038,108 @@ _SIMHASH_ORACLE_SQL = r"""
 """
 
 
+def _pii_oracle_sql() -> str:
+    """Chained regexp_replace twin built from the SAME pattern table the
+    Spark operator uses (textstats._PII_PATTERNS) — one source of truth;
+    patterns are lookaround-free so Java and RE2 agree."""
+    from webcrawl_spark.operators.textstats import _PII_PATTERNS
+
+    expr = "seeded"
+    for pat, token in _PII_PATTERNS:
+        expr = ("regexp_replace({e}, '{p}', '{t}', 'g')"
+                .format(e=expr, p=pat.replace("'", "''"), t=token))
+    return f"""
+        WITH seeded AS (
+          SELECT doc_id,
+                 text || printf(
+                   ' contact u%d@mail.example.com or 10.0.%d.7,'
+                   ' card 4111111111%06d, tel +1 (555) %03d-0199',
+                   doc_id, doc_id % 256, doc_id % 1000000, doc_id % 1000)
+                 AS seeded
+          FROM documents)
+        SELECT doc_id, {expr} AS clean_text
+        FROM seeded ORDER BY doc_id
+    """
+
+
+_REPETITION_ORACLE_SQL = f"""
+    WITH w AS (
+      SELECT doc_id,
+             unnest({_WORDS_SQL.format(col="text")}) AS word,
+             generate_subscripts({_WORDS_SQL.format(col="text")}, 1) AS pos
+      FROM documents
+    ), tw AS (
+      SELECT doc_id, count(*) AS n_words FROM w GROUP BY doc_id
+    ), tc AS (
+      SELECT doc_id, max(cnt) AS top_cnt
+      FROM (SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY doc_id, word)
+      GROUP BY doc_id
+    ), g2 AS (
+      SELECT doc_id, count(*)::DOUBLE AS n, count(DISTINCT gram)::DOUBLE AS d
+      FROM (SELECT doc_id,
+                   word || ' ' || lead(word) OVER
+                     (PARTITION BY doc_id ORDER BY pos) AS gram
+            FROM w)
+      WHERE gram IS NOT NULL GROUP BY doc_id
+    ), g3 AS (
+      SELECT doc_id, count(*)::DOUBLE AS n, count(DISTINCT gram)::DOUBLE AS d
+      FROM (SELECT doc_id,
+                   word || ' ' || lead(word, 1) OVER
+                     (PARTITION BY doc_id ORDER BY pos)
+                        || ' ' || lead(word, 2) OVER
+                     (PARTITION BY doc_id ORDER BY pos) AS gram
+            FROM w)
+      WHERE gram IS NOT NULL GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(tw.n_words, 0) AS n_words,
+           round(coalesce((g2.n - g2.d) / g2.n, 0), 6) AS dup_2gram_frac,
+           round(coalesce((g3.n - g3.d) / g3.n, 0), 6) AS dup_3gram_frac,
+           round(coalesce(tc.top_cnt::DOUBLE / tw.n_words, 0), 6)
+             AS top_word_frac
+    FROM documents d
+    LEFT JOIN tw USING (doc_id)
+    LEFT JOIN tc USING (doc_id)
+    LEFT JOIN g2 USING (doc_id)
+    LEFT JOIN g3 USING (doc_id)
+    ORDER BY d.doc_id
+"""
+
+
+_LINE_DEDUP_ORACLE_SQL = """
+    WITH structured AS (
+      SELECT doc_id, regexp_replace(text, ' the ', chr(10), 'g') AS t
+      FROM documents
+    ), lines AS (
+      SELECT doc_id,
+             unnest(string_split(t, chr(10))) AS line,
+             generate_subscripts(string_split(t, chr(10)), 1) AS pos
+      FROM structured
+    ), keys AS (
+      SELECT doc_id, pos, line, trim(lower(line)) AS k FROM lines
+    ), bl AS (
+      SELECT k FROM keys WHERE k <> ''
+      GROUP BY k HAVING count(DISTINCT doc_id) >= 8
+    ), kept AS (
+      SELECT doc_id, pos, line FROM keys
+      WHERE k NOT IN (SELECT k FROM bl)
+    ), rebuilt AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ), totals AS (
+      SELECT doc_id, count(*) AS n_lines FROM keys GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           coalesce(r.clean_text, '') AS clean_text,
+           (t2.n_lines - coalesce(r.n_kept, 0)) AS n_lines_removed
+    FROM structured s
+    JOIN totals t2 USING (doc_id)
+    LEFT JOIN rebuilt r USING (doc_id)
+    ORDER BY s.doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     words = _WORDS_SQL.format(col="text")
     return {
@@ -1216,6 +1373,9 @@ def oracle_sql() -> dict[str, str]:
         "q_ngram_jaccard": _NGRAM_JACCARD_ORACLE_SQL,
         "q_simhash_pairs": _SIMHASH_ORACLE_SQL,
         "q_ann_topk": _ann_oracle_sql(),
+        "q_repetition": _REPETITION_ORACLE_SQL,
+        "q_pii_redact": _pii_oracle_sql(),
+        "q_line_dedup": _LINE_DEDUP_ORACLE_SQL,
         # q_minhash_dedup (scale-path config) / q_image_plumbing /
         # q_crawl_round: non-SQL-expressible → rows-only checks
         # (driver contract).

@@ -392,3 +392,108 @@ class TestEnsureParallel:
         n = spark.sparkContext.defaultParallelism
         df = spark.range(1000).repartition(n + 4)
         assert _ensure_parallel(df) is df
+
+
+class TestRepetitionStats:
+    def test_duplicate_ngrams_counted(self, spark):
+        from webcrawl_spark.operators.textstats import with_repetition_stats
+
+        rows = [
+            (1, "spam spam spam spam"),             # all repeats
+            (2, "alpha beta gamma delta epsilon"),  # no repeats
+            (3, ""),                                # empty doc
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        got = {r["doc_id"]: r for r in with_repetition_stats(df).collect()}
+        # doc 1: 3 bigrams, all "spam spam" -> 2/3 duplicated; top word 4/4
+        assert got[1]["dup_2gram_frac"] == pytest.approx(2 / 3)
+        assert got[1]["dup_3gram_frac"] == pytest.approx(1 / 2)
+        assert got[1]["top_word_frac"] == pytest.approx(1.0)
+        assert got[2]["dup_2gram_frac"] == 0.0
+        assert got[2]["top_word_frac"] == pytest.approx(1 / 5)
+        assert got[3]["dup_2gram_frac"] == 0.0
+        assert got[3]["top_word_frac"] == 0.0
+
+    def test_top_word_fold_matches_groupby(self, spark):
+        """The linear sorted-run fold must equal the straightforward
+        explode+groupBy max count."""
+        from webcrawl_spark.operators.textstats import (
+            repetition_stats, _words)
+
+        rows = [(i, " ".join(
+            ["w%d" % ((i * 7 + j * j) % 13) for j in range(40)]))
+            for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        fold = {r["doc_id"]: r["f"] for r in df.select(
+            "doc_id",
+            repetition_stats(F.col("text"))["top_word_frac"].alias("f"),
+        ).collect()}
+        ref = {
+            r["doc_id"]: r["m"] / 40
+            for r in df.select("doc_id",
+                               F.explode(_words(F.col("text"))).alias("w"))
+            .groupBy("doc_id", "w").count()
+            .groupBy("doc_id").agg(F.max("count").alias("m")).collect()
+        }
+        assert fold == pytest.approx(ref)
+
+
+class TestRedactPii:
+    def test_all_pattern_classes(self, spark):
+        from webcrawl_spark.operators.textstats import redact_pii
+
+        rows = [(1, "mail bob.smith+x@corp.example.co, ip 10.0.255.7, "
+                    "card 4111111111111111, call +1 (555) 010-9999 now")]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        out = df.select(redact_pii(F.col("text")).alias("t")).first()["t"]
+        assert "<EMAIL>" in out and "bob" not in out
+        assert "<IP>" in out and "10.0.255.7" not in out
+        assert "<CARD>" in out and "4111111111111111" not in out
+        assert "<PHONE>" in out and "555" not in out
+
+    def test_clean_text_untouched(self, spark):
+        from webcrawl_spark.operators.textstats import redact_pii
+
+        txt = "an ordinary sentence with version 2.5 and year 2024"
+        df = spark.createDataFrame([(1, txt)], "doc_id int, text string")
+        assert df.select(redact_pii(F.col("text")).alias("t")).first()["t"] == txt
+
+
+class TestBoilerplateLines:
+    def test_common_lines_removed_order_kept(self, spark):
+        from webcrawl_spark.operators.dedup import remove_boilerplate_lines
+
+        cookie = "Accept cookies to continue"
+        rows = [
+            (1, f"{cookie}\nunique first body\nmore text one"),
+            (2, f"{cookie}\nunique second body"),
+            (3, f"accept cookies to continue\nunique third body"),  # case-insensitive hit
+            (4, "entirely unique document"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        got = {r["doc_id"]: r for r in
+               remove_boilerplate_lines(df, min_docs=3).collect()}
+        assert got[1]["text"] == "unique first body\nmore text one"
+        assert got[1]["n_lines_removed"] == 1
+        assert got[3]["text"] == "unique third body"
+        assert got[4]["text"] == "entirely unique document"
+        assert got[4]["n_lines_removed"] == 0
+
+    def test_blank_lines_never_boilerplate(self, spark):
+        from webcrawl_spark.operators.dedup import remove_boilerplate_lines
+
+        rows = [(i, f"para{i} a\n\npara{i} b") for i in range(5)]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        out = remove_boilerplate_lines(df, min_docs=2).collect()
+        assert all(r["n_lines_removed"] == 0 for r in out)
+        assert all("\n\n" in r["text"] for r in out)
+
+    def test_repeated_line_within_one_doc_all_dropped(self, spark):
+        from webcrawl_spark.operators.dedup import remove_boilerplate_lines
+
+        rows = [(1, "nav menu\nbody one\nnav menu"), (2, "nav menu\nbody two")]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        got = {r["doc_id"]: r for r in
+               remove_boilerplate_lines(df, min_docs=2).collect()}
+        assert got[1]["text"] == "body one"
+        assert got[1]["n_lines_removed"] == 2

@@ -36,6 +36,7 @@ __all__ = [
     "simhash_column_fnv",
     "simhash_near_dup_pairs",
     "ngram_jaccard_pairs",
+    "remove_boilerplate_lines",
 ]
 
 _MERSENNE = (1 << 61) - 1
@@ -62,6 +63,52 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1).drop("_rn")
+    )
+
+
+def remove_boilerplate_lines(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             min_docs: int = 2) -> DataFrame:
+    """CCNet-style line-level boilerplate removal: a normalized line
+    (lowercased, trimmed, non-blank) that occurs in >= ``min_docs`` DISTINCT
+    documents is dropped from every document. Returns the input columns with
+    ``text_col`` cleaned plus ``n_lines_removed``.
+
+    Scale shape: the corpus-wide aggregation moves only 64-bit line hashes
+    (map-side partial countDistinct), and the drop-position join moves only
+    (doc, pos) pairs for boilerplate hits — never document text. The final
+    join back to ``df`` is on ``id_col``; AQE broadcasts the drop side when
+    few documents are affected, and with the corpus bucketed by id it is a
+    storage-partitioned join. Rebuild is a per-row indexed array filter, so
+    text itself is never exploded into the shuffle."""
+    lines = F.split(F.col(text_col), "\n")
+    exploded = df.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(lines).alias("_pos", "_line"),
+    ).select(
+        "_doc", "_pos",
+        F.trim(F.lower(F.col("_line"))).alias("_norm"),
+    ).withColumn("_key", F.xxhash64(F.col("_norm")))
+    bl_keys = (
+        exploded.filter(F.col("_norm") != "")
+        .groupBy("_key")
+        .agg(F.countDistinct("_doc").alias("_docs"))
+        .filter(F.col("_docs") >= min_docs)
+        .select("_key")
+    )
+    drops = (
+        exploded.join(bl_keys, "_key")
+        .groupBy("_doc")
+        .agg(F.collect_set("_pos").alias("_drop_pos"))
+    )
+    joined = df.join(drops, df[id_col] == drops["_doc"], "left")
+    drop_pos = F.coalesce(F.col("_drop_pos"),
+                          F.array().cast("array<int>"))
+    kept = F.filter(lines, lambda x, i: ~F.array_contains(drop_pos, i))
+    return (
+        joined.withColumn("n_lines_removed", F.size(drop_pos))
+        .withColumn(text_col, F.array_join(kept, "\n"))
+        .drop("_doc", "_drop_pos")
     )
 
 

@@ -16,6 +16,9 @@ __all__ = [
     "quality_score",
     "language_guess",
     "fingerprint",
+    "repetition_stats",
+    "with_repetition_stats",
+    "redact_pii",
     "with_text_stats",
 ]
 
@@ -106,6 +109,96 @@ def language_guess(text: Column) -> Column:
     # fold so earlier languages win ties)
     for lang in reversed(list(scores)):
         out = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def _word_ngrams(words: Column, n: int) -> Column:
+    """Sliding word n-grams as space-joined strings (empty array when the
+    document has fewer than n words)."""
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _dup_frac(grams: Column) -> Column:
+    n = F.size(grams)
+    return F.when(
+        n > 0, (n - F.size(F.array_distinct(grams))) / n
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_stats(text: Column) -> dict[str, Column]:
+    """Gopher-style within-document repetition signals (used to drop
+    machine-generated / boilerplate-heavy pages from training corpora):
+
+    - dup_2gram_frac / dup_3gram_frac: fraction of word n-grams that are
+      repeats of an earlier n-gram in the same document,
+    - top_word_frac: fraction of all words taken by the single most
+      frequent word (computed linearly with a fold over the sorted word
+      array — no quadratic scan, no shuffle, whole-stage codegen).
+
+    All pure Column expressions; exact ANSI-SQL oracle twin in
+    __spark_entry__.py (q_repetition). Reference scope: quality gating is
+    G1/G3 territory (gatekeeper.ts); these are the corpus-scale additions
+    a training-data pipeline layers on top."""
+    words = _words(text)
+    n_words = F.size(words)
+    sorted_w = F.array_sort(words)
+    # linear longest-equal-run fold over the sorted words = max unigram count
+    run_state = F.aggregate(
+        sorted_w,
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best")),
+        lambda acc, w: F.struct(
+            w.alias("prev"),
+            F.when(w == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(w == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )
+    return {
+        "n_words": n_words,
+        "dup_2gram_frac": _dup_frac(_word_ngrams(words, 2)),
+        "dup_3gram_frac": _dup_frac(_word_ngrams(words, 3)),
+        "top_word_frac": F.when(
+            n_words > 0, run_state["best"] / n_words
+        ).otherwise(F.lit(0.0)),
+    }
+
+
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    stats = repetition_stats(F.col(text_col))
+    out = df
+    for name, col in stats.items():
+        out = out.withColumn(name, col)
+    return out
+
+
+# PII patterns: lookaround-free so the Java (Spark) and RE2 (DuckDB oracle)
+# engines match identically. Applied in order — IP before phone so dotted
+# quads aren't half-eaten by the looser phone pattern.
+_PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    (r"\b[0-9]{13,19}\b", "<CARD>"),
+    (r"\+?[0-9][0-9()\s.-]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrub common PII shapes (emails, IPv4s, long card-like digit runs,
+    phone-like digit runs) with typed placeholder tokens — the standard
+    pre-training privacy pass. Chained native regexp_replace, codegen'd;
+    SQL oracle twin q_pii_redact."""
+    out = text
+    for pat, token in _PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
     return out
 
 
