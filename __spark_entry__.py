@@ -692,6 +692,37 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report per (source, lang): the numbers a
+    data-mixing decision reads."""
+    from webcrawl_spark.operators.corpus import corpus_mixture
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return corpus_mixture(docs).orderBy("source", "lang")
+
+
+def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (hash-salted md5 draw): per-lang
+    rates with a default for unlisted strata — reproducible across runs,
+    partitionings and cluster sizes, and exactly recomputable in SQL."""
+    from webcrawl_spark.operators.corpus import stratified_sample
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    out = stratified_sample(docs, {"en": 0.8, "de": 0.5},
+                            strata_col="lang", default_frac=0.25)
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+def q_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (32-word windows, 8-word overlap) — the
+    embedding/context-packing prep step."""
+    from webcrawl_spark.operators.corpus import chunk_documents
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return chunk_documents(docs, max_words=32, overlap=8) \
+        .orderBy("doc_id", "chunk_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_admission_reasons": q_admission_reasons,
@@ -727,6 +758,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition": q_repetition,
         "q_pii_redact": q_pii_redact,
         "q_line_dedup": q_line_dedup,
+        "q_corpus_mixture": q_corpus_mixture,
+        "q_sample_mix": q_sample_mix,
+        "q_chunking": q_chunking,
     }
 
 
@@ -1140,6 +1174,51 @@ _LINE_DEDUP_ORACLE_SQL = """
 """
 
 
+def _sample_mix_oracle_sql() -> str:
+    """Thresholds derived exactly as the operator derives them
+    (int(frac * 2^32)); the md5-prefix draw is recomputed in SQL."""
+    buckets = 1 << 32
+    t = {"en": int(0.8 * buckets), "de": int(0.5 * buckets),
+         "_": int(0.25 * buckets)}
+    return f"""
+        SELECT doc_id, lang FROM documents
+        WHERE ('0x' || substr(md5('s0' || doc_id::VARCHAR), 1, 8))::UBIGINT
+              < CASE WHEN lang = 'en' THEN {t['en']}
+                     WHEN lang = 'de' THEN {t['de']}
+                     ELSE {t['_']} END
+        ORDER BY doc_id
+    """
+
+
+_CORPUS_MIXTURE_ORACLE_SQL = f"""
+    WITH per AS (
+      SELECT source, lang, count(*) AS n_docs,
+             sum(len({_WORDS_SQL.format(col="text")}))::BIGINT AS n_words,
+             sum(length(text))::BIGINT AS n_chars
+      FROM documents GROUP BY source, lang)
+    SELECT source, lang, n_docs, n_words, n_chars,
+           round(n_words::DOUBLE / (SELECT sum(n_words) FROM per), 6)
+             AS word_share
+    FROM per ORDER BY source, lang
+"""
+
+
+_CHUNKING_ORACLE_SQL = f"""
+    WITH w AS (
+      SELECT doc_id, {_WORDS_SQL.format(col="text")} AS ws FROM documents
+    ), starts AS (
+      SELECT doc_id, ws,
+             unnest(range(0, len(ws), 24)) AS s,
+             generate_subscripts(range(0, len(ws), 24), 1) AS cid
+      FROM w WHERE len(ws) > 0
+    )
+    SELECT doc_id, cid - 1 AS chunk_id,
+           array_to_string(list_slice(ws, s + 1, s + 32), ' ') AS chunk_text,
+           len(list_slice(ws, s + 1, s + 32)) AS n_words_chunk
+    FROM starts ORDER BY doc_id, chunk_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     words = _WORDS_SQL.format(col="text")
     return {
@@ -1376,6 +1455,9 @@ def oracle_sql() -> dict[str, str]:
         "q_repetition": _REPETITION_ORACLE_SQL,
         "q_pii_redact": _pii_oracle_sql(),
         "q_line_dedup": _LINE_DEDUP_ORACLE_SQL,
+        "q_corpus_mixture": _CORPUS_MIXTURE_ORACLE_SQL,
+        "q_sample_mix": _sample_mix_oracle_sql(),
+        "q_chunking": _CHUNKING_ORACLE_SQL,
         # q_minhash_dedup (scale-path config) / q_image_plumbing /
         # q_crawl_round: non-SQL-expressible → rows-only checks
         # (driver contract).

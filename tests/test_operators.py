@@ -497,3 +497,61 @@ class TestBoilerplateLines:
                remove_boilerplate_lines(df, min_docs=2).collect()}
         assert got[1]["text"] == "body one"
         assert got[1]["n_lines_removed"] == 2
+
+
+class TestCorpusOps:
+    def test_deterministic_sample_reproducible(self, spark):
+        from webcrawl_spark.operators.corpus import deterministic_sample
+
+        df = spark.range(2000).withColumnRenamed("id", "doc_id")
+        a = {r[0] for r in deterministic_sample(df, 0.5).collect()}
+        b = {r[0] for r in
+             deterministic_sample(df.repartition(7), 0.5).collect()}
+        assert a == b                      # partitioning-independent
+        assert 850 <= len(a) <= 1150      # ~Binomial(2000, .5)
+        c = {r[0] for r in deterministic_sample(df, 0.5, salt="s1").collect()}
+        assert c != a                      # new salt = independent draw
+
+    def test_stratified_sample_rates(self, spark):
+        from webcrawl_spark.operators.corpus import stratified_sample
+
+        rows = [(i, "keep" if i % 2 else "drop") for i in range(1000)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = stratified_sample(df, {"keep": 1.0, "drop": 0.0}).collect()
+        assert len(out) == 500
+        assert all(r["source"] == "keep" for r in out)
+
+    def test_corpus_mixture_shares(self, spark):
+        from webcrawl_spark.operators.corpus import corpus_mixture
+
+        rows = [(1, "a", "en", "one two three"), (2, "a", "en", "four five"),
+                (3, "b", "de", "sechs sieben acht neun zehn")]
+        df = spark.createDataFrame(
+            rows, "doc_id int, source string, lang string, text string")
+        got = {(r["source"], r["lang"]): r for r in corpus_mixture(df).collect()}
+        assert got[("a", "en")]["n_docs"] == 2
+        assert got[("a", "en")]["n_words"] == 5
+        assert got[("a", "en")]["word_share"] == pytest.approx(0.5)
+        assert sum(r["word_share"] for r in got.values()) == pytest.approx(1.0)
+
+    def test_chunk_windows(self, spark):
+        from webcrawl_spark.operators.corpus import chunk_documents
+
+        df = spark.createDataFrame(
+            [(1, " ".join(f"w{i}" for i in range(10))), (2, "")],
+            "doc_id int, text string")
+        out = chunk_documents(df, max_words=4, overlap=1).collect()
+        by_chunk = {(r["doc_id"], r["chunk_id"]): r for r in out}
+        # step 3 over 10 words -> starts 0,3,6,9
+        assert {k for k in by_chunk if k[0] == 1} == {(1, i) for i in range(4)}
+        assert by_chunk[(1, 0)]["chunk_text"] == "w0 w1 w2 w3"
+        assert by_chunk[(1, 1)]["chunk_text"] == "w3 w4 w5 w6"
+        assert by_chunk[(1, 3)]["chunk_text"] == "w9"
+        assert by_chunk[(1, 3)]["n_words_chunk"] == 1
+        assert not [k for k in by_chunk if k[0] == 2]   # empty doc: no chunks
+
+    def test_chunk_overlap_validation(self, spark):
+        from webcrawl_spark.operators.corpus import chunk_documents
+
+        with pytest.raises(ValueError):
+            chunk_documents(spark.range(1), max_words=4, overlap=4)

@@ -1,0 +1,116 @@
+"""Corpus-preparation operators for training-data pipelines: deterministic
+sampling, stratified mixing, composition reporting, and token-window
+chunking.
+
+Sampling is HASH-salted, not RNG-based: a row's fate depends only on
+(salt, key), so a sample is reproducible across runs, cluster sizes and
+partitionings — the property a 100-TB curation pipeline actually needs
+(resumable, auditable, and exactly re-computable by the DuckDB oracle).
+Everything here is pure Column expressions (whole-stage codegen, no
+shuffle except the intended aggregations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "sample_bucket",
+    "deterministic_sample",
+    "stratified_sample",
+    "corpus_mixture",
+    "chunk_documents",
+]
+
+# 32-bit bucket space for the md5-prefix draw.
+_BUCKETS = 1 << 32
+
+
+def sample_bucket(key: Column, salt: str = "s0") -> Column:
+    """Uniform 32-bit bucket from md5(salt || key) — the deterministic
+    coin. md5 (not xxhash64) so the SQL oracle can recompute it
+    bit-for-bit; only 8 hex chars are materialized per row."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8),
+        16, 10,
+    ).cast("long")
+
+
+def deterministic_sample(df: DataFrame, frac: float, key_col: str = "doc_id",
+                         salt: str = "s0") -> DataFrame:
+    """Keep ~frac of rows, decided per-row by the salted hash bucket.
+    Changing the salt draws an independent sample; the same (salt, frac)
+    always returns the identical row set."""
+    return df.filter(
+        sample_bucket(F.col(key_col), salt) < int(frac * _BUCKETS))
+
+
+def stratified_sample(df: DataFrame, fracs: dict[str, float],
+                      strata_col: str = "source", key_col: str = "doc_id",
+                      default_frac: float = 0.0,
+                      salt: str = "s0") -> DataFrame:
+    """Per-stratum sampling rates — the corpus-mixing primitive (e.g.
+    upweight books, downweight boilerplate-heavy crawl). Strata not in
+    ``fracs`` get ``default_frac``."""
+    threshold = F.lit(int(default_frac * _BUCKETS))
+    for value, frac in fracs.items():
+        threshold = F.when(
+            F.col(strata_col) == value, F.lit(int(frac * _BUCKETS))
+        ).otherwise(threshold)
+    return df.filter(sample_bucket(F.col(key_col), salt) < threshold)
+
+
+def corpus_mixture(df: DataFrame, by: list[str] | None = None,
+                   text_col: str = "text") -> DataFrame:
+    """Composition report per stratum: docs, words, chars and each
+    stratum's share of corpus words — what a data-mixing decision reads.
+    One partial-aggregated shuffle on the (small) strata key; the share
+    denominator comes from a single-row broadcast join, not a window over
+    the full corpus."""
+    from webcrawl_spark.operators.textstats import token_count
+
+    by = by or ["source", "lang"]
+    per = (
+        df.groupBy(*by)
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(token_count(F.col(text_col))).alias("n_words"),
+             F.sum(F.length(text_col)).alias("n_chars"))
+    )
+    total = per.agg(F.sum("n_words").alias("_total"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .withColumn("word_share",
+                    F.round(F.col("n_words") / F.col("_total"), 6))
+        .drop("_total")
+    )
+
+
+def chunk_documents(df: DataFrame, max_words: int = 128, overlap: int = 16,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split documents into overlapping token windows (embedding / context
+    packing prep): chunk i covers words [i*(max_words-overlap),
+    +max_words). Per-row array ops + one generator explode — no shuffle,
+    no Python. Zero-word documents yield zero chunks."""
+    if overlap >= max_words:
+        raise ValueError("overlap must be < max_words")
+    from webcrawl_spark.operators.textstats import _words
+
+    step = max_words - overlap
+    words = _words(F.col(text_col))
+    n = F.size(words)
+    last_start = (n - 1) - F.pmod(n - 1, F.lit(step))  # floor((n-1)/step)*step
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), last_start, F.lit(step))
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        starts, lambda s: F.slice(words, s + 1, max_words))
+    return df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_id", "_chunk"),
+    ).select(
+        id_col, "chunk_id",
+        F.array_join("_chunk", " ").alias("chunk_text"),
+        F.size("_chunk").alias("n_words_chunk"),
+    )
