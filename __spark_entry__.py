@@ -588,6 +588,22 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k in its oracle configuration: the coarse quantizer is the
+    seed-derived random-anchor set (data-independent, so the DuckDB twin
+    recomputes cell assignment, the nprobe probe set, and the exact rerank
+    from the same constants). The trained-k-means configuration is the
+    quality path, recall-gated in tests/test_operators.py::TestIvf and
+    measured by bench.py."""
+    from webcrawl_spark.operators.similarity import ivf_topk, random_anchors
+
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
+    anchors = random_anchors(64, 16, seed=11)
+    query = [1.0 if i == 0 else 0.0 for i in range(64)]
+    return ivf_topk(emb, query, anchors, k=10, nprobe=4) \
+        .select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
 def q_crawl_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The crawl engine itself (rows-only): a politeness-budgeted frontier
     crawl over a small deterministic synthetic site, returning the ordered
@@ -761,6 +777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_mixture": q_corpus_mixture,
         "q_sample_mix": q_sample_mix,
         "q_chunking": q_chunking,
+        "q_ivf_topk": q_ivf_topk,
     }
 
 
@@ -1219,6 +1236,49 @@ _CHUNKING_ORACLE_SQL = f"""
 """
 
 
+def _ivf_oracle_sql() -> str:
+    """Full twin of q_ivf_topk: recompute each embedding's IVF cell from
+    the SAME seed-derived anchor constants the Spark UDF uses (imported,
+    not copied), keep only the nprobe probed cells (computed here with the
+    same stable argsort), then exact-rerank by the UNROUNDED cosine with
+    the vec_id tie-break. Cell argmax ties break to the lowest index on
+    both sides (np.argmax ≙ first-match CASE)."""
+    import numpy as np
+
+    from webcrawl_spark.operators.similarity import random_anchors
+
+    n_cells, nprobe, dim, k = 16, 4, 64, 10
+    anchors = random_anchors(dim, n_cells, seed=11)
+    q = np.zeros(dim)
+    q[0] = 1.0
+    probes = [int(c) for c in
+              np.argsort(-(anchors @ q), kind="stable")[:nprobe]]
+    dots = ",\n                 ".join(
+        "(" + " + ".join(f"embedding[{i + 1}]*({anchors[c, i]!r})"
+                         for i in range(dim)) + f") AS d{c}"
+        for c in range(n_cells))
+    first_match = " ".join(f"WHEN d{c} = m THEN {c}"
+                           for c in range(n_cells))
+    return f"""
+        WITH d AS (
+          SELECT vec_id, embedding,
+                 {dots}
+          FROM embeddings
+        ), a AS (
+          SELECT vec_id, embedding, CASE {first_match} END AS cell
+          FROM (SELECT *, greatest({', '.join(f'd{c}' for c in range(n_cells))}) AS m
+                FROM d)
+        )
+        SELECT vec_id, round(cosine, 6) AS cosine FROM (
+          SELECT vec_id,
+                 embedding[1] / sqrt(list_aggregate(
+                   list_transform(embedding, x -> x*x), 'sum')) AS cosine
+          FROM a WHERE cell IN ({', '.join(map(str, probes))})
+          ORDER BY cosine DESC, vec_id ASC LIMIT {k}
+        )
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     words = _WORDS_SQL.format(col="text")
     return {
@@ -1458,6 +1518,7 @@ def oracle_sql() -> dict[str, str]:
         "q_corpus_mixture": _CORPUS_MIXTURE_ORACLE_SQL,
         "q_sample_mix": _sample_mix_oracle_sql(),
         "q_chunking": _CHUNKING_ORACLE_SQL,
+        "q_ivf_topk": _ivf_oracle_sql(),
         # q_minhash_dedup (scale-path config) / q_image_plumbing /
         # q_crawl_round: non-SQL-expressible → rows-only checks
         # (driver contract).

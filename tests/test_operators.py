@@ -555,3 +555,52 @@ class TestCorpusOps:
 
         with pytest.raises(ValueError):
             chunk_documents(spark.range(1), max_words=4, overlap=4)
+
+
+class TestIvf:
+    @pytest.fixture(scope="class")
+    def clustered(self, spark):
+        rng = np.random.RandomState(3)
+        centers = rng.standard_normal((12, 16)) * 4
+        rows = [(i, (centers[i % 12] + rng.standard_normal(16) * 0.3).tolist())
+                for i in range(600)]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>").cache(), centers
+
+    def test_train_deterministic_partition_independent(self, spark, clustered):
+        from webcrawl_spark.operators.similarity import train_ivf_centroids
+
+        df, _ = clustered
+        a = train_ivf_centroids(df, dim=16, n_cells=12, iters=5)
+        b = train_ivf_centroids(df.repartition(9), dim=16, n_cells=12, iters=5)
+        assert np.allclose(a, b)
+        assert a.shape == (12, 16)
+        assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
+
+    def test_recall_vs_exact(self, spark, clustered):
+        from webcrawl_spark.operators.similarity import (
+            cosine_topk, ivf_topk, train_ivf_centroids)
+
+        df, centers = clustered
+        cents = train_ivf_centroids(df, dim=16, n_cells=12, iters=5)
+        query = centers[4].tolist()
+        exact = [r["vec_id"] for r in
+                 cosine_topk(df, query, k=10).collect()]
+        approx = [r["vec_id"] for r in
+                  ivf_topk(df, query, cents, k=10, nprobe=3).collect()]
+        recall = len(set(exact) & set(approx)) / 10
+        assert recall >= 0.9
+
+    def test_random_anchor_config_probes_subset(self, spark, clustered):
+        """The data-independent anchor quantizer (oracle config) must only
+        ever scan the probed cells."""
+        from webcrawl_spark.operators.similarity import (
+            ivf_assign, ivf_topk, random_anchors)
+
+        df, centers = clustered
+        anchors = random_anchors(16, 8, seed=11)
+        assigned = ivf_assign(df, anchors)
+        cells = {r["cell"] for r in assigned.select("cell").distinct().collect()}
+        assert cells <= set(range(8))
+        out = ivf_topk(assigned, centers[0].tolist(), anchors, k=5, nprobe=2)
+        assert len(out.collect()) == 5

@@ -28,6 +28,11 @@ __all__ = [
     "rp_lsh_buckets",
     "ann_topk",
     "embedding_near_dup_pairs",
+    "random_anchors",
+    "train_ivf_centroids",
+    "ivf_cell_udf",
+    "ivf_assign",
+    "ivf_topk",
 ]
 
 
@@ -114,6 +119,90 @@ def ann_topk(df: DataFrame, query: list[float], k: int = 10, dim: int | None = N
     planes = _hyperplanes(dim, n_bits, seed)
     targets = _query_buckets(q, planes, n_bits, probe_flips)
     cand = df.filter(F.col("bucket").isin(targets))
+    return cosine_topk(cand, query, k, vec_col, id_col)
+
+
+def random_anchors(dim: int, n_cells: int, seed: int = 7) -> np.ndarray:
+    """Data-independent coarse quantizer: seeded Gaussian anchors whose
+    Voronoi cells (by cosine) partition the sphere. Same role as trained
+    k-means centroids but derivable from the seed alone — the
+    oracle-recomputable IVF configuration (mirrors the _hyperplanes
+    pattern in q_ann_topk)."""
+    rng = np.random.RandomState(seed)
+    c = rng.standard_normal((n_cells, dim)).astype("float64")
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def train_ivf_centroids(df: DataFrame, dim: int, n_cells: int = 256,
+                        seed: int = 7, iters: int = 10,
+                        sample_frac: float = 1.0, sample_cap: int = 100_000,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> np.ndarray:
+    """Seeded Lloyd k-means on a bounded, DETERMINISTIC sample (md5-salted
+    row draw, sorted by id — independent of partitioning). Sample-based
+    training is how production IVF indexes are built at corpus scale
+    (faiss trains on ~256 vectors/cell); only the bounded sample ever
+    reaches the driver. Centroids are unit-normalized so assignment is an
+    argmax of dot products."""
+    from webcrawl_spark.operators.corpus import sample_bucket
+
+    cand = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if sample_frac < 1.0:
+        cand = cand.filter(
+            sample_bucket(F.col("_id"), f"ivf{seed}")
+            < int(sample_frac * (1 << 32)))
+    rows = cand.orderBy("_id").limit(sample_cap).collect()
+    mat = np.stack([np.asarray(r["_v"], dtype="float64") for r in rows])
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cents = mat[rng.choice(len(mat), size=min(n_cells, len(mat)),
+                           replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(mat @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = mat[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+            else:  # empty cell: reseed from a random sample vector
+                cents[c] = mat[rng.randint(len(mat))]
+        cents = cents / np.maximum(
+            np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    return cents
+
+
+def ivf_cell_udf(centroids: np.ndarray):
+    norm_c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    def batch(vecs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype="float64") for v in vecs])
+        return pd.Series(np.argmax(mat @ norm_c.T, axis=1).astype("int32"))
+
+    return pandas_udf(batch, T.IntegerType())
+
+
+def ivf_assign(df: DataFrame, centroids: np.ndarray,
+               vec_col: str = "embedding") -> DataFrame:
+    """Attach the IVF ``cell`` (nearest centroid by cosine; ties go to the
+    lowest cell, matching np.argmax). At scale, persist partitioned by
+    cell so ivf_topk prunes partitions instead of filtering a full scan."""
+    return df.withColumn("cell", ivf_cell_udf(centroids)(F.col(vec_col)))
+
+
+def ivf_topk(df: DataFrame, query: list[float], centroids: np.ndarray,
+             k: int = 10, nprobe: int = 4, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
+    """IVF search: visit the ``nprobe`` cells whose centroids are nearest
+    the query, exact-rerank the union. ``df`` may be pre-assigned (has
+    ``cell``) or raw. The scan fraction is ~nprobe/n_cells — with a
+    cell-partitioned table this is partition pruning, never all-pairs."""
+    if "cell" not in df.columns:
+        df = ivf_assign(df, centroids, vec_col)
+    q = np.asarray(query, dtype="float64")
+    norm_c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    scores = norm_c @ q
+    probes = [int(c) for c in
+              np.argsort(-scores, kind="stable")[:nprobe]]
+    cand = df.filter(F.col("cell").isin(probes))
     return cosine_topk(cand, query, k, vec_col, id_col)
 
 
