@@ -106,6 +106,29 @@ def bench_ann_recall(spark) -> dict:
         n_cand = b.filter(F.col("bucket").isin(targets)).count()
         out["recall_at_10"][tag] = round(len(got & exact) / k, 3)
         out["scan_frac"][tag] = round(n_cand / max(1, n_total), 4)
+    # IVF quality path: trained k-means coarse quantizer at two nprobe
+    # operating points (same recall-vs-scan trade reported for LSH).
+    import numpy as np
+
+    from webcrawl_spark.operators.similarity import (
+        ivf_assign, ivf_topk, train_ivf_centroids,
+    )
+
+    n_cells = 64
+    cents = train_ivf_centroids(emb, dim=dim, n_cells=n_cells, iters=8,
+                                sample_cap=20_000)
+    assigned = ivf_assign(emb, cents).localCheckpoint(eager=False)
+    for nprobe in (4, 8):
+        tag = f"ivf{n_cells}_nprobe{nprobe}"
+        got = {r["vec_id"] for r in
+               ivf_topk(assigned, query, cents, k=k, nprobe=nprobe).collect()}
+        norm_c = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        probes = [int(c) for c in np.argsort(
+            -(norm_c @ np.asarray(query, dtype="float64")),
+            kind="stable")[:nprobe]]
+        n_cand = assigned.filter(F.col("cell").isin(probes)).count()
+        out["recall_at_10"][tag] = round(len(got & exact) / k, 3)
+        out["scan_frac"][tag] = round(n_cand / max(1, n_total), 4)
     return out
 
 
