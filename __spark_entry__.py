@@ -588,6 +588,20 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-doc count of word 8-grams shared with
+    a 'benchmark' set (deterministically derived: the first 200 chars of
+    every 100th document), i.e. the eval-leak probe. Both sides reduce to
+    n-gram hashes before the broadcast join; the oracle recomputes the
+    overlap on the gram strings themselves."""
+    from webcrawl_spark.operators.corpus import contamination_flags
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    bench = docs.filter(F.pmod(F.col("doc_id"), F.lit(100)) == 0) \
+        .select(F.substring("text", 1, 200).alias("text"))
+    return contamination_flags(docs, bench, n=8).orderBy("doc_id")
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k in its oracle configuration: the coarse quantizer is the
     seed-derived random-anchor set (data-independent, so the DuckDB twin
@@ -778,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sample_mix": q_sample_mix,
         "q_chunking": q_chunking,
         "q_ivf_topk": q_ivf_topk,
+        "q_decontaminate": q_decontaminate,
     }
 
 
@@ -1236,6 +1251,34 @@ _CHUNKING_ORACLE_SQL = f"""
 """
 
 
+_DECONTAMINATE_ORACLE_SQL = f"""
+    WITH bsrc AS (
+      SELECT substr(text, 1, 200) AS text FROM documents
+      WHERE doc_id % 100 = 0
+    ), bw AS (
+      SELECT {_WORDS_SQL.format(col="text")} AS ws FROM bsrc
+    ), bg AS (
+      SELECT DISTINCT unnest(
+        [array_to_string(list_slice(ws, i, i + 7), ' ')
+         FOR i IN range(1, greatest(len(ws) - 6, 1))]) AS g
+      FROM bw
+    ), cw AS (
+      SELECT doc_id, {_WORDS_SQL.format(col="text")} AS ws FROM documents
+    ), cg AS (
+      SELECT doc_id, unnest(
+        [array_to_string(list_slice(ws, i, i + 7), ' ')
+         FOR i IN range(1, greatest(len(ws) - 6, 1))]) AS g
+      FROM cw
+    ), hits AS (
+      SELECT doc_id, count(*) AS n FROM cg JOIN bg USING (g)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(h.n, 0) AS n_contaminated_ngrams
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    ORDER BY d.doc_id
+"""
+
+
 def _ivf_oracle_sql() -> str:
     """Full twin of q_ivf_topk: recompute each embedding's IVF cell from
     the SAME seed-derived anchor constants the Spark UDF uses (imported,
@@ -1519,6 +1562,7 @@ def oracle_sql() -> dict[str, str]:
         "q_sample_mix": _sample_mix_oracle_sql(),
         "q_chunking": _CHUNKING_ORACLE_SQL,
         "q_ivf_topk": _ivf_oracle_sql(),
+        "q_decontaminate": _DECONTAMINATE_ORACLE_SQL,
         # q_minhash_dedup (scale-path config) / q_image_plumbing /
         # q_crawl_round: non-SQL-expressible → rows-only checks
         # (driver contract).

@@ -604,3 +604,37 @@ class TestIvf:
         assert cells <= set(range(8))
         out = ivf_topk(assigned, centers[0].tolist(), anchors, k=5, nprobe=2)
         assert len(out.collect()) == 5
+
+
+class TestDecontamination:
+    @pytest.fixture(scope="class")
+    def corpus_and_bench(self, spark):
+        bench_q = "what is the capital of france and when was it founded"
+        corpus = spark.createDataFrame([
+            (1, "intro text " + bench_q + " trailing words here"),  # leaked
+            (2, "a perfectly clean document about spark internals and "
+                "shuffle partitioning strategies for large clusters"),
+            (3, "short doc"),                                       # < n words
+        ], "doc_id int, text string")
+        bench = spark.createDataFrame(
+            [(100, bench_q)], "qid int, text string")
+        return corpus, bench
+
+    def test_flags_leaked_doc(self, spark, corpus_and_bench):
+        from webcrawl_spark.operators.corpus import contamination_flags
+
+        corpus, bench = corpus_and_bench
+        got = {r["doc_id"]: r["n_contaminated_ngrams"]
+               for r in contamination_flags(corpus, bench, n=8).collect()}
+        # the 11-word question yields 4 8-grams, all present in doc 1
+        assert got[1] == 4
+        assert got[2] == 0
+        assert got[3] == 0
+
+    def test_decontaminate_drops_only_leaked(self, spark, corpus_and_bench):
+        from webcrawl_spark.operators.corpus import decontaminate
+
+        corpus, bench = corpus_and_bench
+        kept = sorted(r["doc_id"] for r in
+                      decontaminate(corpus, bench, n=8).collect())
+        assert kept == [2, 3]

@@ -21,6 +21,8 @@ __all__ = [
     "stratified_sample",
     "corpus_mixture",
     "chunk_documents",
+    "contamination_flags",
+    "decontaminate",
 ]
 
 # 32-bit bucket space for the md5-prefix draw.
@@ -84,6 +86,62 @@ def corpus_mixture(df: DataFrame, by: list[str] | None = None,
                     F.round(F.col("n_words") / F.col("_total"), 6))
         .drop("_total")
     )
+
+
+def contamination_flags(df: DataFrame, benchmark: DataFrame, n: int = 8,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Benchmark decontamination probe: for each corpus document, count
+    word ``n``-grams that also occur in the benchmark set (the eval-leak
+    check every serious pretraining pipeline runs; 8-13-gram overlap is
+    the published convention).
+
+    Scale shape: both sides reduce to 64-bit n-gram hashes before any
+    join — the corpus side ships (doc, hash) pairs, the benchmark side is
+    a deduped hash set, tiny next to the corpus, so Catalyst/AQE
+    broadcasts it; document text never shuffles. Returns
+    (id, n_contaminated_ngrams) with zero-rows for clean docs."""
+    from webcrawl_spark.operators.textstats import _words
+
+    def gram_hashes(frame: DataFrame, ident) -> DataFrame:
+        words = _words(F.col(text_col))
+        grams = F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - (n - 1)),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, n))),
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+        return frame.select(ident.alias("_id"),
+                            F.explode(grams).alias("_h"))
+
+    bench = (gram_hashes(benchmark, F.lit(0)).select("_h").distinct())
+    hits = (
+        gram_hashes(df, F.col(id_col))
+        .join(F.broadcast(bench), "_h")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+    )
+    return (
+        df.select(id_col)
+        .join(hits, df[id_col] == hits["_id"], "left")
+        .select(id_col,
+                F.coalesce("n_contaminated_ngrams", F.lit(0))
+                .alias("n_contaminated_ngrams"))
+    )
+
+
+def decontaminate(df: DataFrame, benchmark: DataFrame, n: int = 8,
+                  max_hits: int = 0, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Drop documents whose benchmark n-gram overlap exceeds ``max_hits``
+    (default: any overlap). Anti-join on ids only — text stays in place."""
+    dirty = (
+        contamination_flags(df, benchmark, n, text_col, id_col)
+        .filter(F.col("n_contaminated_ngrams") > max_hits)
+        .select(id_col)
+    )
+    return df.join(dirty, id_col, "left_anti")
 
 
 def chunk_documents(df: DataFrame, max_words: int = 128, overlap: int = 16,
