@@ -221,3 +221,44 @@ def test_frontier_write_file_count(spark, tmp_path):
             for f in files if f.endswith(".parquet")
         )
         assert n_seq == 1, (rnd, n_seq)
+
+
+def test_chunking_no_shuffle_no_python(spark):
+    """chunk_documents is per-row array ops + one generator explode —
+    any Exchange or Python eval in its plan is a regression."""
+    from webcrawl_spark.operators.corpus import chunk_documents
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    plan = _plan(chunk_documents(docs, max_words=32, overlap=8))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+    assert "Generate" in plan          # the single posexplode
+
+
+def test_repetition_and_pii_stay_jvm_side(spark):
+    """Repetition stats and PII redaction are pure Column expressions —
+    no Python workers, no shuffle."""
+    from webcrawl_spark.operators.textstats import (
+        redact_pii, with_repetition_stats)
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    for df in (with_repetition_stats(docs),
+               docs.select(redact_pii(F.col("text")).alias("t"))):
+        plan = _plan(df)
+        assert "Python" not in plan
+        assert "Exchange" not in plan
+
+
+def test_decontamination_broadcasts_benchmark(spark):
+    """The benchmark gram-hash set must broadcast; the corpus side must
+    never sort-merge (a SMJ here means the corpus grams shuffled)."""
+    from pyspark.sql import functions as F
+
+    from webcrawl_spark.operators.corpus import contamination_flags
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    bench = docs.filter(F.col("doc_id") % 100 == 0) \
+        .select(F.substring("text", 1, 200).alias("text"))
+    plan = _plan(contamination_flags(docs, bench, n=8))
+    assert "BroadcastHashJoin" in plan
