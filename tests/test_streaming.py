@@ -106,3 +106,28 @@ class TestStreamMetrics:
         assert all(r["n_fetches"] == 3 for r in got)
         total_ok = sum(r["n_ok"] for r in got)
         assert total_ok == sum(1 for i in range(60) if i % 5)
+
+
+class TestStreamExactDedup:
+    def test_first_arrival_kept_within_watermark(self, spark, tmp_path):
+        from webcrawl_spark.streaming import stream_exact_dedup
+
+        t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+        rows = [
+            (1, "same body text", t0),
+            (2, "Same  body   text", t0 + dt.timedelta(seconds=5)),  # dup (normalized)
+            (3, "a different document", t0 + dt.timedelta(seconds=9)),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id int, text string, ingested_at timestamp")
+        src = str(tmp_path / "docs_src")
+        df.coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(df.schema).parquet(src)
+        out = stream_exact_dedup(stream, watermark="1 minute")
+        _run_stream_to_memory(out, "stream_dedup")
+        got = spark.sql("SELECT doc_id FROM stream_dedup").collect()
+        kept = sorted(r["doc_id"] for r in got)
+        assert len(kept) == 2
+        assert 3 in kept
+        assert len({1, 2} & set(kept)) == 1   # exactly one of the dup pair
+        assert "_fp" not in spark.table("stream_dedup").columns

@@ -26,7 +26,8 @@ from pyspark.sql import functions as F
 from .kernels.scrape import ScrapeOptions
 from .operators.scrape import scrape
 
-__all__ = ["stream_scrape", "stream_fetch_metrics", "stream_host_sessions"]
+__all__ = ["stream_scrape", "stream_fetch_metrics", "stream_host_sessions",
+           "stream_exact_dedup"]
 
 
 def stream_scrape(pages_stream: DataFrame,
@@ -102,6 +103,28 @@ def stream_host_sessions(
             update, output_schema, state_schema, "append",
             GroupStateTimeout.ProcessingTimeTimeout,
         )
+    )
+
+
+def stream_exact_dedup(
+    docs_stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ingested_at",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of operators.dedup.exact_dedup: keep the first
+    arrival per normalized-text fingerprint, with the dedup state bounded
+    by the watermark (dropDuplicatesWithinWatermark) so it doesn't grow
+    without limit on an unbounded ingest — the trade a streaming dedup
+    must make vs the batch pass's exact global answer."""
+    from .operators.textstats import fingerprint
+
+    return (
+        docs_stream
+        .withColumn("_fp", fingerprint(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_fp"])
+        .drop("_fp")
     )
 
 
