@@ -588,6 +588,23 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+_GOPHER_FLAG_COLS = [
+    "ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+    "ok_bullet_lines", "ok_ellipsis_lines", "ok_alpha_words",
+    "ok_stopwords", "gopher_pass",
+]
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher quality rules, one boolean per rule + the
+    conjunction, per document."""
+    from webcrawl_spark.operators.textstats import with_gopher_flags
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return with_gopher_flags(docs) \
+        .select("doc_id", *_GOPHER_FLAG_COLS).orderBy("doc_id")
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: per-doc count of word 8-grams shared with
     a 'benchmark' set (deterministically derived: the first 200 chars of
@@ -793,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chunking": q_chunking,
         "q_ivf_topk": q_ivf_topk,
         "q_decontaminate": q_decontaminate,
+        "q_gopher_quality": q_gopher_quality,
     }
 
 
@@ -1251,6 +1269,72 @@ _CHUNKING_ORACLE_SQL = f"""
 """
 
 
+def _gopher_oracle_sql() -> str:
+    """Twin of q_gopher_quality built from the SAME threshold constants
+    the operator uses (imported, not copied)."""
+    from webcrawl_spark.operators import textstats as ts
+
+    stop = "[" + ", ".join(f"'{w}'" for w in ts.GOPHER_STOPWORDS) + "]"
+    words = _WORDS_SQL.format(col="text")
+    return rf"""
+        WITH base AS (
+          SELECT doc_id, text,
+                 list_filter(regexp_split_to_array(text, '\s+'),
+                             x -> x != '') AS rw,
+                 string_split(text, chr(10)) AS lns,
+                 {words} AS lw
+          FROM documents
+        ), m AS (
+          SELECT doc_id,
+            len(rw) AS n,
+            CASE WHEN len(rw) > 0 THEN
+              list_aggregate(list_transform(rw, x -> length(x)),
+                             'sum')::DOUBLE / len(rw)
+            ELSE 0 END AS mean_len,
+            (length(text) - length(regexp_replace(text, '#', '', 'g'))
+             + len(list_filter(rw, x -> x LIKE '%...' OR x LIKE '%…')))
+              AS n_sym,
+            len(lns)::DOUBLE AS n_lines,
+            len(list_filter(lns,
+                x -> regexp_matches(ltrim(x), '^[-*•]'))) AS n_bullet,
+            len(list_filter(lns,
+                x -> x LIKE '%...' OR x LIKE '%…')) AS n_ell,
+            CASE WHEN len(rw) > 0 THEN
+              len(list_filter(rw,
+                  x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(rw)
+            ELSE 0 END AS alpha_frac,
+            len(list_intersect(lw, {stop})) AS stop_hits
+          FROM base
+        )
+        SELECT doc_id,
+          (n >= {ts.GOPHER_MIN_WORDS} AND n <= {ts.GOPHER_MAX_WORDS})
+            AS ok_word_count,
+          (mean_len >= {ts.GOPHER_MIN_MEAN_WORD_LEN}
+           AND mean_len <= {ts.GOPHER_MAX_MEAN_WORD_LEN})
+            AS ok_mean_word_len,
+          (CASE WHEN n > 0 THEN n_sym::DOUBLE / n ELSE 0 END
+             <= {ts.GOPHER_MAX_SYMBOL_RATIO}) AS ok_symbol_ratio,
+          (n_bullet / n_lines <= {ts.GOPHER_MAX_BULLET_LINE_FRAC})
+            AS ok_bullet_lines,
+          (n_ell / n_lines <= {ts.GOPHER_MAX_ELLIPSIS_LINE_FRAC})
+            AS ok_ellipsis_lines,
+          (CASE WHEN n > 0 THEN alpha_frac ELSE 0 END
+             >= {ts.GOPHER_MIN_ALPHA_WORD_FRAC}) AS ok_alpha_words,
+          (stop_hits >= {ts.GOPHER_MIN_STOPWORDS}) AS ok_stopwords,
+          ((n >= {ts.GOPHER_MIN_WORDS} AND n <= {ts.GOPHER_MAX_WORDS})
+           AND (mean_len >= {ts.GOPHER_MIN_MEAN_WORD_LEN}
+                AND mean_len <= {ts.GOPHER_MAX_MEAN_WORD_LEN})
+           AND (CASE WHEN n > 0 THEN n_sym::DOUBLE / n ELSE 0 END
+                  <= {ts.GOPHER_MAX_SYMBOL_RATIO})
+           AND (n_bullet / n_lines <= {ts.GOPHER_MAX_BULLET_LINE_FRAC})
+           AND (n_ell / n_lines <= {ts.GOPHER_MAX_ELLIPSIS_LINE_FRAC})
+           AND (CASE WHEN n > 0 THEN alpha_frac ELSE 0 END
+                  >= {ts.GOPHER_MIN_ALPHA_WORD_FRAC})
+           AND (stop_hits >= {ts.GOPHER_MIN_STOPWORDS})) AS gopher_pass
+        FROM m ORDER BY doc_id
+    """
+
+
 _DECONTAMINATE_ORACLE_SQL = f"""
     WITH bsrc AS (
       SELECT substr(text, 1, 200) AS text FROM documents
@@ -1563,6 +1647,7 @@ def oracle_sql() -> dict[str, str]:
         "q_chunking": _CHUNKING_ORACLE_SQL,
         "q_ivf_topk": _ivf_oracle_sql(),
         "q_decontaminate": _DECONTAMINATE_ORACLE_SQL,
+        "q_gopher_quality": _gopher_oracle_sql(),
         # q_minhash_dedup (scale-path config) / q_image_plumbing /
         # q_crawl_round: non-SQL-expressible → rows-only checks
         # (driver contract).

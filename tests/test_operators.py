@@ -638,3 +638,31 @@ class TestDecontamination:
         kept = sorted(r["doc_id"] for r in
                       decontaminate(corpus, bench, n=8).collect())
         assert kept == [2, 3]
+
+
+class TestGopherFlags:
+    def test_rule_boundaries(self, spark):
+        from webcrawl_spark.operators.textstats import with_gopher_flags
+
+        good = ("the quick brown fox and the lazy dog have fun with that "
+                "ball of yarn to be honest ") * 5          # 95 words, stopwords
+        short = "too few words here"
+        bullety = "\n".join(f"- item {i}" for i in range(10))
+        symbols = "#tag " * 60
+        df = spark.createDataFrame(
+            [(1, good), (2, short), (3, bullety), (4, symbols), (5, "")],
+            "doc_id int, text string")
+        got = {r["doc_id"]: r for r in with_gopher_flags(df).collect()}
+        assert got[1]["gopher_pass"]
+        assert not got[2]["ok_word_count"] and not got[2]["gopher_pass"]
+        assert not got[3]["ok_bullet_lines"]
+        assert not got[4]["ok_symbol_ratio"]
+        assert not got[5]["gopher_pass"]
+
+    def test_ellipsis_lines(self, spark):
+        from webcrawl_spark.operators.textstats import with_gopher_flags
+
+        text = "\n".join(["trailing thought..."] * 4 + ["a normal line"] * 6)
+        df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+        row = with_gopher_flags(df).first()
+        assert not row["ok_ellipsis_lines"]   # 0.4 > 0.3

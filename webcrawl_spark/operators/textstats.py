@@ -19,6 +19,8 @@ __all__ = [
     "repetition_stats",
     "with_repetition_stats",
     "redact_pii",
+    "gopher_quality_flags",
+    "with_gopher_flags",
     "with_text_stats",
 ]
 
@@ -176,6 +178,80 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     stats = repetition_stats(F.col(text_col))
     out = df
     for name, col in stats.items():
+        out = out.withColumn(name, col)
+    return out
+
+
+# Gopher rule thresholds (Rae et al. 2021, table A1 — the published
+# pretraining quality filter).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_LINE_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_LINE_FRAC = 0.3
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_quality_flags(text: Column) -> dict[str, Column]:
+    """The Gopher quality rules as one boolean column per rule plus the
+    conjunction ``gopher_pass``. Word-level rules use whitespace tokens
+    (the paper's tokenization), line rules split on newlines. Pure Column
+    expressions with an exact SQL twin (q_gopher_quality); the
+    duplicate-content rules live in repetition_stats."""
+    raw_words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    n = F.size(raw_words)
+    n_d = n.cast("double")
+    mean_len = F.when(
+        n > 0,
+        F.aggregate(raw_words, F.lit(0).cast("double"),
+                    lambda acc, w: acc + F.length(w)) / n_d,
+    ).otherwise(F.lit(0.0))
+    n_symbols = (
+        F.length(text)
+        - F.length(F.regexp_replace(text, r"#", ""))
+        + F.size(F.filter(raw_words,
+                          lambda w: w.endswith("...") | w.endswith("…")))
+    )
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines).cast("double")
+    bullet_frac = F.size(F.filter(
+        lines, lambda ln: F.ltrim(ln).rlike(r"^[-*•]")
+    )) / n_lines
+    ellipsis_frac = F.size(F.filter(
+        lines, lambda ln: ln.endswith("...") | ln.endswith("…")
+    )) / n_lines
+    alpha_frac = F.when(
+        n > 0,
+        F.size(F.filter(raw_words, lambda w: w.rlike("[A-Za-z]"))) / n_d,
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(F.array_intersect(
+        _words(text), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])))
+    flags = {
+        "ok_word_count": (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS),
+        "ok_mean_word_len": (mean_len >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_len <= GOPHER_MAX_MEAN_WORD_LEN),
+        "ok_symbol_ratio": F.when(
+            n > 0, n_symbols / n_d).otherwise(F.lit(0.0))
+        <= GOPHER_MAX_SYMBOL_RATIO,
+        "ok_bullet_lines": bullet_frac <= GOPHER_MAX_BULLET_LINE_FRAC,
+        "ok_ellipsis_lines": ellipsis_frac <= GOPHER_MAX_ELLIPSIS_LINE_FRAC,
+        "ok_alpha_words": alpha_frac >= GOPHER_MIN_ALPHA_WORD_FRAC,
+        "ok_stopwords": stop_hits >= GOPHER_MIN_STOPWORDS,
+    }
+    gopher_pass = F.lit(True)
+    for c in flags.values():
+        gopher_pass = gopher_pass & c
+    flags["gopher_pass"] = gopher_pass
+    return flags
+
+
+def with_gopher_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    out = df
+    for name, col in gopher_quality_flags(F.col(text_col)).items():
         out = out.withColumn(name, col)
     return out
 
