@@ -132,6 +132,49 @@ def bench_ann_recall(spark) -> dict:
     return out
 
 
+def bench_corpus_ops(spark) -> dict[str, float]:
+    """Per-op wall time for the corpus-pipeline family over the full
+    documents table (non-headline: reported for visibility, not summed
+    into `value` — the headline set predates these ops and stays
+    comparable round-over-round)."""
+    from pyspark.sql import functions as F
+
+    from webcrawl_spark.operators.corpus import (
+        chunk_documents, contamination_flags,
+    )
+    from webcrawl_spark.operators.dedup import remove_boilerplate_lines
+    from webcrawl_spark.operators.textstats import (
+        redact_pii, with_gopher_flags, with_repetition_stats,
+    )
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    bench_set = docs.filter(F.col("doc_id") % 100 == 0) \
+        .select(F.substring("text", 1, 200).alias("text"))
+    structured = docs.select(
+        "doc_id", F.regexp_replace("text", " the ", "\n").alias("text"))
+    workloads = {
+        "line_dedup": lambda: remove_boilerplate_lines(
+            structured, min_docs=8).count(),
+        "pii_redact": lambda: docs.select(
+            redact_pii(F.col("text")).alias("t")).count(),
+        "repetition_stats": lambda: with_repetition_stats(docs).count(),
+        "gopher_flags": lambda: with_gopher_flags(docs).count(),
+        "chunking": lambda: chunk_documents(
+            docs, max_words=128, overlap=16).count(),
+        "decontaminate": lambda: contamination_flags(
+            docs, bench_set, n=8).count(),
+    }
+    times: dict[str, float] = {}
+    for _pass in range(2):
+        for name, fn in workloads.items():
+            t0 = time.perf_counter()
+            fn()
+            dt = round(time.perf_counter() - t0, 3)
+            if name not in times or dt < times[name]:
+                times[name] = dt
+    return times
+
+
 def bench_scrape(spark) -> dict[str, float]:
     """Sustained extraction throughput: scrape (markdown+links+quality) over
     a dense synthetic pages table — one big Arrow-UDF stage, the engine's
@@ -248,6 +291,7 @@ def main() -> None:
         crawl = (bench_crawl(spark)
                  if only in ("", "crawl") else {"crawl_sec": 0.0})
         ann = bench_ann_recall(spark) if only in ("", "queries") else {}
+        corpus_ops = bench_corpus_ops(spark) if only in ("", "queries") else {}
         wall = round(time.perf_counter() - t0, 3)
         # protocol v2 (see BENCH.md measurement protocol): value = sum of
         # per-workload best times — what r2/r3's per-query rows already
@@ -270,6 +314,7 @@ def main() -> None:
             "scrape": scrape_stats,
             "crawl": crawl,
             "ann": ann,
+            "corpus_ops": corpus_ops,
         }
         print(json.dumps(out))
     finally:
