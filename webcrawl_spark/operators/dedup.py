@@ -80,7 +80,13 @@ def remove_boilerplate_lines(df: DataFrame, text_col: str = "text",
     join back to ``df`` is on ``id_col``; AQE broadcasts the drop side when
     few documents are affected, and with the corpus bucketed by id it is a
     storage-partitioned join. Rebuild is a per-row indexed array filter, so
-    text itself is never exploded into the shuffle."""
+    text itself is never exploded into the shuffle.
+
+    The line view is deliberately recomputed for the count pass and the
+    drop pass (two linear text scans, zero extra shuffle) rather than
+    pinned: materializing the corpus-wide (doc, pos, hash) triples to
+    executor disk at 10^12-line scale costs more than the second
+    column-pruned scan it would save."""
     lines = F.split(F.col(text_col), "\n")
     exploded = df.select(
         F.col(id_col).alias("_doc"),
