@@ -1,0 +1,94 @@
+"""WARC source: record grammar, gzip members, HTTP payload split, and the
+distributed binaryFile → mapInPandas read path."""
+
+import datetime as dt
+
+import pytest
+
+from webcrawl_spark.sources.warc import (
+    build_warc_bytes, parse_warc_bytes, read_warc,
+)
+
+UTC = dt.timezone.utc
+
+
+def _records():
+    return [
+        {"url": "https://a.example.com/", "http_status": 200,
+         "warc_ts": dt.datetime(2026, 1, 2, 3, 4, 5, tzinfo=UTC),
+         "content_type": "text/html",
+         "html": b"<html><body>Alpha page</body></html>"},
+        {"url": "https://b.example.com/x", "http_status": 404,
+         "warc_ts": dt.datetime(2026, 1, 2, 3, 5, 6, tzinfo=UTC),
+         "content_type": "text/html; charset=utf-8",
+         "html": b"<html>not found</html>"},
+    ]
+
+
+class TestParse:
+    @pytest.mark.parametrize("gz", [False, True])
+    def test_roundtrip(self, gz):
+        data = build_warc_bytes(_records(), gzip_members=gz)
+        got = parse_warc_bytes(data)
+        assert [r["url"] for r in got] == \
+            ["https://a.example.com/", "https://b.example.com/x"]
+        assert got[0]["http_status"] == 200
+        assert got[1]["http_status"] == 404
+        assert got[0]["payload"] == b"<html><body>Alpha page</body></html>"
+        assert got[0]["warc_ts"] == dt.datetime(2026, 1, 2, 3, 4, 5,
+                                                tzinfo=UTC)
+        assert got[1]["content_type"].startswith("text/html")
+
+    def test_non_response_records_kept_raw(self):
+        info = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+                b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+                b"Content-Type: application/warc-fields\r\n"
+                b"Content-Length: 9\r\n\r\nsoftware\n\r\n\r\n")
+        got = parse_warc_bytes(info + build_warc_bytes(_records()))
+        assert got[0]["warc_type"] == "warcinfo"
+        assert got[0]["http_status"] is None
+        assert len(got) == 3
+
+    def test_malformed_length_stops_cleanly(self):
+        bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"Content-Length: zzz\r\n\r\nbody")
+        assert parse_warc_bytes(bad) == []
+
+    def test_binary_payload_with_crlf_noise(self):
+        """Payload bytes containing CRLFCRLF and 'WARC/' must not split the
+        record — Content-Length is authoritative."""
+        tricky = _records()[0] | {"html": b"x\r\n\r\nWARC/1.0\r\ny" * 3}
+        got = parse_warc_bytes(build_warc_bytes([tricky] + _records()[1:]))
+        assert len(got) == 2
+        assert got[0]["payload"] == b"x\r\n\r\nWARC/1.0\r\ny" * 3
+
+
+class TestReadWarc:
+    def test_distributed_read(self, spark, tmp_path):
+        for i, gz in enumerate([False, True]):
+            ext = "warc.gz" if gz else "warc"
+            (tmp_path / f"part{i}.{ext}").write_bytes(
+                build_warc_bytes(_records(), gzip_members=gz))
+        df = read_warc(spark, str(tmp_path) + "/*.warc*")
+        rows = df.collect()
+        assert len(rows) == 4                      # 2 files x 2 responses
+        by_url = {}
+        for r in rows:
+            by_url.setdefault(r["url"], []).append(r)
+        assert set(by_url) == {"https://a.example.com/",
+                               "https://b.example.com/x"}
+        a = by_url["https://a.example.com/"][0]
+        assert bytes(a["html"]) == b"<html><body>Alpha page</body></html>"
+        assert a["http_status"] == 200
+        assert a["warc_ts"] == dt.datetime(2026, 1, 2, 3, 4, 5)  # naive local≙utc session
+
+    def test_feeds_scrape_pipeline(self, spark, tmp_path):
+        """read_warc output is a drop-in pages table for the extraction
+        stage (url, html)."""
+        from webcrawl_spark.operators.scrape import scrape
+
+        (tmp_path / "p.warc").write_bytes(build_warc_bytes(_records()[:1]))
+        pages = read_warc(spark, str(tmp_path) + "/*.warc") \
+            .select("url", "html")
+        out = scrape(pages).select("url", "markdown").first()
+        assert "Alpha page" in out["markdown"]
