@@ -1255,11 +1255,16 @@ _CORPUS_MIXTURE_ORACLE_SQL = f"""
 
 _CHUNKING_ORACLE_SQL = f"""
     WITH w AS (
-      SELECT doc_id, {_WORDS_SQL.format(col="text")} AS ws FROM documents
+      SELECT doc_id, ws,
+             CASE WHEN len(ws) > 32 THEN
+               (len(ws) - 32) + ((24 - (len(ws) - 32) % 24) % 24)
+             ELSE 0 END AS last_start
+      FROM (SELECT doc_id, {_WORDS_SQL.format(col="text")} AS ws
+            FROM documents)
     ), starts AS (
       SELECT doc_id, ws,
-             unnest(range(0, len(ws), 24)) AS s,
-             generate_subscripts(range(0, len(ws), 24), 1) AS cid
+             unnest(range(0, last_start + 1, 24)) AS s,
+             generate_subscripts(range(0, last_start + 1, 24), 1) AS cid
       FROM w WHERE len(ws) > 0
     )
     SELECT doc_id, cid - 1 AS chunk_id,

@@ -542,13 +542,33 @@ class TestCorpusOps:
             "doc_id int, text string")
         out = chunk_documents(df, max_words=4, overlap=1).collect()
         by_chunk = {(r["doc_id"], r["chunk_id"]): r for r in out}
-        # step 3 over 10 words -> starts 0,3,6,9
-        assert {k for k in by_chunk if k[0] == 1} == {(1, i) for i in range(4)}
+        # step 3 over 10 words -> starts 0,3,6; a start at 9 would emit
+        # "w9", a strict sub-span of the chunk at 6 — must not appear
+        assert {k for k in by_chunk if k[0] == 1} == {(1, i) for i in range(3)}
         assert by_chunk[(1, 0)]["chunk_text"] == "w0 w1 w2 w3"
         assert by_chunk[(1, 1)]["chunk_text"] == "w3 w4 w5 w6"
-        assert by_chunk[(1, 3)]["chunk_text"] == "w9"
-        assert by_chunk[(1, 3)]["n_words_chunk"] == 1
+        assert by_chunk[(1, 2)]["chunk_text"] == "w6 w7 w8 w9"
         assert not [k for k in by_chunk if k[0] == 2]   # empty doc: no chunks
+
+    def test_chunk_no_subset_tails(self, spark):
+        """Every word is covered and no chunk is contained in another,
+        across lengths around the window boundaries."""
+        from webcrawl_spark.operators.corpus import chunk_documents
+
+        rows = [(m, " ".join(f"w{i}" for i in range(m)))
+                for m in range(1, 30)]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        out = chunk_documents(df, max_words=8, overlap=3).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(
+                r["chunk_text"].split(" "))
+        for m, chunks in by_doc.items():
+            covered = {w for c in chunks for w in c}
+            assert covered == {f"w{i}" for i in range(m)}
+            spans = [set(c) for c in chunks]
+            for i, a in enumerate(spans):
+                assert not any(a < b for j, b in enumerate(spans) if i != j)
 
     def test_chunk_overlap_validation(self, spark):
         from webcrawl_spark.operators.corpus import chunk_documents
@@ -666,3 +686,15 @@ class TestGopherFlags:
         df = spark.createDataFrame([(1, text)], "doc_id int, text string")
         row = with_gopher_flags(df).first()
         assert not row["ok_ellipsis_lines"]   # 0.4 > 0.3
+
+
+class TestRedactPiiLineBoundary:
+    def test_digit_lines_not_merged_across_newlines(self, spark):
+        """Two unrelated digit runs on separate lines must not collapse
+        into one <PHONE> redaction that swallows the newline."""
+        from webcrawl_spark.operators.textstats import redact_pii
+
+        txt = "call 555 012-3456\nfax 555 019-9876"
+        df = spark.createDataFrame([(1, txt)], "doc_id int, text string")
+        out = df.select(redact_pii(F.col("text")).alias("t")).first()["t"]
+        assert out == "call <PHONE>\nfax <PHONE>"   # two redactions, newline kept

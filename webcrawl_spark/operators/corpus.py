@@ -101,27 +101,7 @@ def contamination_flags(df: DataFrame, benchmark: DataFrame, n: int = 8,
     a deduped hash set, tiny next to the corpus, so Catalyst/AQE
     broadcasts it; document text never shuffles. Returns
     (id, n_contaminated_ngrams) with zero-rows for clean docs."""
-    from webcrawl_spark.operators.textstats import _words
-
-    def gram_hashes(frame: DataFrame, ident) -> DataFrame:
-        words = _words(F.col(text_col))
-        grams = F.when(
-            F.size(words) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(words) - (n - 1)),
-                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, n))),
-            ),
-        ).otherwise(F.array().cast("array<long>"))
-        return frame.select(ident.alias("_id"),
-                            F.explode(grams).alias("_h"))
-
-    bench = (gram_hashes(benchmark, F.lit(0)).select("_h").distinct())
-    hits = (
-        gram_hashes(df, F.col(id_col))
-        .join(F.broadcast(bench), "_h")
-        .groupBy("_id")
-        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
-    )
+    hits = _contamination_hits(df, benchmark, n, text_col, id_col)
     return (
         df.select(id_col)
         .join(hits, df[id_col] == hits["_id"], "left")
@@ -131,15 +111,39 @@ def contamination_flags(df: DataFrame, benchmark: DataFrame, n: int = 8,
     )
 
 
+def _contamination_hits(df: DataFrame, benchmark: DataFrame, n: int,
+                        text_col: str, id_col: str) -> DataFrame:
+    """(_id, n_contaminated_ngrams) for documents with >= 1 hit only —
+    the corpus-wide zero-filled view is contamination_flags' job."""
+    from webcrawl_spark.operators.textstats import _word_ngrams, _words
+
+    def gram_hashes(frame: DataFrame, ident) -> DataFrame:
+        grams = F.transform(
+            _word_ngrams(_words(F.col(text_col)), n),
+            lambda g: F.xxhash64(g))
+        return frame.select(ident.alias("_id"),
+                            F.explode(grams).alias("_h"))
+
+    bench = gram_hashes(benchmark, F.lit(0)).select("_h").distinct()
+    return (
+        gram_hashes(df, F.col(id_col))
+        .join(F.broadcast(bench), "_h")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+    )
+
+
 def decontaminate(df: DataFrame, benchmark: DataFrame, n: int = 8,
                   max_hits: int = 0, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Drop documents whose benchmark n-gram overlap exceeds ``max_hits``
-    (default: any overlap). Anti-join on ids only — text stays in place."""
+    (default: any overlap). Dirty ids come straight from the aggregated
+    hit counts — no corpus-wide zero-fill join — and leave via an anti-join
+    on ids only; text stays in place."""
     dirty = (
-        contamination_flags(df, benchmark, n, text_col, id_col)
+        _contamination_hits(df, benchmark, n, text_col, id_col)
         .filter(F.col("n_contaminated_ngrams") > max_hits)
-        .select(id_col)
+        .select(F.col("_id").alias(id_col))
     )
     return df.join(dirty, id_col, "left_anti")
 
@@ -158,7 +162,13 @@ def chunk_documents(df: DataFrame, max_words: int = 128, overlap: int = 16,
     step = max_words - overlap
     words = _words(F.col(text_col))
     n = F.size(words)
-    last_start = (n - 1) - F.pmod(n - 1, F.lit(step))  # floor((n-1)/step)*step
+    # last start = smallest multiple of step whose window reaches the end;
+    # later starts would emit chunks strictly contained in that one
+    # (duplicate content shipped into the embedding/packing corpus)
+    last_start = F.when(
+        n > max_words,
+        (n - max_words) + F.pmod(-(n - max_words), F.lit(step)),
+    ).otherwise(F.lit(0))
     starts = F.when(
         n > 0, F.sequence(F.lit(0), last_start, F.lit(step))
     ).otherwise(F.array().cast("array<int>"))

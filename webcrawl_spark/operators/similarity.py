@@ -139,7 +139,8 @@ def train_ivf_centroids(df: DataFrame, dim: int, n_cells: int = 256,
                         vec_col: str = "embedding",
                         id_col: str = "vec_id") -> np.ndarray:
     """Seeded Lloyd k-means on a bounded, DETERMINISTIC sample (md5-salted
-    row draw, sorted by id — independent of partitioning). Sample-based
+    hash-order prefix — a uniform draw, independent of partitioning and of
+    any id/segment correlation). Sample-based
     training is how production IVF indexes are built at corpus scale
     (faiss trains on ~256 vectors/cell); only the bounded sample ever
     reaches the driver. Centroids are unit-normalized so assignment is an
@@ -151,7 +152,16 @@ def train_ivf_centroids(df: DataFrame, dim: int, n_cells: int = 256,
         cand = cand.filter(
             sample_bucket(F.col("_id"), f"ivf{seed}")
             < int(sample_frac * (1 << 32)))
-    rows = cand.orderBy("_id").limit(sample_cap).collect()
+    # cap by taking the hash-order prefix, not the id-order prefix: ids
+    # typically correlate with source/crawl segment, so an id prefix would
+    # train the quantizer on one segment only; the salted-hash order is a
+    # uniform draw and still deterministic across partitionings
+    rows = cand.orderBy(sample_bucket(F.col("_id"), f"ivf{seed}"), "_id") \
+        .limit(sample_cap).collect()
+    if not rows:
+        raise ValueError(
+            "train_ivf_centroids: no vectors to train on (empty input or "
+            "sample_frac filtered every row)")
     mat = np.stack([np.asarray(r["_v"], dtype="float64") for r in rows])
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)

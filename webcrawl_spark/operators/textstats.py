@@ -263,7 +263,9 @@ _PII_PATTERNS = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
     (r"\b[0-9]{13,19}\b", "<CARD>"),
-    (r"\+?[0-9][0-9()\s.-]{6,}[0-9]", "<PHONE>"),
+    # no \s in the phone class: newline would merge unrelated digit-bearing
+    # lines into one redaction and delete the text between them
+    (r"\+?[0-9][0-9()\t .-]{6,}[0-9]", "<PHONE>"),
 ]
 
 

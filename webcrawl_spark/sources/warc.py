@@ -24,7 +24,6 @@ convention that makes per-record random access possible).
 from __future__ import annotations
 
 import io
-import zlib
 from datetime import datetime, timezone
 from typing import Iterator
 
@@ -48,16 +47,13 @@ WARC_SCHEMA = T.StructType([
 
 def _gunzip_members(data: bytes) -> bytes:
     """Decompress concatenated gzip members (Common Crawl's per-record
-    compression) into one byte stream."""
-    out, pos = [], 0
-    while pos < len(data):
-        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
-        out.append(d.decompress(data[pos:]))
-        tail = d.unused_data
-        if not tail:
-            break
-        pos = len(data) - len(tail)
-    return b"".join(out)
+    compression) into one byte stream. gzip.decompress handles member
+    concatenation natively in linear time — a manual per-member
+    decompressobj loop would copy the remaining buffer once per member,
+    O(members x size) on a real Common Crawl file."""
+    import gzip
+
+    return gzip.decompress(data)
 
 
 def _parse_headers(block: bytes) -> dict[str, str]:
@@ -134,16 +130,21 @@ def read_warc(spark: SparkSession, path: str,
     raw = spark.read.format("binaryFile").load(path)
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one yielded frame per FILE, not per Arrow batch: a 1 GB WARC
+        # decompresses to several GB — holding a whole batch's worth of
+        # parsed payloads alongside the raw bytes would multiply the
+        # task's peak memory
         for pdf in batches:
-            rows = []
             for fpath, content in zip(pdf["path"], pdf["content"]):
-                for r in parse_warc_bytes(bytes(content)):
-                    if response_only and r["warc_type"] != "response":
-                        continue
-                    rows.append((r["url"], r["warc_ts"], r["warc_type"],
-                                 r["http_status"], r["content_type"],
-                                 r["payload"], fpath))
-            yield pd.DataFrame(rows, columns=[f.name for f in WARC_SCHEMA])
+                rows = [
+                    (r["url"], r["warc_ts"], r["warc_type"],
+                     r["http_status"], r["content_type"],
+                     r["payload"], fpath)
+                    for r in parse_warc_bytes(bytes(content))
+                    if not (response_only and r["warc_type"] != "response")
+                ]
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in WARC_SCHEMA])
 
     return raw.select("path", "content").mapInPandas(parse, WARC_SCHEMA)
 
