@@ -92,3 +92,41 @@ class TestReadWarc:
             .select("url", "html")
         out = scrape(pages).select("url", "markdown").first()
         assert "Alpha page" in out["markdown"]
+
+
+class TestWarcCrawlReplay:
+    def test_crawl_from_warc_matches_pages_df(self, spark, tmp_path):
+        """A Common-Crawl-style WARC snapshot is a drop-in fetch corpus:
+        SparkCrawl over read_warc(...) pages produces the same fetch order
+        as over the direct (url, html) DataFrame."""
+        from webcrawl_spark.datagen import build_site, render_page_html
+        from webcrawl_spark.frontier.crawl import SparkCrawl
+        from webcrawl_spark.frontier.oracle import CrawlConfig
+
+        site = build_site(seed=9, n_hosts=2, pages_per_host=10, n_hot_hosts=0)
+        recs = [{"url": u,
+                 "warc_ts": dt.datetime(2026, 2, 1, 0, 0, 0, tzinfo=UTC),
+                 "html": render_page_html(site, u).encode(),
+                 "http_status": 200, "content_type": "text/html"}
+                for u in site.urls()]
+        half = len(recs) // 2
+        (tmp_path / "a.warc.gz").write_bytes(
+            build_warc_bytes(recs[:half], gzip_members=True))
+        (tmp_path / "b.warc").write_bytes(build_warc_bytes(recs[half:]))
+
+        warc_pages = read_warc(spark, str(tmp_path) + "/*.warc*") \
+            .select("url", "html")
+        direct_pages = spark.createDataFrame(
+            [(r["url"], r["html"]) for r in recs], "url string, html binary")
+
+        cfg = CrawlConfig(seed_url=f"https://{site.hosts[0]}/", limit=12,
+                          max_depth=3, allow_backward_crawling=True,
+                          host_budget=4)
+        orders = []
+        for tag, pages in (("warc", warc_pages), ("direct", direct_pages)):
+            wd = str(tmp_path / f"crawl_{tag}")
+            crawl = SparkCrawl(spark, pages, cfg, wd)
+            crawl.run()
+            orders.append(crawl.fetch_order())
+        assert orders[0] == orders[1]
+        assert len(orders[0]) > 0
