@@ -7,7 +7,8 @@ Package and submit:
     cd /root/repo && zip -qr /tmp/webcrawl_spark.zip webcrawl_spark
     spark-submit --py-files /tmp/webcrawl_spark.zip \\
         scripts/run_crawl.py \\
-        --pages /data/pages_parquet --workdir /data/crawl_state \\
+        --pages /data/pages_parquet | --warc '/data/cc/*.warc.gz' \\
+        --workdir /data/crawl_state \\
         --seed-url https://host0.example.com/ --host-budget 64 \\
         [--limit N] [--max-depth D] [--budget-capacity C] [--priority] \\
         [--dedup-key url_canon] [--resume]
@@ -27,6 +28,7 @@ import sys
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", help="parquet path with (url string, html binary)")
+    ap.add_argument("--warc", help="WARC file glob (Common Crawl snapshot) used as the fetch corpus")
     ap.add_argument("--synthetic", type=int, default=0,
                     help="generate a synthetic site with N pages/host instead")
     ap.add_argument("--workdir", required=True)
@@ -57,8 +59,12 @@ def main() -> None:
         pages = spark.createDataFrame(rows, "url string, html binary")
     elif args.pages:
         pages = spark.read.parquet(args.pages).select("url", "html")
+    elif args.warc:
+        from webcrawl_spark.sources.warc import read_warc
+
+        pages = read_warc(spark, args.warc).select("url", "html")
     else:
-        ap.error("one of --pages / --synthetic is required")
+        ap.error("one of --pages / --warc / --synthetic is required")
 
     cfg = CrawlConfig(
         seed_url=args.seed_url,
