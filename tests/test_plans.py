@@ -262,3 +262,31 @@ def test_decontamination_broadcasts_benchmark(spark):
         .select(F.substring("text", 1, 200).alias("text"))
     plan = _plan(contamination_flags(docs, bench, n=8))
     assert "BroadcastHashJoin" in plan
+
+
+def test_ivf_cell_partitioned_table_prunes(spark, tmp_path):
+    """The IVF scale path: persist embeddings partitioned by cell, probe
+    nprobe cells — the scan must show a cell partition filter (partition
+    pruning, not a full-table scan + filter)."""
+    import numpy as np
+
+    from webcrawl_spark.operators.similarity import (
+        ivf_assign, random_anchors)
+
+    rng = np.random.RandomState(5)
+    rows = [(i, rng.standard_normal(16).tolist()) for i in range(400)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    anchors = random_anchors(16, 8, seed=3)
+    path = str(tmp_path / "emb_by_cell")
+    ivf_assign(emb, anchors).write.partitionBy("cell").parquet(path)
+
+    table = spark.read.parquet(path)
+    from pyspark.sql import functions as F
+
+    probed = table.filter(F.col("cell").isin([0, 3]))
+    plan = _plan(probed)
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters", 1)[1][:120]
+    # and the probe truly reads only the probed cells
+    cells = {r["cell"] for r in probed.select("cell").distinct().collect()}
+    assert cells <= {0, 3}
