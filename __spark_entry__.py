@@ -595,6 +595,16 @@ _GOPHER_FLAG_COLS = [
 ]
 
 
+def q_interdup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-document duplicate-passage fraction (word 8-gram windows
+    shared across >= 2 docs) — the across-corpus complement of
+    q_repetition's within-doc signals."""
+    from webcrawl_spark.operators.corpus import duplicate_passage_fraction
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return duplicate_passage_fraction(docs, n=8).orderBy("doc_id")
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The published Gopher quality rules, one boolean per rule + the
     conjunction, per document."""
@@ -811,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivf_topk": q_ivf_topk,
         "q_decontaminate": q_decontaminate,
         "q_gopher_quality": q_gopher_quality,
+        "q_interdup": q_interdup,
     }
 
 
@@ -1368,6 +1379,31 @@ _DECONTAMINATE_ORACLE_SQL = f"""
 """
 
 
+_INTERDUP_ORACLE_SQL = f"""
+    WITH cw AS (
+      SELECT doc_id, {_WORDS_SQL.format(col="text")} AS ws FROM documents
+    ), cg AS (
+      SELECT doc_id, unnest(
+        [array_to_string(list_slice(ws, i, i + 7), ' ')
+         FOR i IN range(1, greatest(len(ws) - 6, 1))]) AS gram
+      FROM cw
+    ), shared AS (
+      SELECT gram FROM cg GROUP BY gram
+      HAVING count(DISTINCT doc_id) >= 2
+    ), per AS (
+      SELECT doc_id, count(*) AS n_windows,
+             sum(CASE WHEN gram IN (SELECT gram FROM shared)
+                 THEN 1 ELSE 0 END) AS n_dup
+      FROM cg GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_windows, 0) AS n_windows,
+           round(coalesce(p.n_dup::DOUBLE / p.n_windows, 0), 6) AS dup_frac
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    ORDER BY d.doc_id
+"""
+
+
 def _ivf_oracle_sql() -> str:
     """Full twin of q_ivf_topk: recompute each embedding's IVF cell from
     the SAME seed-derived anchor constants the Spark UDF uses (imported,
@@ -1653,6 +1689,7 @@ def oracle_sql() -> dict[str, str]:
         "q_ivf_topk": _ivf_oracle_sql(),
         "q_decontaminate": _DECONTAMINATE_ORACLE_SQL,
         "q_gopher_quality": _gopher_oracle_sql(),
+        "q_interdup": _INTERDUP_ORACLE_SQL,
         # q_minhash_dedup (scale-path config) / q_image_plumbing /
         # q_crawl_round: non-SQL-expressible → rows-only checks
         # (driver contract).

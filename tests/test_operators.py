@@ -698,3 +698,35 @@ class TestRedactPiiLineBoundary:
         df = spark.createDataFrame([(1, txt)], "doc_id int, text string")
         out = df.select(redact_pii(F.col("text")).alias("t")).first()["t"]
         assert out == "call <PHONE>\nfax <PHONE>"   # two redactions, newline kept
+
+
+class TestDuplicatePassages:
+    def test_cross_doc_windows_flagged(self, spark):
+        from webcrawl_spark.operators.corpus import duplicate_passage_fraction
+
+        shared = "alpha beta gamma delta epsilon zeta"
+        rows = [
+            (1, shared + " unique one two three"),
+            (2, shared + " other tail words here"),
+            (3, "entirely different content with no overlap at all ok"),
+            (4, "tiny"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        got = {r["doc_id"]: r for r in
+               duplicate_passage_fraction(df, n=6).collect()}
+        # the shared 6-word prefix is the only window both docs contain
+        assert got[1]["n_windows"] == 5 and got[1]["dup_frac"] == pytest.approx(0.2)
+        assert got[2]["dup_frac"] == pytest.approx(0.2)
+        assert got[3]["dup_frac"] == 0.0
+        assert got[4]["n_windows"] == 0 and got[4]["dup_frac"] == 0.0
+
+    def test_within_doc_repeat_not_counted(self, spark):
+        """A window repeated only inside ONE doc is within-doc repetition
+        (repetition_stats territory), not inter-document duplication."""
+        from webcrawl_spark.operators.corpus import duplicate_passage_fraction
+
+        rows = [(1, "a b c d a b c d"), (2, "x y z w v u t s")]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        got = {r["doc_id"]: r["dup_frac"] for r in
+               duplicate_passage_fraction(df, n=4).collect()}
+        assert got[1] == 0.0 and got[2] == 0.0

@@ -23,6 +23,7 @@ __all__ = [
     "chunk_documents",
     "contamination_flags",
     "decontaminate",
+    "duplicate_passage_fraction",
 ]
 
 # 32-bit bucket space for the md5-prefix draw.
@@ -146,6 +147,48 @@ def decontaminate(df: DataFrame, benchmark: DataFrame, n: int = 8,
         .select(F.col("_id").alias(id_col))
     )
     return df.join(dirty, id_col, "left_anti")
+
+
+def duplicate_passage_fraction(df: DataFrame, n: int = 20,
+                               text_col: str = "text",
+                               id_col: str = "doc_id") -> DataFrame:
+    """Inter-document duplication signal (the RefinedWeb/Gopher
+    'duplicated n-gram fraction' family, measured ACROSS documents where
+    repetition_stats measures WITHIN): per document, the fraction of its
+    sliding word n-gram windows that also occur in at least one OTHER
+    document. High values mark mirrored/boilerplate pages that survive
+    exact dedup.
+
+    Scale shape: only (doc, 64-bit window hash) pairs enter the two
+    aggregations (map-side partial); text never shuffles. Returns
+    (id, n_windows, dup_frac) — zero-window docs report 0.0."""
+    from webcrawl_spark.operators.textstats import _word_ngrams, _words
+
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.transform(
+            _word_ngrams(_words(F.col(text_col)), n),
+            lambda g: F.xxhash64(g),
+        )).alias("_h"),
+    )
+    shared = (grams.groupBy("_h")
+              .agg(F.countDistinct("_id").alias("_docs"))
+              .filter(F.col("_docs") >= 2).select("_h"))
+    per_doc = (
+        grams.join(shared.withColumn("_dup", F.lit(1)), "_h", "left")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_windows"),
+             F.sum(F.coalesce("_dup", F.lit(0))).alias("_n_dup"))
+        .select(F.col("_id").alias(id_col), "n_windows",
+                F.round(F.col("_n_dup") / F.col("n_windows"), 6)
+                .alias("dup_frac"))
+    )
+    return (
+        df.select(id_col).join(per_doc, id_col, "left")
+        .select(id_col,
+                F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+                F.coalesce("dup_frac", F.lit(0.0)).alias("dup_frac"))
+    )
 
 
 def chunk_documents(df: DataFrame, max_words: int = 128, overlap: int = 16,
