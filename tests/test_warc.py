@@ -130,3 +130,38 @@ class TestWarcCrawlReplay:
             orders.append(crawl.fetch_order())
         assert orders[0] == orders[1]
         assert len(orders[0]) > 0
+
+
+class TestWarcProperty:
+    def test_roundtrip_property(self):
+        """parse(build(records)) == records for arbitrary payload bytes,
+        statuses and urls (hypothesis)."""
+        from hypothesis import given, settings, strategies as st
+
+        payload = st.binary(min_size=0, max_size=2000)
+        status = st.integers(min_value=100, max_value=599)
+        hostpart = st.text(
+            alphabet="abcdefghijklmnopqrstuvwxyz0123456789-", min_size=1,
+            max_size=12)
+        ts = st.datetimes(
+            min_value=dt.datetime(1996, 1, 1),
+            max_value=dt.datetime(2100, 1, 1),
+        ).map(lambda d: d.replace(microsecond=0, tzinfo=UTC))
+
+        @settings(max_examples=60, deadline=None)
+        @given(st.lists(
+            st.fixed_dictionaries({
+                "url": hostpart.map(lambda h: f"https://{h}.example.com/"),
+                "warc_ts": ts, "html": payload, "http_status": status,
+                "content_type": st.just("text/html"),
+            }), min_size=0, max_size=5), st.booleans())
+        def check(records, gz):
+            got = parse_warc_bytes(build_warc_bytes(records, gzip_members=gz))
+            assert len(got) == len(records)
+            for want, have in zip(records, got):
+                assert have["url"] == want["url"]
+                assert have["warc_ts"] == want["warc_ts"]
+                assert have["http_status"] == want["http_status"]
+                assert have["payload"] == want["html"]
+
+        check()
