@@ -99,3 +99,31 @@ class TestNormalizeSitemap:
         assert normalize_sitemap_url("https://www.example.com/a/") == "example.com/a"
         assert normalize_sitemap_url("http://example.com") == "example.com"
         assert normalize_sitemap_url("example.com/") == "example.com"
+
+
+class TestXxh64:
+    def test_bit_parity_with_spark(self, spark):
+        """kernels/xxh64.py must match F.xxhash64 bit-for-bit — the
+        driver-side frontier bucket assignment depends on it."""
+        import random
+        import string
+
+        from pyspark.sql import functions as F
+
+        from webcrawl_spark.kernels.xxh64 import spark_bucket, xxhash64
+
+        random.seed(2)
+        vals = (["", "a", "ab", "abc", "abcd", "x" * 31, "x" * 32, "x" * 33,
+                 "host0.example.com", "日本語", "ü" * 20]
+                + ["".join(random.choices(string.printable, k=k))
+                   for k in range(0, 80, 3)])
+        df = spark.createDataFrame([(v,) for v in vals], "s string")
+        want = {r["s"]: r["h"] for r in
+                df.select("s", F.xxhash64("s").alias("h")).collect()}
+        for v in vals:
+            assert xxhash64(v) == want[v], v
+        bucket = {r["s"]: r["b"] for r in df.select(
+            "s", F.pmod(F.xxhash64("s"), F.lit(256)).cast("int").alias("b")
+        ).collect()}
+        for v in vals:
+            assert spark_bucket(v, 256) == bucket[v]

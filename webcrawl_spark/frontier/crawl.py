@@ -155,29 +155,6 @@ class EngineConfig:
         self.live_robots = live_robots
 
 
-def _crawl_links_udf(cfg: CrawlConfig):
-    """(html binary, url) → array<string> — L2 (kernels/crawl.py); decodes
-    in Python (U5), skipping JVM string materialization. Null html (fetch
-    error, non-html, or depth-guarded via a null-projected input) → []."""
-    opts = cfg.filter_options()
-
-    def batch(htmls: pd.Series, urls: pd.Series) -> pd.Series:
-        from ..functions import _as_text
-        out = []
-        for html, url in zip(htmls, urls):
-            text = _as_text(html)
-            if text and text.strip().startswith("<"):
-                try:
-                    out.append(page_links(text, url, opts))
-                except Exception:
-                    out.append([])
-            else:
-                out.append([])
-        return pd.Series(out, dtype="object")
-
-    return pandas_udf(batch, T.ArrayType(T.StringType()))
-
-
 def _classify_f1_udf(cfg: CrawlConfig):
     """F1 predicate chain without limit (link) → struct."""
     opts = cfg.filter_options()
@@ -209,22 +186,41 @@ def _unsafe_host_udf():
     return pandas_udf(batch, T.BooleanType())
 
 
-def _markdown_udf():
-    def batch(htmls: pd.Series, urls: pd.Series) -> pd.Series:
-        from ..functions import _as_text
-        out = []
-        for html, url in zip(htmls, urls):
-            text = _as_text(html)
-            if not text:
-                out.append("")
-                continue
-            try:
-                out.append(markdown_for_page(text, url))
-            except Exception:
-                out.append("")
-        return pd.Series(out, dtype="object")
+def _extract_udf(cfg: CrawlConfig, extract_markdown: bool):
+    """Fused X2+L2 extraction: (html, url, expandable) →
+    struct(markdown, links) in ONE Arrow stage. Markdown is produced for
+    every fetched page; links only when ``expandable`` (depth/status
+    guard). Fusing matters because the html column is the round's widest
+    payload — two separate UDFs ship every page's bytes across the Arrow
+    boundary twice."""
+    opts = cfg.filter_options()
 
-    return pandas_udf(batch, T.StringType())
+    def batch(htmls: pd.Series, urls: pd.Series,
+              expandable: pd.Series) -> pd.DataFrame:
+        from ..functions import _as_text
+        mds, lnks = [], []
+        for html, url, expand in zip(htmls, urls, expandable):
+            text = _as_text(html)
+            if extract_markdown and text:
+                try:
+                    mds.append(markdown_for_page(text, url))
+                except Exception:
+                    mds.append("")
+            else:
+                mds.append("")
+            if expand and text and text.strip().startswith("<"):
+                try:
+                    lnks.append(page_links(text, url, opts))
+                except Exception:
+                    lnks.append([])
+            else:
+                lnks.append([])
+        return pd.DataFrame({"markdown": mds, "links": lnks})
+
+    return pandas_udf(batch, T.StructType([
+        T.StructField("markdown", T.StringType()),
+        T.StructField("links", T.ArrayType(T.StringType())),
+    ]))
 
 
 # per-python-worker incremental cache for the bucket-local exact check:
@@ -588,11 +584,7 @@ class SparkCrawl:
             )
             for seq, url in enumerate(seeds)
         ]
-        seed_df = self._local_frontier_df(rows).withColumn(
-            "host_bucket",
-            F.pmod(F.xxhash64("host"), F.lit(eng.num_buckets)).cast("int"),
-        )
-        self.io.append(seed_df, "frontier", 0, partition_by=["host_bucket"])
+        self._write_admitted(rows, 0)
         if eng.use_bloom:
             self._write_shards(self.io.read_round("frontier", 0), None, 0,
                                n_rows=len(rows))
@@ -1096,16 +1088,16 @@ class SparkCrawl:
         )
         result_cols = ["url", "url_canon", "host", "host_bucket", "depth",
                        "priority", "seq", "status"]
-        combined = fetched.select(
+        extracted = fetched.select(
             *result_cols,
-            *([
-                _markdown_udf()(F.col("html"), F.col("url")).alias("markdown")
-            ] if eng.extract_markdown else []),
-            # depth/status guard applied by projecting html to null so the
-            # link UDF does no work for non-expandable rows
-            _crawl_links_udf(cfg)(
-                F.when(expandable, F.col("html")), F.col("url")
-            ).alias("links"),
+            _extract_udf(cfg, eng.extract_markdown)(
+                F.col("html"), F.col("url"), expandable
+            ).alias("_x"),
+        )
+        combined = extracted.select(
+            *result_cols,
+            *(["_x.markdown"] if eng.extract_markdown else []),
+            F.col("_x.links").alias("links"),
         ).withColumn("round", F.lit(round_no))
         io.append(combined, "crawl_result", round_no)
         t = self._trace(round_no, "fetch+extract write", t)
@@ -1409,30 +1401,28 @@ class SparkCrawl:
         self._write_admitted(admitted, round_no)
         return len(admitted)
 
-    def _local_frontier_df(self, rows: list[tuple]) -> DataFrame:
-        """Driver-built frontier rows → DataFrame via the Arrow path (a
-        plain-list createDataFrame parallelizes into defaultParallelism
-        pickled slices, and any downstream coalesce then pulls them through
-        ONE python worker sequentially — measured ~6s/round at local[32];
-        the pandas/Arrow conversion never touches python workers)."""
+    def _write_admitted(self, admitted: list[tuple], round_no: int) -> None:
+        # Driver-built rows are small by construction (small-round /
+        # limit-replay paths only): compute host_bucket with the python
+        # xxhash64 twin (bit-parity gated in tests/test_urlkit.py) and
+        # write the per-bucket files directly with pyarrow — pushing
+        # O(1000) driver rows through Spark's dynamic-partition committer
+        # costs 1-3 s of fixed overhead per round (one file open/commit
+        # per bucket value inside one task), vs ~10 ms driver-side. The
+        # file layout is identical, so every reader (hive-partitioned
+        # scans, per-bucket seen-key files) is unchanged.
+        from webcrawl_spark.kernels.xxh64 import spark_bucket
+
         cols = ["url", "url_canon", "host", "host_bucket", "depth",
                 "priority", "round_discovered", "seq"]
-        pdf = pd.DataFrame(rows, columns=cols)
+        pdf = pd.DataFrame(admitted, columns=cols)
+        pdf["host_bucket"] = [
+            spark_bucket(h, self.engine.num_buckets) for h in pdf["host"]
+        ] if len(pdf) else pdf["host_bucket"]
         pdf = pdf.astype({
             "url": "object", "url_canon": "object", "host": "object",
             "host_bucket": "int32", "depth": "int32", "priority": "int32",
             "round_discovered": "int32", "seq": "int64",
         })
-        return self.spark.createDataFrame(pdf, FRONTIER_SCHEMA)
-
-    def _write_admitted(self, admitted: list[tuple], round_no: int) -> None:
-        # coalesce(1): driver-built rows are small by construction (small-
-        # round / limit-replay paths only), and one write task emits one
-        # file per bucket VALUE instead of one per (task × bucket) — the
-        # frontier file count stays O(buckets), not O(parallelism × buckets)
-        df = self._local_frontier_df(admitted).coalesce(1).withColumn(
-            "host_bucket",
-            F.pmod(F.xxhash64("host"), F.lit(self.engine.num_buckets))
-            .cast("int"),
-        )
-        self.io.append(df, "frontier", round_no, partition_by=["host_bucket"])
+        self.io.append_local(pdf, "frontier", round_no,
+                             partition_by=["host_bucket"])

@@ -213,6 +213,14 @@ class IcebergTableIO:
         return self._exists(table) and \
             self.spark.table(self._qt(table)).limit(1).count() > 0
 
+    def append_local(self, pdf, table: str, round_no: int,
+                     partition_by: list[str] | None = None) -> None:
+        """Driver-resident rows: Iceberg commits must go through the
+        catalog (snapshot + manifest), so this delegates to append() —
+        the pyarrow fast path is a parquet-backend optimization only."""
+        self.append(self.spark.createDataFrame(pdf), table, round_no,
+                    partition_by=partition_by)
+
     def append(self, df: DataFrame, table: str, round_no: int,
                partition_by: list[str] | None = None) -> None:
         """Append this round's rows; idempotent per round (dynamic

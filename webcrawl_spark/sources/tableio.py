@@ -125,6 +125,41 @@ class TableIO:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
 
+    def append_local(self, pdf, table: str, round_no: int,
+                     partition_by: list[str] | None = None) -> None:
+        """Driver-resident rows (a pandas DataFrame) → parquet files
+        written directly with pyarrow — no Spark job, no dynamic-partition
+        committer. The small-round admission paths collect their rows to
+        the driver anyway; pushing them back through a partitioned Spark
+        write costs ~1-3 s of committer overhead per round vs ~10 ms here.
+        Same layout and overwrite-idempotence as append(); partition
+        columns become hive directories and are dropped from the files,
+        exactly as Spark writes them."""
+        import shutil
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = os.path.join(self._table_dir(table), f"round={round_no}")
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        os.makedirs(path, exist_ok=True)
+        if len(pdf) == 0:
+            return
+        if partition_by:
+            for key, grp in pdf.groupby(partition_by, sort=True):
+                key = key if isinstance(key, tuple) else (key,)
+                sub = os.path.join(
+                    path, *[f"{c}={v}" for c, v in zip(partition_by, key)])
+                os.makedirs(sub, exist_ok=True)
+                pq.write_table(
+                    pa.Table.from_pandas(grp.drop(columns=partition_by),
+                                         preserve_index=False),
+                    os.path.join(sub, "part-00000.parquet"))
+        else:
+            pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                           os.path.join(path, "part-00000.parquet"))
+
     def read_round(self, table: str, round_no: int) -> DataFrame:
         """Read exactly one round's files (partition discovery restores any
         partitionBy columns)."""
