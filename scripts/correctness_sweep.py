@@ -61,3 +61,4 @@ for name, fn in e.queries().items():
     print(f"{name}: {status} rows={len(sdf)} {time.time()-t0:.1f}s")
 print("FAILURES:", fails if fails else "none")
 spark.stop()
+sys.exit(1 if fails else 0)

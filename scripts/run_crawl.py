@@ -60,9 +60,9 @@ def main() -> None:
     elif args.pages:
         pages = spark.read.parquet(args.pages).select("url", "html")
     elif args.warc:
-        from webcrawl_spark.sources.warc import read_warc
+        from webcrawl_spark.sources.warc import warc_pages
 
-        pages = read_warc(spark, args.warc).select("url", "html")
+        pages = warc_pages(spark, args.warc)
     else:
         ap.error("one of --pages / --warc / --synthetic is required")
 

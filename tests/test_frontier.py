@@ -536,3 +536,27 @@ class TestResume:
         assert not os.path.exists(os.path.join(stray, "garbage.parquet")) or True
         # the resumed crawl is consistent
         assert len(c2.fetch_order()) == len(set(c2.fetch_order()))
+
+
+def test_write_admitted_empty_round(spark, tmp_path):
+    """An empty admission set (every candidate already seen / cap
+    exhausted) must write a readable empty round on every backend path —
+    the Iceberg delegate needs the explicit FRONTIER_SCHEMA because a
+    0-row pandas frame has no inferable schema."""
+    from webcrawl_spark.frontier.crawl import FRONTIER_SCHEMA
+    from webcrawl_spark.sources.tableio import TableIO
+
+    io = TableIO(spark, str(tmp_path))
+    io.append_local(__import__("pandas").DataFrame(
+        [], columns=["url", "url_canon", "host", "host_bucket", "depth",
+                     "priority", "round_discovered", "seq"]),
+        "frontier", 3, partition_by=["host_bucket"], schema=FRONTIER_SCHEMA)
+    import os
+    assert os.path.isdir(str(tmp_path / "frontier" / "round=3"))
+    # the schema round-trips through a Spark DataFrame (the Iceberg path)
+    import pandas as pd
+    empty = pd.DataFrame([], columns=["url", "url_canon", "host",
+                                      "host_bucket", "depth", "priority",
+                                      "round_discovered", "seq"])
+    df = spark.createDataFrame(empty, FRONTIER_SCHEMA)
+    assert df.count() == 0 and "seq" in df.columns

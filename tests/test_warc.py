@@ -165,3 +165,31 @@ class TestWarcProperty:
                 assert have["payload"] == want["html"]
 
         check()
+
+
+class TestWarcPages:
+    def test_error_captures_and_recrawls_filtered(self, spark, tmp_path):
+        """warc_pages keeps only status-200 captures and one capture per
+        URL (latest warc_ts) — error bodies must not become page content
+        and re-crawls must not produce duplicate fetch rows."""
+        from webcrawl_spark.sources.warc import warc_pages
+
+        recs = [
+            {"url": "https://a.example.com/", "http_status": 200,
+             "warc_ts": dt.datetime(2026, 1, 1, tzinfo=UTC),
+             "content_type": "text/html", "html": b"<html>old capture</html>"},
+            {"url": "https://a.example.com/", "http_status": 200,
+             "warc_ts": dt.datetime(2026, 2, 1, tzinfo=UTC),
+             "content_type": "text/html", "html": b"<html>new capture</html>"},
+            {"url": "https://b.example.com/", "http_status": 404,
+             "warc_ts": dt.datetime(2026, 2, 1, tzinfo=UTC),
+             "content_type": "text/html", "html": b"<html>not found</html>"},
+            {"url": "https://c.example.com/", "http_status": 301,
+             "warc_ts": dt.datetime(2026, 2, 1, tzinfo=UTC),
+             "content_type": "text/html", "html": b"<html>moved</html>"},
+        ]
+        (tmp_path / "snap.warc").write_bytes(build_warc_bytes(recs))
+        rows = warc_pages(spark, str(tmp_path) + "/*.warc").collect()
+        assert len(rows) == 1
+        assert rows[0]["url"] == "https://a.example.com/"
+        assert bytes(rows[0]["html"]) == b"<html>new capture</html>"

@@ -1425,4 +1425,5 @@ class SparkCrawl:
             "round_discovered": "int32", "seq": "int64",
         })
         self.io.append_local(pdf, "frontier", round_no,
-                             partition_by=["host_bucket"])
+                             partition_by=["host_bucket"],
+                             schema=FRONTIER_SCHEMA)

@@ -214,12 +214,16 @@ class IcebergTableIO:
             self.spark.table(self._qt(table)).limit(1).count() > 0
 
     def append_local(self, pdf, table: str, round_no: int,
-                     partition_by: list[str] | None = None) -> None:
+                     partition_by: list[str] | None = None,
+                     schema: str | None = None) -> None:
         """Driver-resident rows: Iceberg commits must go through the
         catalog (snapshot + manifest), so this delegates to append() —
-        the pyarrow fast path is a parquet-backend optimization only."""
-        self.append(self.spark.createDataFrame(pdf), table, round_no,
-                    partition_by=partition_by)
+        the pyarrow fast path is a parquet-backend optimization only.
+        ``schema`` is REQUIRED for empty frames (a 0-row pandas frame has
+        no inferable Spark schema)."""
+        df = (self.spark.createDataFrame(pdf, schema) if schema
+              else self.spark.createDataFrame(pdf))
+        self.append(df, table, round_no, partition_by=partition_by)
 
     def append(self, df: DataFrame, table: str, round_no: int,
                partition_by: list[str] | None = None) -> None:

@@ -126,7 +126,8 @@ class TableIO:
         writer.parquet(path)
 
     def append_local(self, pdf, table: str, round_no: int,
-                     partition_by: list[str] | None = None) -> None:
+                     partition_by: list[str] | None = None,
+                     schema: str | None = None) -> None:
         """Driver-resident rows (a pandas DataFrame) → parquet files
         written directly with pyarrow — no Spark job, no dynamic-partition
         committer. The small-round admission paths collect their rows to
@@ -134,7 +135,11 @@ class TableIO:
         write costs ~1-3 s of committer overhead per round vs ~10 ms here.
         Same layout and overwrite-idempotence as append(); partition
         columns become hive directories and are dropped from the files,
-        exactly as Spark writes them."""
+        exactly as Spark writes them. Partition keys must be integer-typed
+        (no hive path escaping is performed — Spark URL-escapes string
+        partition values, this writer does not). ``schema`` is the Spark
+        DDL used by backends that must round-trip through a DataFrame
+        (Iceberg); the pyarrow path types from the pandas dtypes."""
         import shutil
 
         import pyarrow as pa
@@ -147,6 +152,9 @@ class TableIO:
         if len(pdf) == 0:
             return
         if partition_by:
+            for c in partition_by:
+                assert pdf[c].dtype.kind in "iu", \
+                    f"append_local partition column {c!r} must be integer"
             for key, grp in pdf.groupby(partition_by, sort=True):
                 key = key if isinstance(key, tuple) else (key,)
                 sub = os.path.join(

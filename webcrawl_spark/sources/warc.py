@@ -30,7 +30,8 @@ from typing import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-__all__ = ["parse_warc_bytes", "read_warc", "build_warc_bytes"]
+__all__ = ["parse_warc_bytes", "read_warc", "warc_pages",
+           "build_warc_bytes"]
 
 _CRLF2 = b"\r\n\r\n"
 
@@ -147,6 +148,26 @@ def read_warc(spark: SparkSession, path: str,
                     rows, columns=[f.name for f in WARC_SCHEMA])
 
     return raw.select("path", "content").mapInPandas(parse, WARC_SCHEMA)
+
+
+def warc_pages(spark: SparkSession, path: str) -> DataFrame:
+    """WARC files → crawl-ready (url, html) corpus: successful captures
+    only, one per URL (latest warc_ts wins). A snapshot glob routinely
+    holds redirect/404 captures and re-crawls of the same URL — fed raw
+    into corpus replay those would extract error pages as content and
+    emit duplicate fetches sharing one seq."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("url").orderBy(
+        F.col("warc_ts").desc_nulls_last(), "warc_file")
+    return (
+        read_warc(spark, path)
+        .filter(F.col("http_status") == 200)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("url", "html")
+    )
 
 
 def build_warc_bytes(records: list[dict], gzip_members: bool = False) -> bytes:
