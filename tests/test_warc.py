@@ -193,3 +193,46 @@ class TestWarcPages:
         assert len(rows) == 1
         assert rows[0]["url"] == "https://a.example.com/"
         assert bytes(rows[0]["html"]) == b"<html>new capture</html>"
+
+
+class TestWetText:
+    def test_conversion_records_to_documents(self, spark, tmp_path):
+        """WET conversion records land as (url, warc_ts, text) and feed the
+        documents-table operators directly."""
+        from webcrawl_spark.sources.warc import wet_text
+
+        def conv(url, ts, text):
+            body = text.encode("utf-8")
+            return (b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+                    b"WARC-Target-URI: " + url.encode() + b"\r\n"
+                    b"WARC-Date: " + ts.encode() + b"\r\n"
+                    b"Content-Type: text/plain\r\n"
+                    b"Content-Length: " + str(len(body)).encode() +
+                    b"\r\n\r\n" + body + b"\r\n\r\n")
+
+        data = (conv("https://a.example.com/", "2026-03-01T00:00:00Z",
+                     "the quick brown fox and the lazy dog")
+                + conv("https://b.example.com/", "2026-03-01T00:01:00Z",
+                       "der schnelle braune fuchs und die hunde"))
+        # a response record in the same file must be excluded
+        data += build_warc_bytes([{
+            "url": "https://c.example.com/", "http_status": 200,
+            "warc_ts": dt.datetime(2026, 3, 1, tzinfo=UTC),
+            "content_type": "text/html", "html": b"<html>x</html>"}])
+        (tmp_path / "seg.warc").write_bytes(data)
+        rows = wet_text(spark, str(tmp_path) + "/*.warc").collect()
+        assert {r["url"] for r in rows} == {"https://a.example.com/",
+                                            "https://b.example.com/"}
+        texts = {r["url"]: r["text"] for r in rows}
+        assert texts["https://a.example.com/"].startswith("the quick")
+
+        # straight into a text operator
+        from pyspark.sql import functions as F
+
+        from webcrawl_spark.operators.textstats import language_guess
+
+        docs = wet_text(spark, str(tmp_path) + "/*.warc")
+        langs = {r["url"]: r["l"] for r in docs.select(
+            "url", language_guess(F.col("text")).alias("l")).collect()}
+        assert langs["https://a.example.com/"] == "en"
+        assert langs["https://b.example.com/"] == "de"

@@ -30,7 +30,7 @@ from typing import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-__all__ = ["parse_warc_bytes", "read_warc", "warc_pages",
+__all__ = ["parse_warc_bytes", "read_warc", "warc_pages", "wet_text",
            "build_warc_bytes"]
 
 _CRLF2 = b"\r\n\r\n"
@@ -167,6 +167,21 @@ def warc_pages(spark: SparkSession, path: str) -> DataFrame:
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select("url", "html")
+    )
+
+
+def wet_text(spark: SparkSession, path: str) -> DataFrame:
+    """Common Crawl WET files → (url, warc_ts, text): the ``conversion``
+    records carry pre-extracted plain text (UTF-8), the direct feed for
+    the documents-table operators (dedup, quality, language ID) when the
+    pipeline starts from CC's own extraction instead of raw HTML."""
+    from pyspark.sql import functions as F
+
+    return (
+        read_warc(spark, path, response_only=False)
+        .filter(F.col("warc_type") == "conversion")
+        .select("url", "warc_ts",
+                F.decode(F.col("html"), "UTF-8").alias("text"))
     )
 
 
