@@ -543,20 +543,20 @@ def test_write_admitted_empty_round(spark, tmp_path):
     exhausted) must write a readable empty round on every backend path —
     the Iceberg delegate needs the explicit FRONTIER_SCHEMA because a
     0-row pandas frame has no inferable schema."""
+    import os
+
+    import pandas as pd
+
     from webcrawl_spark.frontier.crawl import FRONTIER_SCHEMA
     from webcrawl_spark.sources.tableio import TableIO
 
+    cols = ["url", "url_canon", "host", "host_bucket", "depth",
+            "priority", "round_discovered", "seq"]
     io = TableIO(spark, str(tmp_path))
-    io.append_local(__import__("pandas").DataFrame(
-        [], columns=["url", "url_canon", "host", "host_bucket", "depth",
-                     "priority", "round_discovered", "seq"]),
-        "frontier", 3, partition_by=["host_bucket"], schema=FRONTIER_SCHEMA)
-    import os
+    io.append_local(pd.DataFrame([], columns=cols), "frontier", 3,
+                    partition_by=["host_bucket"], schema=FRONTIER_SCHEMA)
     assert os.path.isdir(str(tmp_path / "frontier" / "round=3"))
     # the schema round-trips through a Spark DataFrame (the Iceberg path)
-    import pandas as pd
-    empty = pd.DataFrame([], columns=["url", "url_canon", "host",
-                                      "host_bucket", "depth", "priority",
-                                      "round_discovered", "seq"])
+    empty = pd.DataFrame([], columns=cols)
     df = spark.createDataFrame(empty, FRONTIER_SCHEMA)
     assert df.count() == 0 and "seq" in df.columns
