@@ -236,3 +236,53 @@ class TestWetText:
             "url", language_guess(F.col("text")).alias("l")).collect()}
         assert langs["https://a.example.com/"] == "en"
         assert langs["https://b.example.com/"] == "de"
+
+
+class TestEndToEndPipeline:
+    def test_warc_to_training_chunks(self, spark, tmp_path):
+        """The full corpus journey on one engine: WARC snapshot → markdown
+        extraction → exact dedup → Gopher word-count gate → token-window
+        chunks. Each stage is the public operator, composed as a user
+        would compose them."""
+        from pyspark.sql import functions as F
+
+        from webcrawl_spark.operators.corpus import chunk_documents
+        from webcrawl_spark.operators.dedup import exact_dedup
+        from webcrawl_spark.operators.scrape import scrape
+        from webcrawl_spark.operators.textstats import gopher_quality_flags
+        from webcrawl_spark.sources.warc import warc_pages
+
+        body = " ".join(f"word{i} and the text goes on" for i in range(30))
+        recs = []
+        for i, (host, text) in enumerate([
+            ("a", body), ("b", body),            # exact dups across hosts
+            ("c", "tiny page"),                  # fails word-count gate
+            ("d", body + " unique tail content here"),
+        ]):
+            recs.append({
+                "url": f"https://{host}.example.com/", "http_status": 200,
+                "warc_ts": dt.datetime(2026, 4, 1, i, tzinfo=UTC),
+                "content_type": "text/html",
+                "html": f"<html><body><p>{text}</p></body></html>".encode()})
+        (tmp_path / "cc.warc.gz").write_bytes(
+            build_warc_bytes(recs, gzip_members=True))
+
+        docs = (
+            scrape(warc_pages(spark, str(tmp_path) + "/*.warc.gz"))
+            .select(F.col("url").alias("doc_id"),
+                    F.col("markdown").alias("text"))
+        )
+        deduped = exact_dedup(docs, id_col="doc_id")
+        kept = deduped.filter(
+            gopher_quality_flags(F.col("text"))["ok_word_count"])
+        chunks = chunk_documents(kept, max_words=64, overlap=8)
+
+        urls = {r["doc_id"] for r in kept.select("doc_id").collect()}
+        # one of the two dup hosts survives, tiny page gated out
+        assert len(urls & {"https://a.example.com/",
+                           "https://b.example.com/"}) == 1
+        assert "https://c.example.com/" not in urls
+        assert "https://d.example.com/" in urls
+        out = chunks.collect()
+        assert len(out) >= 4                    # >=2 chunks per kept doc
+        assert all(r["n_words_chunk"] <= 64 for r in out)
