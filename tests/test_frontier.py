@@ -560,3 +560,29 @@ def test_write_admitted_empty_round(spark, tmp_path):
     empty = pd.DataFrame([], columns=cols)
     df = spark.createDataFrame(empty, FRONTIER_SCHEMA)
     assert df.count() == 0 and "seq" in df.columns
+
+
+def test_extract_markdown_off(spark, tmp_path):
+    """EngineConfig(extract_markdown=False): crawl_result carries no
+    markdown column, link lineage and fetch order are unchanged."""
+    from webcrawl_spark.datagen import build_site, render_page_html
+    from webcrawl_spark.frontier.crawl import EngineConfig, SparkCrawl
+    from webcrawl_spark.frontier.oracle import CrawlConfig
+
+    site = build_site(seed=11, n_hosts=2, pages_per_host=8, n_hot_hosts=0)
+    rows = [(u, render_page_html(site, u).encode()) for u in site.urls()]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    cfg = CrawlConfig(seed_url=f"https://{site.hosts[0]}/", limit=None,
+                      max_depth=2, allow_backward_crawling=True,
+                      host_budget=4)
+    orders = {}
+    for tag, md in (("on", True), ("off", False)):
+        wd = str(tmp_path / tag)
+        crawl = SparkCrawl(spark, pages, cfg, wd,
+                           engine=EngineConfig(extract_markdown=md))
+        crawl.run()
+        cols = crawl.results().columns
+        assert ("markdown" in cols) == md
+        assert "links" in cols
+        orders[tag] = crawl.fetch_order()
+    assert orders["on"] == orders["off"] and orders["on"]

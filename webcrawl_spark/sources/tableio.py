@@ -135,7 +135,10 @@ class TableIO:
         write costs ~1-3 s of committer overhead per round vs ~10 ms here.
         Same layout and overwrite-idempotence as append(); partition
         columns become hive directories and are dropped from the files,
-        exactly as Spark writes them. Partition keys must be integer-typed
+        exactly as Spark writes them. Like append(), this write alone is
+        NOT crash-atomic — atomic visibility comes from commit_round():
+        readers bound scans to the committed round, and a re-run replaces
+        a torn round directory wholesale. Partition keys must be integer-typed
         (no hive path escaping is performed — Spark URL-escapes string
         partition values, this writer does not). ``schema`` is the Spark
         DDL used by backends that must round-trip through a DataFrame
