@@ -103,3 +103,23 @@ class TestBucketSeenKeys:
         got = crawl_mod._bucket_seen_keys(root, 0, 0, "url")
         assert len(got) == 100
         assert (root, 0, "url") not in crawl_mod._SEEN_KEY_CACHE
+
+    def test_row_cap_enforced_on_incremental_append(self, tmp_path,
+                                                    monkeypatch):
+        """ADVICE r4: the cap must also bound the INCREMENTAL path — a
+        worker with bucket affinity appending deltas round after round
+        would otherwise grow its cached arrays past the cap forever."""
+        import webcrawl_spark.frontier.crawl as crawl_mod
+
+        root = str(tmp_path / "frontier")
+        self._write(root, 0, 0, [f"u{i}" for i in range(8)])
+        monkeypatch.setattr(crawl_mod, "_SEEN_CACHE_MAX_ROWS", 10)
+        crawl_mod._SEEN_KEY_CACHE.clear()
+        assert len(crawl_mod._bucket_seen_keys(root, 0, 0, "url")) == 8
+        assert (root, 0, "url") in crawl_mod._SEEN_KEY_CACHE  # under cap
+        # round 1 pushes the entry over the cap via the incremental path
+        self._write(root, 1, 0, [f"v{i}" for i in range(8)])
+        got = crawl_mod._bucket_seen_keys(root, 0, 1, "url")
+        assert len(got) == 16  # result still exact
+        assert (root, 0, "url") not in crawl_mod._SEEN_KEY_CACHE  # evicted
+        crawl_mod._SEEN_KEY_CACHE.clear()

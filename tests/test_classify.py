@@ -224,6 +224,8 @@ class TestUnsafeHost:
             "172.16.0.1", "172.31.255.255", "192.168.1.1", "169.254.169.254",
             "100.64.0.1", "0.0.0.0", "::1", "[::1]", "fe80::1", "fc00::1",
             "",
+            # inet_aton bypass forms all resolving to 127.0.0.1 (ADVICE r4):
+            "2130706433", "0x7f000001", "127.1", "0177.0.0.1", "127.0.1",
         ]
         for h in blocked:
             assert is_unsafe_host(h), h
@@ -235,6 +237,7 @@ class TestUnsafeHost:
             "example.com", "www.example.co.uk", "8.8.8.8", "1.1.1.1",
             "172.32.0.1", "192.169.0.1", "2606:4700:4700::1111",
             "my-host.test",
+            "134744072",  # inet_aton decimal for 8.8.8.8 — global, allowed
         ]
         for h in allowed:
             assert not is_unsafe_host(h), h

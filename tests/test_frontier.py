@@ -254,6 +254,138 @@ class TestEngineParity:
         resumed.run()
         assert dialed().count(f"https://{host}/robots.txt") == 1
 
+    def test_live_robots_http_only_host(self, spark, tmp_path):
+        """ADVICE r4: the robots URL scheme must come from the host's own
+        selected URLs — an http-only host gets http://host/robots.txt
+        (https would fail and silently disable robots)."""
+        import os
+
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        host = "plainhttp.test"
+        corpus = {
+            f"http://{host}/robots.txt":
+                "User-agent: *\nDisallow: /private\n",
+            f"http://{host}/": (
+                f'<html><body><a href="http://{host}/ok">ok</a>'
+                f'<a href="http://{host}/private/x">p</a></body></html>'),
+            f"http://{host}/ok": "<html><body>fine</body></html>",
+            f"http://{host}/private/x": "<html><body>secret</body></html>",
+        }
+        spool = str(tmp_path / "dials")
+        os.makedirs(spool, exist_ok=True)
+
+        @pandas_udf("binary")
+        def fetch_live(urls: pd.Series) -> pd.Series:
+            import os as _os
+            import uuid as _uuid
+            with open(_os.path.join(spool, _uuid.uuid4().hex), "w") as f:
+                f.write("\n".join(u or "" for u in urls))
+            return pd.Series(
+                [corpus[u].encode() if u in corpus else None for u in urls],
+                dtype="object")
+
+        cfg = CrawlConfig(seed_url=f"http://{host}/", limit=None,
+                          max_depth=2, allow_backward_crawling=True)
+        crawl = SparkCrawl(spark, None, cfg, str(tmp_path / "w"),
+                           fetch_udf=fetch_live,
+                           engine=EngineConfig(live_robots=True))
+        crawl.run()
+
+        log = {r["url"]: r["status"]
+               for r in crawl.fetch_log().select("url", "status").collect()}
+        assert log[f"http://{host}/private/x"] == 999  # robots enforced
+        assert log[f"http://{host}/ok"] == 200
+
+        dialed = []
+        for fn in os.listdir(spool):
+            with open(os.path.join(spool, fn)) as f:
+                dialed.extend(x for x in f.read().splitlines() if x)
+        assert f"http://{host}/robots.txt" in dialed
+        assert f"https://{host}/robots.txt" not in dialed
+
+    def test_live_robots_fetch_failure_retried_not_allow_all(
+            self, spark, tmp_path):
+        """ADVICE r4: a FAILED robots fetch must not be cached permanently
+        as allow-all — this round treats it as allow (unreachable robots
+        doesn't block, reference semantics) but a later crawl on the same
+        workdir retries the fetch and then enforces the rules."""
+        import os
+
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        host = "flaky-robots.test"
+        pages = {
+            f"https://{host}/": (
+                f'<html><body><a href="https://{host}/private/x">p</a>'
+                f'</body></html>'),
+            f"https://{host}/private/x": "<html><body>secret</body></html>",
+        }
+        robots_body = "User-agent: *\nDisallow: /private\n"
+        flag = str(tmp_path / "robots_up")  # existence → robots reachable
+        spool = str(tmp_path / "dials")
+        os.makedirs(spool, exist_ok=True)
+
+        @pandas_udf("binary")
+        def fetch_live(urls: pd.Series) -> pd.Series:
+            import os as _os
+            import uuid as _uuid
+            with open(_os.path.join(spool, _uuid.uuid4().hex), "w") as f:
+                f.write("\n".join(u or "" for u in urls))
+            up = _os.path.exists(flag)
+            out = []
+            for u in urls:
+                if u and u.endswith("/robots.txt"):
+                    out.append(robots_body.encode() if up else None)
+                else:
+                    out.append(pages.get(u, "<html/>").encode())
+            return pd.Series(out, dtype="object")
+
+        def dialed():
+            out = []
+            for fn in os.listdir(spool):
+                with open(os.path.join(spool, fn)) as f:
+                    out.extend(x for x in f.read().splitlines() if x)
+            return out
+
+        cfg = CrawlConfig(seed_url=f"https://{host}/", limit=None,
+                          max_depth=2, allow_backward_crawling=True)
+        work = str(tmp_path / "w")
+        # run 1: robots down → fetch fails → allow for this crawl
+        c1 = SparkCrawl(spark, None, cfg, work, fetch_udf=fetch_live,
+                        engine=EngineConfig(live_robots=True))
+        c1.run()
+        log1 = {r["url"]: r["status"]
+                for r in c1.fetch_log().select("url", "status").collect()}
+        assert log1[f"https://{host}/private/x"] == 200  # allowed, not 999
+        n_first = dialed().count(f"https://{host}/robots.txt")
+        assert n_first >= 1
+
+        # run 2, robots now up: the failure was NOT cached as allow-all —
+        # the fetch is retried and the disallow now enforced.
+        open(flag, "w").close()
+        # same robots_cache table shared via copy of workdir cache: a
+        # finished crawl won't re-run, so start a fresh crawl over a
+        # workdir that kept ONLY the robots_cache table.
+        import shutil
+        shutil.copytree(work, str(tmp_path / "w2"))
+        # drop round/frontier state, keep the robots_cache table → the new
+        # crawl resumes the cache but starts the frontier fresh
+        for sub in os.listdir(str(tmp_path / "w2")):
+            p = os.path.join(str(tmp_path / "w2"), sub)
+            if sub != "robots_cache":
+                shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+        c2 = SparkCrawl(spark, None, cfg, str(tmp_path / "w2"),
+                        fetch_udf=fetch_live,
+                        engine=EngineConfig(live_robots=True))
+        c2.run()
+        log2 = {r["url"]: r["status"]
+                for r in c2.fetch_log().select("url", "status").collect()}
+        assert log2[f"https://{host}/private/x"] == 999  # enforced now
+        assert dialed().count(f"https://{host}/robots.txt") > n_first
+
     def test_conditional_fetch_recrawl_serves_from_cache(self, spark, site,
                                                          tmp_path):
         """J5's live twin: a recrawl sharing the validator cache must serve

@@ -342,6 +342,26 @@ class TestRealWorldStructures:
         assert r["ok"] is False and r["error"] == "encrypted"
         assert r["markdown"] == ""
 
+    def test_encrypted_with_trailing_junk_trailer_still_refused(self):
+        """A crafted document with the bare bytes 'trailer' in junk AFTER
+        the real trailer must not shrink the /Encrypt scan region and fail
+        the check open: the scan anchors on 'trailer <<' dicts, not the
+        last occurrence of the word."""
+        objs = self._page_objs(b"BT (sec) Tj ET")
+        objs[5] = b"<< /V 2 /R 3 >>"
+        pdf = _mini_pdf(objs, trailer_extra=b" /Encrypt 5 0 R")
+        crafted = pdf + b"\n% junk mentioning trailer keyword only\n"
+        r = scrape_pdf_result(crafted)
+        assert r["ok"] is False and r["error"] == "encrypted"
+
+    def test_bare_trailer_word_in_junk_not_refused(self):
+        """Symmetric fail-safe: a clean doc with 'trailer' in trailing junk
+        (no dict, no /Encrypt) parses normally."""
+        objs = self._page_objs(b"BT (clean) Tj ET")
+        pdf = _mini_pdf(objs) + b"\n% trailer\n"
+        r = scrape_pdf_result(pdf)
+        assert r["ok"] is True and r["error"] is None
+
     def test_truncated_xref_still_parses(self):
         """Scanning indexer: chopping the xref table + trailer off leaves
         the objects readable (lopdf-style recovery)."""

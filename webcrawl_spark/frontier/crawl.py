@@ -238,6 +238,11 @@ _SEEN_KEY_CACHE: "dict[tuple, tuple[set, object]]" = {}
 _SEEN_CACHE_MAX_ROWS = int(os.environ.get("SPARK_GRAFT_SEEN_CACHE_ROWS",
                                           "2000000"))
 
+# Sentinel stored in robots_cache when the robots.txt fetch itself failed
+# (vs a genuinely empty robots.txt, stored as ''). '\x00' cannot appear in
+# a decoded UTF-8 robots body the kernel would parse meaningfully.
+_ROBOTS_FETCH_FAILED = "\x00robots-fetch-failed"
+
 
 def _bucket_seen_keys(frontier_dir: str, bucket: int, committed: int,
                       key_col: str, paths: list[str] | None = None):
@@ -281,7 +286,15 @@ def _bucket_seen_keys(frontier_dir: str, bucket: int, committed: int,
             delta = pq.read_table(new, columns=[key_col]).column(0)
             arr = pa.chunked_array(arr.chunks + delta.chunks,
                                    type=arr.type)
-            _SEEN_KEY_CACHE[ck] = (cur, arr)
+            # Re-enforce the cap on the incremental path too: a worker
+            # with bucket affinity would otherwise grow its cached key
+            # arrays with frontier size, past the bound the cap exists
+            # for. Evict (don't keep) an over-cap entry — same policy
+            # as the insert path below.
+            if len(arr) > _SEEN_CACHE_MAX_ROWS:
+                _SEEN_KEY_CACHE.pop(ck, None)
+            else:
+                _SEEN_KEY_CACHE[ck] = (cur, arr)
         return arr
     if cached is not None:          # rollback/rewrite: listing lost paths
         _SEEN_KEY_CACHE.pop(ck, None)
@@ -845,13 +858,26 @@ class SparkCrawl:
         broadcast of the selection hosts, never shuffles."""
         io = self.io
         round_no = io.committed_round() + 1
-        sel_hosts = safe.select("host").distinct()
+        # Scheme comes from the host's own selected URLs (https preferred
+        # when a host appears under both), not a hard-coded https:// — an
+        # http-only host's robots fetch would otherwise always fail.
+        sel_hosts = (
+            safe.select(
+                "host",
+                F.regexp_extract("url", r"^([a-z][a-z0-9+.-]*)://", 1)
+                .alias("scheme"))
+            .groupBy("host")
+            .agg(F.max("scheme").alias("scheme")))
         try:
             cached = io.read("robots_cache").select("host", "robots")
         except FileNotFoundError:
             cached = None
         if cached is not None:
-            known = cached.join(F.broadcast(sel_hosts), "host", "inner")
+            # Failure-marker rows don't count as known: the host is
+            # retried next round instead of being allow-all forever.
+            known = (
+                cached.filter(F.col("robots") != _ROBOTS_FETCH_FAILED)
+                .join(F.broadcast(sel_hosts.select("host")), "host", "inner"))
         else:
             known = self.spark.createDataFrame(
                 [], "host string, robots string")
@@ -859,11 +885,18 @@ class SparkCrawl:
             F.broadcast(known.select("host")), "host", "left_anti"))
         if missing.count():
             body = self._fetch_body_col(
-                F.concat(F.lit("https://"), F.col("host"),
+                F.concat(F.col("scheme"), F.lit("://"), F.col("host"),
                          F.lit("/robots.txt")))
+            # A failed fetch (null body) is cached as a MARKER, not as ''
+            # (allow-all): this round treats it as allow (reference
+            # semantics — unreachable robots doesn't block), but the
+            # marker is excluded from `known` on later reads so the
+            # fetch is retried, and a genuinely empty robots.txt stays
+            # distinguishable from a failure.
             fetched = missing.select(
                 "host",
-                F.coalesce(F.decode(body, "UTF-8"), F.lit(""))
+                F.coalesce(F.decode(body, "UTF-8"),
+                           F.lit(_ROBOTS_FETCH_FAILED))
                 .alias("robots"),
             )
             # write-then-read-back: the robots fetch runs exactly once,
@@ -882,6 +915,10 @@ class SparkCrawl:
         allowed_udf = pandas_udf(batch, T.BooleanType())
         flagged = self._pin(
             safe.join(F.broadcast(known), "host", "left")
+            # failure marker → null → robots_allowed's allow-all branch
+            .withColumn("robots",
+                        F.when(F.col("robots") == _ROBOTS_FETCH_FAILED,
+                               F.lit(None)).otherwise(F.col("robots")))
             .withColumn("_rb_ok", allowed_udf(F.col("robots"), F.col("url")))
             .drop("robots")
         )

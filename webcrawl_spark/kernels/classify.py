@@ -82,11 +82,18 @@ def is_unsafe_host(host: str) -> bool:
     live fetcher must never dial — loopback/localhost names, .local/.internal
     suffixes, and any literal IP that is not globally routable (private
     RFC1918, loopback, link-local 169.254/16 + fe80::/10, CGNAT 100.64/10,
-    unspecified, multicast, reserved). Hostname-based checks only — DNS
-    re-resolution pinning is the fetch client's job; this guard classifies
-    the URL itself. Applied at the fetch layer in live (fetch_udf) mode,
-    like the reference; corpus-replay mode never dials out."""
+    unspecified, multicast, reserved). Non-dotted-quad IPv4 forms that
+    standard resolvers accept via inet_aton — decimal ('2130706433'), hex
+    ('0x7f000001'), octal ('0177.0.0.1'), and short ('127.1') — are
+    normalized through socket.inet_aton and classified the same way, so
+    they cannot smuggle loopback past the check. Hostname-based checks
+    only — a production fetch client must ALSO enforce a connect-time
+    resolved-IP check (the reference's safeFetch.ts checks the socket's
+    remoteAddress) since DNS can still map a clean name to a private IP.
+    Applied at the fetch layer in live (fetch_udf) mode, like the
+    reference; corpus-replay mode never dials out."""
     import ipaddress
+    import socket
 
     h = (host or "").strip().lower().rstrip(".")
     if not h:
@@ -98,7 +105,14 @@ def is_unsafe_host(host: str) -> bool:
     try:
         ip = ipaddress.ip_address(h)
     except ValueError:
-        return False
+        # inet_aton-style IPv4 forms (decimal/hex/octal/short) that
+        # ipaddress rejects but HTTP clients resolve to an address.
+        # Real DNS names ('example.com') raise OSError here and fall
+        # through to the name-based verdict (safe).
+        try:
+            ip = ipaddress.IPv4Address(socket.inet_aton(h))
+        except OSError:
+            return False
     return not ip.is_global
 
 

@@ -831,16 +831,26 @@ def pdf_is_encrypted(data: bytes) -> bool:
     """Trailer /Encrypt present — the engine refuses rather than misreads
     (lopdf load fails on encrypted docs → 'Failed to load PDF').
 
-    The search is anchored to the trailer region (after the LAST ``trailer``
-    keyword, where incremental updates put the live trailer) so a readable
-    document whose *content* mentions '/Encrypt 5 0 R' (e.g. a PDF about PDF
-    security) is not refused. PDF 1.5+ cross-reference *streams* carry the
-    trailer dict inside a /Type /XRef object instead — for those (no
-    ``trailer`` keyword) the scan is restricted to XRef-stream object
-    headers, never literal strings or decoded content."""
-    t = data.rfind(b"trailer")
-    if t != -1:
-        return _ENCRYPT_RE.search(data, t) is not None
+    The search is anchored to trailer *dicts* — each ``trailer`` keyword
+    followed by a dict open (``trailer\\s*<<``), scanned only up to the
+    following ``startxref`` — so a readable document whose *content*
+    mentions '/Encrypt 5 0 R' (e.g. a PDF about PDF security) is not
+    refused, and a crafted document with the bare bytes ``trailer`` in
+    trailing junk cannot shrink the scanned region and fail the check
+    open (encryption is never *removed* by an incremental update, so
+    /Encrypt in ANY trailer dict → refuse). PDF 1.5+ cross-reference
+    *streams* carry the trailer dict inside a /Type /XRef object instead —
+    for those (no ``trailer`` dict) the scan is restricted to XRef-stream
+    object headers, never literal strings or decoded content."""
+    found_trailer = False
+    for m in re.finditer(rb"trailer\s*<<", data):
+        found_trailer = True
+        end = data.find(b"startxref", m.start())
+        region = data[m.start():end if end != -1 else m.start() + 4096]
+        if _ENCRYPT_RE.search(region):
+            return True
+    if found_trailer:
+        return False
     for m in re.finditer(rb"/Type\s*/XRef(?![a-zA-Z])", data):
         start = data.rfind(b"obj", 0, m.start())
         end = data.find(b"stream", m.end())
