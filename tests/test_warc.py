@@ -286,3 +286,69 @@ class TestEndToEndPipeline:
         out = chunks.collect()
         assert len(out) >= 4                    # >=2 chunks per kept doc
         assert all(r["n_words_chunk"] <= 64 for r in out)
+
+
+class TestStreamingShape:
+    """r4 verdict scale fix: a task never holds a whole decompressed WARC —
+    the parser is incremental and the Spark read distributes PATHS."""
+
+    def test_scan_reads_paths_only(self, spark, tmp_path):
+        """The binaryFile scan under read_warc must prune the content
+        column — file bytes are opened inside the task, not shipped
+        through the scan."""
+        (tmp_path / "w.warc").write_bytes(build_warc_bytes(_records()))
+        df = read_warc(spark, str(tmp_path) + "/*.warc")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+        assert "path" in read_schema
+        assert "content" not in read_schema
+
+    def test_iter_stream_bounded_memory(self, tmp_path):
+        """Peak python-alloc while streaming a ~120 MB WARC stays tens of
+        MB (one record + one read chunk), nowhere near file size."""
+        import tracemalloc
+
+        from webcrawl_spark.sources.warc import (
+            _decompressed, iter_warc_stream,
+        )
+
+        page = (b"<html><body>" + b"x" * 120_000 + b"</body></html>")
+        recs = [{"url": f"https://h{i}.test/", "http_status": 200,
+                 "warc_ts": dt.datetime(2026, 1, 1, tzinfo=UTC),
+                 "content_type": "text/html", "html": page}
+                for i in range(1000)]          # ~120 MB uncompressed
+        f = tmp_path / "big.warc"
+        f.write_bytes(build_warc_bytes(recs))
+        file_mb = f.stat().st_size / 2**20
+        assert file_mb > 100
+
+        n, seen_bytes = 0, 0
+        tracemalloc.start()
+        with open(f, "rb") as fh:
+            for r in iter_warc_stream(_decompressed(fh)):
+                n += 1
+                seen_bytes += len(r["payload"])
+        _, peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        assert n == 1000 and seen_bytes > 100 * 2**20
+        # bound: read chunk (1 MB) + a record (~0.12 MB) + slack — use
+        # 16 MB, an order of magnitude under the file size
+        assert peak < 16 * 2**20, f"peak {peak/2**20:.1f} MB"
+
+    def test_chunked_yield_partitions_one_file(self, spark, tmp_path):
+        """A file larger than chunk_bytes yields multiple record chunks
+        from one task, all rows intact."""
+        recs = [{"url": f"https://h{i}.test/", "http_status": 200,
+                 "warc_ts": dt.datetime(2026, 1, 1, tzinfo=UTC),
+                 "content_type": "text/html",
+                 "html": b"<p>" + bytes([65 + i % 26]) * 50_000 + b"</p>"}
+                for i in range(40)]            # ~2 MB total payload
+        (tmp_path / "c.warc.gz").write_bytes(
+            build_warc_bytes(recs, gzip_members=True))
+        df = read_warc(spark, str(tmp_path) + "/*.warc.gz",
+                       chunk_bytes=256 * 1024)
+        rows = df.collect()
+        assert len(rows) == 40
+        assert {r["url"] for r in rows} == {r["url"] for r in
+                                            ({"url": x["url"]} for x in recs)}
+        assert all(len(r["html"]) == 50_007 for r in rows)
