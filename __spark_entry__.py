@@ -645,11 +645,24 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+#: q_crawl_round site/config constants — shared by the Spark query and the
+#: generated SQL oracle so the two sides cannot drift. limit=None: the
+#: SQL round sim is exact without the sequential limit-replay semantics,
+#: which stay pytest-gated (limit-replay parity in tests/test_frontier.py).
+_CRAWL_Q_SITE = dict(seed=5, n_hosts=2, pages_per_host=18, n_hot_hosts=0)
+_CRAWL_Q_CFG = dict(limit=None, max_depth=3, allow_backward_crawling=True,
+                    host_budget=4)
+_CRAWL_Q_UNROLL = 10  # fixed SQL round unroll; sim needs 6, tail rounds empty
+
+
 def q_crawl_round(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The crawl engine itself (rows-only): a politeness-budgeted frontier
-    crawl over a small deterministic synthetic site, returning the ordered
-    fetch log. Full ordering/seen-set parity vs the reference-semantics
-    oracle is gated separately by pytest (tests/test_frontier.py)."""
+    """The crawl engine itself: a politeness-budgeted frontier crawl over a
+    small deterministic synthetic site, returning the ordered fetch log.
+    Full oracle: the admitted-link edge list is exported through the same
+    (oracle-tested) classify/extract kernels, and the DuckDB side replays
+    the round loop — per-host budget top-k, first-discovery-wins seen set,
+    dense FIFO seq — as an unrolled WITH chain (_crawl_round_oracle_sql).
+    Sequential limit-replay semantics are pytest-gated separately."""
     import shutil
     import tempfile
 
@@ -657,12 +670,10 @@ def q_crawl_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webcrawl_spark.frontier.crawl import SparkCrawl
     from webcrawl_spark.frontier.oracle import CrawlConfig
 
-    site = build_site(seed=5, n_hosts=2, pages_per_host=18, n_hot_hosts=0)
+    site = build_site(**_CRAWL_Q_SITE)
     rows = [(u, render_page_html(site, u).encode()) for u in site.urls()]
     pages = spark.createDataFrame(rows, "url string, html binary")
-    cfg = CrawlConfig(seed_url=f"https://{site.hosts[0]}/", limit=15,
-                      max_depth=3, allow_backward_crawling=True,
-                      host_budget=4)
+    cfg = CrawlConfig(seed_url=f"https://{site.hosts[0]}/", **_CRAWL_Q_CFG)
     workdir = tempfile.mkdtemp(prefix="q_crawl_round_")
     try:
         crawl = SparkCrawl(spark, pages, cfg, workdir)
@@ -1447,6 +1458,90 @@ def _ivf_oracle_sql() -> str:
     """
 
 
+def _crawl_round_oracle_sql() -> str:
+    """SQL replay of the politeness-budgeted round loop for q_crawl_round.
+
+    The per-page ADMITTED link lists are exported through the same kernels
+    the python oracle uses (page_links + filter_links + the urlkit depth
+    gate — each oracle-tested on reference vectors) into VALUES literals;
+    everything the distributed engine is responsible for — round
+    scheduling, per-host budget top-k, first-discovery-wins seen set,
+    dense FIFO seq assignment, termination — is then re-derived purely in
+    SQL as an unrolled WITH chain (MATERIALIZED stops exponential CTE
+    inlining). Rounds beyond the sim's natural end run on an empty
+    frontier and contribute no rows, so the fixed unroll is safe; if the
+    Spark engine ever ran MORE rounds than the unroll, the row counts
+    would mismatch and the driver would flag it."""
+    from webcrawl_spark.datagen import build_site, render_page_html
+    from webcrawl_spark.frontier.oracle import CrawlConfig
+    from webcrawl_spark.kernels.classify import filter_links
+    from webcrawl_spark.kernels.crawl import page_links
+    from webcrawl_spark.kernels.urlkit import (
+        get_url_depth, parse_url, url_path,
+    )
+
+    site = build_site(**_CRAWL_Q_SITE)
+    cfg = CrawlConfig(seed_url=f"https://{site.hosts[0]}/", **_CRAWL_Q_CFG)
+    known = set(site.urls())
+    base_depth = cfg.base_depth()
+    edges: list[tuple[str, int, str]] = []
+    attrs: dict[str, tuple[str, int, int]] = {}
+    for u in site.urls():
+        html = render_page_html(site, u)
+        attrs[u] = (parse_url(u).host, get_url_depth(url_path(u)), 200)
+        if max(0, get_url_depth(url_path(u)) - base_depth) >= cfg.max_depth:
+            continue
+        opts = cfg.filter_options()
+        opts.limit = None
+        accepted, _ = filter_links(
+            page_links(html, u, cfg.filter_options()), opts)
+        for pos, dst in enumerate(accepted):
+            edges.append((u, pos, dst))
+    for dst in {d for _, _, d in edges} - known:   # dead links → 404 rows
+        attrs[dst] = (parse_url(dst).host, get_url_depth(url_path(dst)), 404)
+
+    def vals(rows):
+        return ", ".join(
+            "(" + ", ".join(f"'{c}'" if isinstance(c, str) else str(c)
+                            for c in r) + ")"
+            for r in rows)
+
+    budget = cfg.host_budget
+    parts = [
+        f"WITH edges(src, pos, dst) AS (VALUES {vals(edges)}),\n"
+        f"urlattrs(url, host, depth, status) AS "
+        f"(VALUES {vals([(u, *a) for u, a in attrs.items()])}),\n"
+        f"seen_0(url, seq) AS (SELECT '{cfg.seed_url}', 0),\n"
+        f"frontier_0(url, seq) AS (SELECT '{cfg.seed_url}', 0)"]
+    for k in range(_CRAWL_Q_UNROLL):
+        parts.append(f"""sel_{k} AS MATERIALIZED (
+  SELECT f.url, f.seq, a.host, a.depth, a.status, {k + 1} AS round
+  FROM frontier_{k} f JOIN urlattrs a ON a.url = f.url
+  QUALIFY row_number() OVER (PARTITION BY a.host ORDER BY f.seq)
+          <= {budget}),
+kept_{k}(url, seq) AS (
+  SELECT url, seq FROM frontier_{k}
+  WHERE url NOT IN (SELECT url FROM sel_{k})),
+new_{k}(url, seq) AS MATERIALIZED (
+  SELECT dst, (SELECT max(seq) FROM seen_{k})
+              + row_number() OVER (ORDER BY src_seq, pos)
+  FROM (
+    SELECT e.dst, s.seq AS src_seq, e.pos
+    FROM sel_{k} s JOIN edges e ON e.src = s.url AND s.status = 200
+    WHERE e.dst NOT IN (SELECT url FROM seen_{k})
+    QUALIFY row_number() OVER (PARTITION BY e.dst
+                               ORDER BY s.seq, e.pos) = 1)),
+seen_{k + 1}(url, seq) AS MATERIALIZED (
+  SELECT * FROM seen_{k} UNION ALL SELECT * FROM new_{k}),
+frontier_{k + 1}(url, seq) AS MATERIALIZED (
+  SELECT * FROM kept_{k} UNION ALL SELECT * FROM new_{k})""")
+    rounds_union = " UNION ALL ".join(
+        f"SELECT * FROM sel_{k}" for k in range(_CRAWL_Q_UNROLL))
+    return (",\n".join(parts)
+            + f"\nSELECT url, host, depth, round, seq, status FROM "
+              f"({rounds_union}) ORDER BY seq")
+
+
 def oracle_sql() -> dict[str, str]:
     words = _WORDS_SQL.format(col="text")
     return {
@@ -1690,7 +1785,7 @@ def oracle_sql() -> dict[str, str]:
         "q_decontaminate": _DECONTAMINATE_ORACLE_SQL,
         "q_gopher_quality": _gopher_oracle_sql(),
         "q_interdup": _INTERDUP_ORACLE_SQL,
-        # q_minhash_dedup (scale-path config) / q_image_plumbing /
-        # q_crawl_round: non-SQL-expressible → rows-only checks
-        # (driver contract).
+        "q_crawl_round": _crawl_round_oracle_sql(),
+        # q_minhash_dedup (scale-path config) / q_image_plumbing:
+        # non-SQL-expressible → rows-only checks (driver contract).
     }
