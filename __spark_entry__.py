@@ -686,25 +686,48 @@ def q_crawl_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+#: q_image_plumbing synthetic-PNG constants (data-independent, shared by
+#: the Spark side and the generated SQL oracle). Pixel formula:
+#: gray(x, y, i) = (x*5 + y*7 + i*13) % 256. h is always ODD so n_pix
+#: never carries 2^6 — no value of count/n_pix can land exactly on a
+#: rounding boundary (documented in _image_oracle_sql).
+_IMG_N = 25
+_IMG_W = "8 + (i % 5) * 3"            # {8, 11, 14, 17, 20}
+_IMG_H = "5 + ((i * 3) % 7) * 2"      # {5, 7, ..., 17} — odd
+_IMG_PIX = "(x * 5 + y * 7 + i * 13) % 256"
+
+
 def q_image_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing (stub decode): treat embeddings' byte-cast ids as
-    opaque payloads — exercises the mapInPandas schema/batching path."""
+    """REAL image decode (kernels/imagekit.py): deterministic synthetic
+    PNGs built from the _IMG_* seed formulas are decoded by the engine
+    (fake=False — actual zlib inflate + unfilter + luminance + histogram),
+    plus two refusal rows (jpeg → unsupported, garbage → error). Output is
+    integer-exact: per-bin pixel COUNTS (feature[i] * n_pix rounded back
+    to int — float32 relative error ~1e-7 can never move an integer by
+    0.5), so the DuckDB oracle recomputes everything from the same pixel
+    formula with no float-format hazards."""
+    import numpy as np
+
+    from webcrawl_spark.kernels.imagekit import encode_png
     from webcrawl_spark.operators.multimodal import image_features
 
-    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
-    payloads = emb.limit(100).select(
-        F.col("vec_id").cast("string").alias("media_id"),
-        F.encode(F.col("vec_id").cast("string"), "UTF-8").alias("payload"),
-    )
-    # the driver's canonicalization sorts/hashes column values, so the
-    # array<float> feature column is projected to a stable string encoding
-    out = image_features(payloads, fake=True)
+    rows = []
+    for i in range(_IMG_N):
+        w = eval(_IMG_W)                      # noqa: S307 — module constants
+        h = eval(_IMG_H)
+        x, y = np.meshgrid(np.arange(w), np.arange(h))
+        gray = eval(_IMG_PIX).astype(np.uint8)  # noqa: S307
+        rows.append((f"img{i:02d}", bytearray(encode_png(gray))))
+    rows.append(("img_jpeg", bytearray(b"\xff\xd8\xff\xe0 not a real jpeg")))
+    rows.append(("img_bad", bytearray(b"not an image at all")))
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    out = image_features(df, fake=False)
+    npix = (F.col("width") * F.col("height")).cast("double")
     return out.select(
-        "media_id", "width", "height", "n_bytes", "format",
-        F.concat_ws(
-            ",",
-            F.transform("feature", lambda x: F.round(x, 5).cast("string")),
-        ).alias("feature_csv"),
+        "media_id", "width", "height", "format",
+        (F.col("width") * F.col("height")).alias("n_pix"),
+        *[F.round(F.col("feature")[b] * npix).cast("int").alias(f"c{b}")
+          for b in range(8)],
     ).orderBy("media_id")
 
 
@@ -1542,6 +1565,48 @@ frontier_{k + 1}(url, seq) AS MATERIALIZED (
               f"({rounds_union}) ORDER BY seq")
 
 
+def _image_oracle_sql() -> str:
+    """Recompute q_image_plumbing entirely in SQL from the _IMG_* pixel
+    formulas: dimensions, n_pix, and 8-bin luminance-histogram COUNTS
+    (bin = gray // 32) per synthetic image, plus the two refusal literals.
+    Counts are integers, so no float formatting/rounding can diverge."""
+    return f"""
+        WITH imgs AS (SELECT unnest(range(0, {_IMG_N})) AS i),
+        dims AS (
+          SELECT i, {_IMG_W} AS w, {_IMG_H} AS h FROM imgs),
+        pix AS (
+          SELECT d.i, d.w, d.h,
+                 (({_IMG_PIX}) // 32)::INT AS bin
+          FROM dims d,
+               LATERAL (SELECT unnest(range(0, d.w)) AS x) xs,
+               LATERAL (SELECT unnest(range(0, d.h)) AS y) ys),
+        hist AS (
+          SELECT i, w, h, bin, count(*) AS c
+          FROM pix GROUP BY i, w, h, bin),
+        feat AS (
+          SELECT d.i, d.w, d.h, b.bin, coalesce(h.c, 0) AS c
+          FROM dims d
+          CROSS JOIN (SELECT unnest(range(0, 8)) AS bin) b
+          LEFT JOIN hist h ON h.i = d.i AND h.bin = b.bin),
+        ok_rows AS (
+          SELECT printf('img%02d', i::INT) AS media_id,
+                 w::INT AS width, h::INT AS height, 'png' AS format,
+                 (w * h)::INT AS n_pix,
+                 {', '.join(
+                     f"max(CASE WHEN bin = {b} THEN c END)::INT AS c{b}"
+                     for b in range(8))}
+          FROM feat GROUP BY i, w, h)
+        SELECT * FROM ok_rows
+        UNION ALL
+        SELECT 'img_jpeg', NULL, NULL, 'unsupported:jpeg', NULL,
+               {', '.join('NULL' for _ in range(8))}
+        UNION ALL
+        SELECT 'img_bad', NULL, NULL, 'error', NULL,
+               {', '.join('NULL' for _ in range(8))}
+        ORDER BY media_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     words = _WORDS_SQL.format(col="text")
     return {
@@ -1786,6 +1851,7 @@ def oracle_sql() -> dict[str, str]:
         "q_gopher_quality": _gopher_oracle_sql(),
         "q_interdup": _INTERDUP_ORACLE_SQL,
         "q_crawl_round": _crawl_round_oracle_sql(),
-        # q_minhash_dedup (scale-path config) / q_image_plumbing:
-        # non-SQL-expressible → rows-only checks (driver contract).
+        "q_image_plumbing": _image_oracle_sql(),
+        # q_minhash_dedup (scale-path config): non-SQL-expressible →
+        # rows-only check (driver contract).
     }

@@ -200,10 +200,10 @@ class TestMultimodal:
         assert len(r["feature"]) == 8
         assert r["width"] >= 64 and r["height"] >= 64
 
-    def test_real_decode_raises(self):
+    def test_real_decode_rejects_garbage(self):
         from webcrawl_spark.operators.multimodal import _decode_image_real
 
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError):
             _decode_image_real(b"x")
 
     def test_frame_sample_plan(self, spark):
@@ -254,7 +254,7 @@ class TestMultimodal:
             # byte budget tracks the area ratio
             assert len(r["resized"]) == max(
                 1, int(4000 * r["scale"] * r["scale"]))
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError):
             _resize_image_real(b"x", 10, 10)
 
 

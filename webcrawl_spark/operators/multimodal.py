@@ -2,12 +2,19 @@
 columns with typed metadata, processed via mapInPandas in bounded Arrow
 batches.
 
-The decode step is STUBBED (no image/audio libraries in this runtime):
-``decode_image``/``decode_audio`` raise NotImplementedError unless
-``fake=True``, which substitutes a deterministic fake decoder so the
-Spark-side plumbing — schema, batch shape, partitioning, UDF signatures —
-is real and tested end-to-end. Swapping in PIL/torchaudio later only
-replaces the inner ``_decode_*_real`` functions.
+IMAGE decode is REAL for PNG and GIF (kernels/imagekit.py — stdlib
+zlib + the same predictor math the PDF kernel uses): dimensions, format,
+and an 8-bin luminance-histogram feature from actual decoded pixels.
+Formats whose entropy codecs aren't in the stdlib (JPEG/WebP/AVIF)
+classify as ``unsupported:<fmt>`` with null dims — a clean refusal
+(parity with the PDF engine's DCTDecode refusal), never silent garbage;
+undecodable bytes classify as ``error``. AUDIO decode remains stubbed
+(no codec in the runtime): ``fake=True`` substitutes a deterministic
+fake decoder so the Spark-side plumbing — schema, batch shape,
+partitioning, UDF signatures — stays tested end-to-end; swapping in
+torchaudio later only replaces ``_decode_audio_real``. The same
+``fake=True`` escape exists for images (plumbing tests predate the real
+decoder and still exercise the batching contract with arbitrary bytes).
 """
 
 from __future__ import annotations
@@ -41,11 +48,25 @@ IMAGE_META_SCHEMA = T.StructType([
 ])
 
 
-def _decode_image_real(payload: bytes):
-    raise NotImplementedError(
-        "image decode requires an imaging library (PIL/opencv) not present "
-        "in this runtime; run with fake=True for the plumbing path"
-    )
+N_FEATURE_BINS = 8
+
+
+def image_feature_from_luminance(lum: np.ndarray) -> np.ndarray:
+    """8-bin histogram of decoded luminance, normalized by pixel count —
+    integer bin edges (256/8) so an oracle can recompute it exactly."""
+    hist = np.bincount((lum.ravel() // (256 // N_FEATURE_BINS)),
+                       minlength=N_FEATURE_BINS)[:N_FEATURE_BINS]
+    return (hist / max(1, lum.size)).astype("float32")
+
+
+def _decode_image_real(payload: bytes) -> tuple[int, int, str, np.ndarray]:
+    """REAL decode via kernels/imagekit.py (stdlib PNG + GIF): dimensions,
+    format, 8-bin luminance-histogram feature from decoded pixels.
+    UnsupportedImage/ValueError propagate — image_features classifies."""
+    from ..kernels.imagekit import decode_image
+
+    width, height, fmt, lum = decode_image(payload)
+    return width, height, fmt, image_feature_from_luminance(lum)
 
 
 def _decode_image_fake(payload: bytes) -> tuple[int, int, str, np.ndarray]:
@@ -73,14 +94,24 @@ def image_features(
     output batches bounded (binary payloads dominate memory)."""
     decode = _decode_image_fake if fake else _decode_image_real
 
+    from ..kernels.imagekit import UnsupportedImage
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_rows = []
             for media_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(payload) if payload is not None else b""
-                width, height, fmt, feature = decode(raw)
-                out_rows.append((str(media_id), width, height, len(raw), fmt,
-                                 feature.tolist()))
+                try:
+                    width, height, fmt, feature = decode(raw)
+                    feature = feature.tolist()
+                except UnsupportedImage as u:
+                    width = height = feature = None
+                    fmt = f"unsupported:{u.fmt}"
+                except ValueError:
+                    width = height = feature = None
+                    fmt = "error"
+                out_rows.append((str(media_id), width, height, len(raw),
+                                 fmt, feature))
                 if len(out_rows) >= batch_rows:
                     yield pd.DataFrame(out_rows, columns=[
                         f.name for f in IMAGE_META_SCHEMA])
@@ -160,11 +191,20 @@ RESIZE_SCHEMA = T.StructType([
 ])
 
 
-def _resize_image_real(payload: bytes, max_w: int, max_h: int):
-    raise NotImplementedError(
-        "image resize requires an imaging library (PIL/opencv) not present "
-        "in this runtime; run with fake=True for the plumbing path"
-    )
+def _resize_image_real(payload: bytes, max_w: int,
+                       max_h: int) -> tuple[int, int, float, bytes]:
+    """REAL resize for PNG/GIF: decode (imagekit), aspect-preserving
+    nearest-neighbor fit into (max_w, max_h) — never upscale — re-encoded
+    as grayscale PNG (the stdlib-encodable target; luminance is what the
+    downstream feature extractors consume)."""
+    from ..kernels.imagekit import decode_image, encode_png
+
+    w, h, _fmt, lum = decode_image(payload)
+    scale = min(1.0, max_w / w, max_h / h)
+    out_w, out_h = max(1, int(w * scale)), max(1, int(h * scale))
+    xs = (np.arange(out_w) * (w / out_w)).astype(np.int64)
+    ys = (np.arange(out_h) * (h / out_h)).astype(np.int64)
+    return out_w, out_h, scale, encode_png(lum[np.ix_(ys, xs)])
 
 
 def _resize_image_fake(payload: bytes, max_w: int,
@@ -196,13 +236,18 @@ def resize_images(
     imaging library replaces."""
     resize = _resize_image_fake if fake else _resize_image_real
 
+    from ..kernels.imagekit import UnsupportedImage
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in RESIZE_SCHEMA]
         for pdf in batches:
             out_rows = []
             for media_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(payload) if payload is not None else b""
-                w, h, scale, resized = resize(raw, max_w, max_h)
+                try:
+                    w, h, scale, resized = resize(raw, max_w, max_h)
+                except (UnsupportedImage, ValueError):
+                    w = h = scale = resized = None
                 out_rows.append((str(media_id), w, h, scale, resized))
                 if len(out_rows) >= batch_rows:
                     yield pd.DataFrame(out_rows, columns=cols)
