@@ -492,3 +492,131 @@ class TestSparkOperator:
         rows = df.select("url", engine_choice_col(F.col("url")).alias("e")) \
                  .collect()
         assert [r["e"] for r in rows] == ["pdf", "pdf", "fetch", "document"]
+
+
+def _lzw_encode(data: bytes, early: int = 1,
+                clear_every: int | None = None) -> bytes:
+    """Reference PDF-LZW compressor (MSB packing, width schedule mirrored
+    from the spec's EarlyChange semantics) — test-side inverse of
+    lzw_decode."""
+    emitted = bytearray()
+    acc = nbits = 0
+    width = 9
+
+    def emit(code: int):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            emitted.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(256)}
+
+    table = fresh()
+    next_code = 258
+    emit(256)
+    cur = b""
+    count = 0
+    for b in data:
+        nxt = cur + bytes([b])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        count += 1
+        table[nxt] = next_code
+        next_code += 1
+        if next_code - 1 + early >= (1 << width) and width < 12:
+            width += 1
+        cur = bytes([b])
+        if clear_every and count % clear_every == 0:
+            emit(256)
+            table, next_code, width = fresh(), 258, 9
+    if cur:
+        emit(table[cur])
+    emit(257)
+    if nbits:
+        emitted.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(emitted)
+
+
+class TestLzw:
+    """PDF 7.4.4 LZWDecode (r4 verdict #6): the table decoder feeding the
+    existing predictor path."""
+
+    def test_roundtrip_both_early_changes(self):
+        import random
+
+        from webcrawl_spark.kernels.pdfkit import lzw_decode
+
+        rng = random.Random(99)
+        # limited alphabet + length crosses the 9->10->11 width boundaries
+        data = bytes(rng.randrange(16) + 65 for _ in range(4000))
+        for early in (0, 1):
+            assert lzw_decode(_lzw_encode(data, early=early),
+                              early_change=early) == data
+
+    def test_kwkwk_and_runs(self):
+        from webcrawl_spark.kernels.pdfkit import lzw_decode
+
+        for data in (b"aaaaaaaaaaaa", b"abababababab", b"x"):
+            assert lzw_decode(_lzw_encode(data)) == data
+
+    def test_midstream_clear_codes(self):
+        from webcrawl_spark.kernels.pdfkit import lzw_decode
+
+        data = bytes((i * 7) % 256 for i in range(3000))
+        enc = _lzw_encode(data, clear_every=100)
+        assert lzw_decode(enc) == data
+
+    def test_lzw_content_stream(self):
+        content = b"BT (lzw text layer) Tj ET"
+        body = _lzw_encode(content)
+        objs = TestRealWorldStructures()._page_objs(b"")
+        objs[4] = (b"<< /Length %d /Filter /LZWDecode >>\nstream\n"
+                   % len(body) + body + b"\nendstream")
+        assert pdf_text(_mini_pdf(objs)) == "lzw text layer"
+
+    def test_lzw_with_png_predictor(self):
+        """Adversarial combination: PNG Up predictor rows, LZW-compressed,
+        with an explicit /EarlyChange 0 parm."""
+        content = b"BT (lzw predicted) Tj ET"
+        columns = 8
+        padded = content + bytes((-len(content)) % columns)
+        prev = bytes(columns)
+        enc = bytearray()
+        for i in range(0, len(padded), columns):
+            row = padded[i:i + columns]
+            enc.append(2)
+            enc += bytes((row[j] - prev[j]) & 0xFF for j in range(columns))
+            prev = row
+        body = _lzw_encode(bytes(enc), early=0)
+        objs = TestRealWorldStructures()._page_objs(b"")
+        objs[4] = (b"<< /Length %d /Filter /LZWDecode /DecodeParms "
+                   b"<< /Predictor 12 /Columns %d /EarlyChange 0 >> "
+                   b">>\nstream\n" % (len(body), columns)
+                   + body + b"\nendstream")
+        assert pdf_text(_mini_pdf(objs)).rstrip("\x00") == "lzw predicted"
+
+    def test_flate_then_lzw_chain(self):
+        """Filter arrays apply in order — [/ASCIIHexDecode /LZWDecode]."""
+        content = b"BT (chained) Tj ET"
+        lzw = _lzw_encode(content)
+        body = lzw.hex().encode() + b">"
+        objs = TestRealWorldStructures()._page_objs(b"")
+        objs[4] = (b"<< /Length %d /Filter [/ASCIIHexDecode /LZWDecode] "
+                   b">>\nstream\n" % len(body) + body + b"\nendstream")
+        assert pdf_text(_mini_pdf(objs)) == "chained"
+
+    def test_corrupt_lzw_same_taxonomy_as_corrupt_flate(self):
+        """A corrupt LZW stream behaves exactly like a corrupt Flate
+        stream: best-effort empty text, never a crash or misread."""
+        objs = TestRealWorldStructures()._page_objs(b"")
+        body = b"\xff\xff\xff\xff\xff\xff"
+        objs[4] = (b"<< /Length %d /Filter /LZWDecode >>\nstream\n"
+                   % len(body) + body + b"\nendstream")
+        r = scrape_pdf_result(_mini_pdf(objs))
+        assert r["markdown"] == "" and r["num_pages"] == 1
+        assert r["error"] is None  # decode failure ≠ unsupported filter

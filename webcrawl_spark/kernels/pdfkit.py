@@ -329,6 +329,7 @@ _DECODEPARMS_RE = re.compile(
     rb"/DecodeParms\s*(<<.*?>>|\[.*?\])", re.S)
 _PREDICTOR_RE = re.compile(rb"/Predictor\s+(\d+)")
 _COLORS_RE = re.compile(rb"/Colors\s+(\d+)")
+_EARLY_RE = re.compile(rb"/EarlyChange\s+(\d+)")
 _BPC_RE = re.compile(rb"/BitsPerComponent\s+(\d+)")
 _COLUMNS_RE = re.compile(rb"/Columns\s+(\d+)")
 
@@ -410,15 +411,67 @@ def _apply_predictor(data: bytes, parm: bytes) -> bytes:
     return bytes(out)
 
 
+def lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """PDF-flavour LZW (spec 7.4.4, lopdf/pdf.rs:13-45 parity): MSB-first
+    bit packing, 8-bit symbols, Clear=256, EOD=257, code width 9→12
+    growing one code EARLY by default (/EarlyChange 1). Shares predictor
+    post-processing with FlateDecode via _apply_predictor. (The GIF
+    kernel's LZW is the LSB-first twin — kernels/imagekit.py.)"""
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width, next_code
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        next_code = 258
+
+    width = next_code = 0
+    reset()
+    acc = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                reset()
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < next_code:
+                entry = table[code]
+                if next_code < 4096:
+                    table.append(prev + entry[:1])
+                    next_code += 1
+            elif code == next_code and next_code < 4096:
+                entry = prev + prev[:1]
+                table.append(entry)
+                next_code += 1
+            else:
+                raise ValueError("LZW: code out of range")
+            out += entry
+            prev = entry
+            if next_code + early_change >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
 def _decode_filters(raw: bytes, head: bytes) -> tuple[bytes | None,
                                                       bytes | None]:
     """Apply the /Filter decode chain (name or array order) →
-    (payload, unsupported_filter_name). Supported: FlateDecode (incl.
-    /Predictor via DecodeParms), ASCIIHexDecode, ASCII85Decode. An
-    unsupported filter (DCTDecode/JPXDecode image codecs, LZW, Crypt, …)
-    returns (None, name): the stream is skipped rather than misread, and
-    the caller can surface the 'unsupported' refusal (lopdf raises a typed
-    filter error there)."""
+    (payload, unsupported_filter_name). Supported: FlateDecode and
+    LZWDecode (both incl. /Predictor + /EarlyChange via DecodeParms),
+    ASCIIHexDecode, ASCII85Decode. An unsupported filter
+    (DCTDecode/JPXDecode image codecs, Crypt, …) returns (None, name):
+    the stream is skipped rather than misread, and the caller can surface
+    the 'unsupported' refusal (lopdf raises a typed filter error
+    there)."""
     fm = _FILTER_RE.search(head)
     if not fm:
         return raw, None
@@ -432,6 +485,13 @@ def _decode_filters(raw: bytes, head: bytes) -> tuple[bytes | None,
         try:
             if name == b"FlateDecode":
                 out = zlib.decompress(out)
+                if parm is not None:
+                    out = _apply_predictor(out, parm)
+            elif name == b"LZWDecode":
+                early = 1
+                if parm is not None and (em := _EARLY_RE.search(parm)):
+                    early = int(em.group(1))
+                out = lzw_decode(out, early_change=early)
                 if parm is not None:
                     out = _apply_predictor(out, parm)
             elif name == b"ASCIIHexDecode":
@@ -876,7 +936,7 @@ def scrape_pdf_result(
 
     ``unsupported``: the document parsed (page count/title extracted from
     the tree) but every content stream needed a codec outside the engine
-    (DCTDecode/JPX scanned pages, LZW, Crypt) — refused cleanly instead of
+    (DCTDecode/JPX scanned pages, Crypt) — refused cleanly instead of
     returning silently-empty text. Documents where at least one page
     decodes return ok=True with the partial text (pdf-parse's best-effort
     model).
