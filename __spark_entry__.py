@@ -564,8 +564,16 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale-path MinHash configuration (vectorized FNV shingle hash +
-    Mersenne permutations — no per-shingle md5): rows-only driver check;
-    the oracle-matched twin is q_minhash_oracle."""
+    Mersenne permutations — no per-shingle md5), now with a FULL oracle by
+    CONFIG-AGREEMENT INVARIANT: any correct MinHash implementation at
+    threshold 0.8 with est-Jaccard verification reaches the same dedup
+    verdicts on this corpus, because the synthetic documents' pairwise
+    similarities sit far from the threshold (near-dups ≥ ~0.95 Jaccard,
+    unrelated ≤ ~0.3; FN prob per true pair ≈ (1-0.95^4)^8 ≈ 1e-6, FP
+    candidates are killed by the ≥26/32 signature-agreement filter). The
+    DuckDB oracle therefore recomputes the md5-config ground truth — a
+    hash mismatch means the FNV/Mersenne scale path mis-deduped a doc the
+    margin says it cannot. Verified equal at sf0.01 AND sf0.1."""
     from webcrawl_spark.operators.dedup import minhash_lsh_dedup
 
     docs = _load(spark, sf_dir, "documents")["documents"]
@@ -1852,6 +1860,8 @@ def oracle_sql() -> dict[str, str]:
         "q_interdup": _INTERDUP_ORACLE_SQL,
         "q_crawl_round": _crawl_round_oracle_sql(),
         "q_image_plumbing": _image_oracle_sql(),
-        # q_minhash_dedup (scale-path config): non-SQL-expressible →
-        # rows-only check (driver contract).
+        # scale-path MinHash: config-agreement invariant — the md5-config
+        # SQL is the ground truth the FNV path must reproduce on this
+        # corpus (see q_minhash_dedup docstring for the margin argument)
+        "q_minhash_dedup": _minhash_oracle_sql(),
     }
