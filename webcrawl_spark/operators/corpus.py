@@ -203,20 +203,26 @@ def chunk_documents(df: DataFrame, max_words: int = 128, overlap: int = 16,
     from webcrawl_spark.operators.textstats import _words
 
     step = max_words - overlap
-    words = _words(F.col(text_col))
-    n = F.size(words)
-    # last start = smallest multiple of step whose window reaches the end;
-    # later starts would emit chunks strictly contained in that one
-    # (duplicate content shipped into the embedding/packing corpus)
-    last_start = F.when(
-        n > max_words,
-        (n - max_words) + F.pmod(-(n - max_words), F.lit(step)),
-    ).otherwise(F.lit(0))
-    starts = F.when(
-        n > 0, F.sequence(F.lit(0), last_start, F.lit(step))
-    ).otherwise(F.array().cast("array<int>"))
-    chunks = F.transform(
-        starts, lambda s: F.slice(words, s + 1, max_words))
+
+    # bind the split-words array as a lambda VARIABLE (one-element outer
+    # transform) — referencing the raw split() expression inside the
+    # per-start lambda would re-split the whole document once per chunk
+    # (the _word_ngrams per-element re-evaluation pitfall)
+    def gen(w):
+        n = F.size(w)
+        # last start = smallest multiple of step whose window reaches the
+        # end; later starts would emit chunks strictly contained in that
+        # one (duplicate content shipped into the embedding/packing corpus)
+        last_start = F.when(
+            n > max_words,
+            (n - max_words) + F.pmod(-(n - max_words), F.lit(step)),
+        ).otherwise(F.lit(0))
+        starts = F.when(
+            n > 0, F.sequence(F.lit(0), last_start, F.lit(step))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(starts, lambda s: F.slice(w, s + 1, max_words))
+
+    chunks = F.transform(F.array(_words(F.col(text_col))), gen)[0]
     return df.select(
         F.col(id_col),
         F.posexplode(chunks).alias("chunk_id", "_chunk"),

@@ -116,14 +116,25 @@ def language_guess(text: Column) -> Column:
 
 def _word_ngrams(words: Column, n: int) -> Column:
     """Sliding word n-grams as space-joined strings (empty array when the
-    document has fewer than n words)."""
-    return F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    document has fewer than n words).
+
+    The incoming ``words`` is usually the full split() EXPRESSION, and a
+    Catalyst higher-order-function lambda re-evaluates free subexpressions
+    per ELEMENT — inlining it below would re-split the whole document once
+    per gram position, O(words²) per doc (measured 45 s for 800k grams).
+    Binding it through a one-element outer transform makes it a lambda
+    VARIABLE, evaluated once per row and O(1) per reference — same 800k
+    grams in ~1 s."""
+    def gen(w: Column) -> Column:
+        return F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.transform(F.array(words), gen)[0]
 
 
 def _dup_frac(grams: Column) -> Column:
