@@ -42,8 +42,12 @@ Operator-family mapping (SURVEY.md §2 → query):
   ANN top-k (RP-LSH bucketed)          → q_ann_topk (FULL oracle: bucketing
                                          recomputed in SQL from shared plane
                                          constants + exact rerank)
-  multimodal / crawl rounds            → rows-only: q_image_plumbing,
-                                         q_crawl_round
+  multimodal (real PNG/GIF + WAV)      → q_image_plumbing / q_audio_plumbing
+                                         (integer per-bin histogram counts
+                                         recomputed in SQL from shared seed
+                                         formulas)
+  crawl rounds                         → q_crawl_round (unrolled round-loop
+                                         replay in SQL, limit=None config)
   crawl engine end-to-end              → entry() (frontier round on the
                                          synthetic site; pytest gates parity)
 """
@@ -739,6 +743,50 @@ def q_image_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+#: q_audio_plumbing synthetic-WAV constants (data-independent, shared by
+#: the Spark side and the generated SQL oracle). Sample formula (already
+#: in the canonical 16-bit domain): s(t, i) = ((t*2657 + i*911) % 65536)
+#: - 32768, so bin = (s + 32768) // 8192 = ((t*2657 + i*911) % 65536)
+#: // 8192 is non-negative integer math on both sides. n is always ODD
+#: (step 38 from 401) so count/n can't hit a rounding boundary.
+_AUD_N = 20
+_AUD_RATE = "8000 + (i % 5) * 4000"          # {8000, ..., 24000}
+_AUD_LEN = "401 + i * 38"                    # odd
+_AUD_SAMP = "(t * 2657 + i * 911) % 65536"   # canonical-domain + 32768
+
+
+def q_audio_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode (kernels/audiokit.py): deterministic synthetic
+    16-bit mono WAVs built from the _AUD_* seed formulas are decoded by the
+    engine (fake=False — actual RIFF walk + amplitude histogram), plus two
+    refusal rows (mp3 → unsupported, garbage → error). Output is
+    integer-exact per-bin sample COUNTS (feature[b] * n_samples rounded
+    back to int), so the DuckDB oracle recomputes everything from the same
+    sample formula with no float hazards."""
+    import numpy as np
+
+    from webcrawl_spark.kernels.audiokit import encode_wav
+    from webcrawl_spark.operators.multimodal import audio_features
+
+    rows = []
+    for i in range(_AUD_N):
+        rate = eval(_AUD_RATE)                # noqa: S307 — module constants
+        n = eval(_AUD_LEN)
+        t = np.arange(n)
+        samples = eval(_AUD_SAMP) - 32768     # noqa: S307
+        rows.append((f"aud{i:02d}", bytearray(encode_wav(samples, rate))))
+    rows.append(("aud_mp3", bytearray(b"\xff\xfb\x90\x00 not real mpeg")))
+    rows.append(("aud_bad", bytearray(b"not audio at all")))
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    out = audio_features(df, fake=False)
+    nsamp = F.col("n_samples").cast("double")
+    return out.select(
+        "media_id", "sample_rate", "n_samples", "format",
+        *[F.round(F.col("feature")[b] * nsamp).cast("int").alias(f"c{b}")
+          for b in range(8)],
+    ).orderBy("media_id")
+
+
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-doc repetition signals: duplicate 2/3-gram
     fractions + top-word fraction (linear sorted-run fold, no shuffle)."""
@@ -854,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_topk": q_ann_topk,
         "q_crawl_round": q_crawl_round,
         "q_image_plumbing": q_image_plumbing,
+        "q_audio_plumbing": q_audio_plumbing,
         "q_repetition": q_repetition,
         "q_pii_redact": q_pii_redact,
         "q_line_dedup": q_line_dedup,
@@ -1615,6 +1664,47 @@ def _image_oracle_sql() -> str:
     """
 
 
+def _audio_oracle_sql() -> str:
+    """Recompute q_audio_plumbing entirely in SQL from the _AUD_* sample
+    formulas: rate, sample count, and 8-bin amplitude-histogram COUNTS
+    (bin = ((t*2657 + i*911) % 65536) // 8192) per synthetic WAV, plus the
+    two refusal literals. Counts are integers — no float hazards."""
+    return f"""
+        WITH auds AS (SELECT unnest(range(0, {_AUD_N})) AS i),
+        dims AS (
+          SELECT i, {_AUD_RATE} AS rate, {_AUD_LEN} AS n FROM auds),
+        samp AS (
+          SELECT d.i, d.rate, d.n,
+                 (({_AUD_SAMP}) // 8192)::INT AS bin
+          FROM dims d,
+               LATERAL (SELECT unnest(range(0, d.n)) AS t) ts),
+        hist AS (
+          SELECT i, rate, n, bin, count(*) AS c
+          FROM samp GROUP BY i, rate, n, bin),
+        feat AS (
+          SELECT d.i, d.rate, d.n, b.bin, coalesce(h.c, 0) AS c
+          FROM dims d
+          CROSS JOIN (SELECT unnest(range(0, 8)) AS bin) b
+          LEFT JOIN hist h ON h.i = d.i AND h.bin = b.bin),
+        ok_rows AS (
+          SELECT printf('aud%02d', i::INT) AS media_id,
+                 rate::INT AS sample_rate, n::BIGINT AS n_samples,
+                 'wav' AS format,
+                 {', '.join(
+                     f"max(CASE WHEN bin = {b} THEN c END)::INT AS c{b}"
+                     for b in range(8))}
+          FROM feat GROUP BY i, rate, n)
+        SELECT * FROM ok_rows
+        UNION ALL
+        SELECT 'aud_mp3', NULL, NULL, 'unsupported:mp3',
+               {', '.join('NULL' for _ in range(8))}
+        UNION ALL
+        SELECT 'aud_bad', NULL, NULL, 'error',
+               {', '.join('NULL' for _ in range(8))}
+        ORDER BY media_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     words = _WORDS_SQL.format(col="text")
     return {
@@ -1860,6 +1950,7 @@ def oracle_sql() -> dict[str, str]:
         "q_interdup": _INTERDUP_ORACLE_SQL,
         "q_crawl_round": _crawl_round_oracle_sql(),
         "q_image_plumbing": _image_oracle_sql(),
+        "q_audio_plumbing": _audio_oracle_sql(),
         # scale-path MinHash: config-agreement invariant — the md5-config
         # SQL is the ground truth the FNV path must reproduce on this
         # corpus (see q_minhash_dedup docstring for the margin argument)

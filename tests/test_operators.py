@@ -230,8 +230,32 @@ class TestMultimodal:
         assert r["n_bytes"] == 204 and r["n_samples"] == 102
         assert r["duration_s"] == pytest.approx(102 / r["sample_rate"])
         assert len(r["feature"]) == 8
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError):
             _decode_audio_real(b"x")
+
+    def test_audio_real_decode(self, spark):
+        import numpy as np
+
+        from webcrawl_spark.kernels.audiokit import encode_wav
+        from webcrawl_spark.operators.multimodal import audio_features
+
+        samples = (np.arange(800) * 997 % 65536 - 32768).astype(np.int64)
+        rows = [
+            ("wav_ok", bytearray(encode_wav(samples, 16000))),
+            ("mp3_ref", bytearray(b"\xff\xfb\x90\x00 fake mpeg frame")),
+            ("junk", bytearray(b"definitely not audio")),
+        ]
+        df = spark.createDataFrame(rows, "media_id string, payload binary")
+        out = {r["media_id"]: r for r in
+               audio_features(df, fake=False).collect()}
+        ok = out["wav_ok"]
+        assert ok["format"] == "wav"
+        assert ok["sample_rate"] == 16000 and ok["n_samples"] == 800
+        assert ok["duration_s"] == pytest.approx(0.05)
+        assert sum(ok["feature"]) == pytest.approx(1.0, abs=1e-5)
+        assert out["mp3_ref"]["format"] == "unsupported:mp3"
+        assert out["mp3_ref"]["sample_rate"] is None
+        assert out["junk"]["format"] == "error"
 
     def test_resize_plumbing(self, spark):
         from webcrawl_spark.operators.multimodal import (

@@ -8,13 +8,15 @@ and an 8-bin luminance-histogram feature from actual decoded pixels.
 Formats whose entropy codecs aren't in the stdlib (JPEG/WebP/AVIF)
 classify as ``unsupported:<fmt>`` with null dims — a clean refusal
 (parity with the PDF engine's DCTDecode refusal), never silent garbage;
-undecodable bytes classify as ``error``. AUDIO decode remains stubbed
-(no codec in the runtime): ``fake=True`` substitutes a deterministic
-fake decoder so the Spark-side plumbing — schema, batch shape,
-partitioning, UDF signatures — stays tested end-to-end; swapping in
-torchaudio later only replaces ``_decode_audio_real``. The same
-``fake=True`` escape exists for images (plumbing tests predate the real
-decoder and still exercise the batching contract with arbitrary bytes).
+undecodable bytes classify as ``error``. AUDIO decode is REAL for WAV
+(kernels/audiokit.py — RIFF PCM 8/16/32-bit, any channel count,
+normalized to a canonical 16-bit domain): sample rate, count, duration,
+and an 8-bin amplitude-histogram feature from actual decoded samples.
+Entropy-coded audio (MP3/OGG/FLAC/M4A) classifies as
+``unsupported:<fmt>`` — swapping in torchaudio later only replaces
+``_decode_audio_real``. A ``fake=True`` escape exists for both
+modalities (plumbing tests predate the real decoders and still exercise
+the batching contract with arbitrary bytes).
 """
 
 from __future__ import annotations
@@ -129,18 +131,25 @@ AUDIO_META_SCHEMA = T.StructType([
     T.StructField("n_samples", T.LongType()),
     T.StructField("duration_s", T.DoubleType()),
     T.StructField("n_bytes", T.LongType()),
+    T.StructField("format", T.StringType()),
     T.StructField("feature", T.ArrayType(T.FloatType())),
 ])
 
 
-def _decode_audio_real(payload: bytes):
-    raise NotImplementedError(
-        "audio decode requires an audio library (soundfile/torchaudio) not "
-        "present in this runtime; run with fake=True for the plumbing path"
-    )
+def _decode_audio_real(
+        payload: bytes) -> tuple[str, int, int, float, np.ndarray]:
+    """REAL decode via kernels/audiokit.py (stdlib RIFF PCM WAV): sample
+    rate/count/duration, 8-bin amplitude-histogram feature from decoded
+    samples. UnsupportedAudio/ValueError propagate — audio_features
+    classifies."""
+    from ..kernels.audiokit import audio_feature_from_samples, decode_audio
+
+    fmt, rate, n, samples = decode_audio(payload)
+    return fmt, rate, n, n / rate, audio_feature_from_samples(samples)
 
 
-def _decode_audio_fake(payload: bytes) -> tuple[int, int, float, np.ndarray]:
+def _decode_audio_fake(
+        payload: bytes) -> tuple[str, int, int, float, np.ndarray]:
     """Deterministic fake decode: sample rate picked by payload CRC,
     sample count from byte length (16-bit mono), 8-dim 'feature' from the
     byte histogram."""
@@ -150,7 +159,7 @@ def _decode_audio_fake(payload: bytes) -> tuple[int, int, float, np.ndarray]:
     arr = np.frombuffer((payload or b"\0")[:4096], dtype=np.uint8)
     hist, _ = np.histogram(arr, bins=8, range=(0, 256))
     feature = (hist / max(1, len(arr))).astype("float32")
-    return rate, n_samples, n_samples / rate, feature
+    return "wav", rate, n_samples, n_samples / rate, feature
 
 
 def audio_features(
@@ -161,8 +170,12 @@ def audio_features(
     batch_rows: int = 64,
 ) -> DataFrame:
     """Audio decode + feature-extract twin of image_features: mapInPandas,
-    binary column never shuffles, bounded output batches."""
+    binary column never shuffles, bounded output batches. Entropy-coded
+    formats classify as ``unsupported:<fmt>``, undecodable bytes as
+    ``error`` — same taxonomy as image_features."""
     decode = _decode_audio_fake if fake else _decode_audio_real
+
+    from ..kernels.audiokit import UnsupportedAudio
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in AUDIO_META_SCHEMA]
@@ -170,9 +183,17 @@ def audio_features(
             out_rows = []
             for media_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(payload) if payload is not None else b""
-                rate, n, dur, feature = decode(raw)
+                try:
+                    fmt, rate, n, dur, feature = decode(raw)
+                    feature = feature.tolist()
+                except UnsupportedAudio as u:
+                    rate = n = dur = feature = None
+                    fmt = f"unsupported:{u.fmt}"
+                except ValueError:
+                    rate = n = dur = feature = None
+                    fmt = "error"
                 out_rows.append((str(media_id), rate, n, dur, len(raw),
-                                 feature.tolist()))
+                                 fmt, feature))
                 if len(out_rows) >= batch_rows:
                     yield pd.DataFrame(out_rows, columns=cols)
                     out_rows = []
