@@ -89,7 +89,9 @@ def is_unsafe_host(host: str) -> bool:
     they cannot smuggle loopback past the check. Hostname-based checks
     only — a production fetch client must ALSO enforce a connect-time
     resolved-IP check (the reference's safeFetch.ts checks the socket's
-    remoteAddress) since DNS can still map a clean name to a private IP.
+    remoteAddress) since DNS can still map a clean name to a private IP;
+    kernels/safefetch.py implements that layer (resolve once, vet every
+    answer, dial the vetted IP) for production fetch_udfs.
     Applied at the fetch layer in live (fetch_udf) mode, like the
     reference; corpus-replay mode never dials out."""
     import ipaddress
