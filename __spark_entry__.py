@@ -707,20 +707,33 @@ _IMG_N = 25
 _IMG_W = "8 + (i % 5) * 3"            # {8, 11, 14, 17, 20}
 _IMG_H = "5 + ((i * 3) % 7) * 2"      # {5, 7, ..., 17} — odd
 _IMG_PIX = "(x * 5 + y * 7 + i * 13) % 256"
+#: JPEG rows: BLOCK-CONSTANT pixels (value fixed within each 8x8 tile) so
+#: every block is DC-only and the quantize→IDCT roundtrip is EXACT by
+#: arithmetic (DC = 8*(v-128) is an integer; q=2 divides it after round;
+#: AC all zero) — not an empirical coincidence. The decode still runs the
+#: full real pipeline (marker parse, Huffman, dequant, vectorized IDCT).
+_IMG_JN = 10
+_IMG_JW = "10 + (i % 4) * 9"          # {10, 19, 28, 37}
+_IMG_JH = "7 + ((i * 5) % 6) * 4"     # odd
+_IMG_JPIX = "(x // 8 * 11 + y // 8 * 17 + i * 29) % 256"
 
 
 def q_image_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode (kernels/imagekit.py): deterministic synthetic
-    PNGs built from the _IMG_* seed formulas are decoded by the engine
-    (fake=False — actual zlib inflate + unfilter + luminance + histogram),
-    plus two refusal rows (jpeg → unsupported, garbage → error). Output is
-    integer-exact: per-bin pixel COUNTS (feature[i] * n_pix rounded back
-    to int — float32 relative error ~1e-7 can never move an integer by
-    0.5), so the DuckDB oracle recomputes everything from the same pixel
-    formula with no float-format hazards."""
+    """REAL image decode (kernels/imagekit.py + jpegkit.py): deterministic
+    synthetic PNGs (from the _IMG_* seed formulas — actual zlib inflate +
+    unfilter + luminance + histogram) AND baseline JPEGs (from the _IMG_J*
+    block-constant formulas — actual Huffman entropy decode + dequant +
+    IDCT, cycling grayscale / 4:4:4 / 4:2:0 / restart-interval stream
+    shapes), plus refusal rows (progressive jpeg + webp → unsupported,
+    garbage → error). Output is integer-exact: per-bin pixel COUNTS
+    (feature[i] * n_pix rounded back to int — float32 relative error
+    ~1e-7 can never move an integer by 0.5), so the DuckDB oracle
+    recomputes everything from the same pixel formulas with no
+    float-format hazards."""
     import numpy as np
 
     from webcrawl_spark.kernels.imagekit import encode_png
+    from webcrawl_spark.kernels.jpegkit import encode_jpeg
     from webcrawl_spark.operators.multimodal import image_features
 
     rows = []
@@ -730,7 +743,28 @@ def q_image_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
         x, y = np.meshgrid(np.arange(w), np.arange(h))
         gray = eval(_IMG_PIX).astype(np.uint8)  # noqa: S307
         rows.append((f"img{i:02d}", bytearray(encode_png(gray))))
-    rows.append(("img_jpeg", bytearray(b"\xff\xd8\xff\xe0 not a real jpeg")))
+    for i in range(_IMG_JN):
+        w = eval(_IMG_JW)                     # noqa: S307
+        h = eval(_IMG_JH)
+        x, y = np.meshgrid(np.arange(w), np.arange(h))
+        gray = eval(_IMG_JPIX).astype(np.uint8)  # noqa: S307
+        variant = i % 4
+        if variant == 0:
+            data = encode_jpeg(gray)
+        elif variant == 1:
+            cb = np.full_like(gray, (60 + i * 7) % 256)
+            cr = np.full_like(gray, (200 - i * 5) % 256)
+            data = encode_jpeg(gray, cb, cr)
+        elif variant == 2:
+            cb = np.full_like(gray, (60 + i * 7) % 256)
+            cr = np.full_like(gray, (200 - i * 5) % 256)
+            data = encode_jpeg(gray, cb, cr, subsample=True)
+        else:
+            data = encode_jpeg(gray, restart_interval=2)
+        rows.append((f"jpg{i:02d}", bytearray(data)))
+    rows.append(("img_prog", bytearray(
+        b"\xff\xd8\xff\xc2\x00\x08\x08\x00\x10\x00\x10\x00")))
+    rows.append(("img_webp", bytearray(b"RIFF\x00\x10\x00\x00WEBPVP8 ")))
     rows.append(("img_bad", bytearray(b"not an image at all")))
     df = spark.createDataFrame(rows, "media_id string, payload binary")
     out = image_features(df, fake=False)
@@ -1622,18 +1656,21 @@ frontier_{k + 1}(url, seq) AS MATERIALIZED (
               f"({rounds_union}) ORDER BY seq")
 
 
-def _image_oracle_sql() -> str:
-    """Recompute q_image_plumbing entirely in SQL from the _IMG_* pixel
-    formulas: dimensions, n_pix, and 8-bin luminance-histogram COUNTS
-    (bin = gray // 32) per synthetic image, plus the two refusal literals.
-    Counts are integers, so no float formatting/rounding can diverge."""
+def _image_family_sql(prefix: str, n: int, w_expr: str, h_expr: str,
+                      pix_expr: str, fmt: str) -> str:
+    """Histogram-count recompute for one synthetic-image family: per-image
+    dimensions, n_pix, and 8-bin luminance counts (bin = gray // 32) from
+    the family's pixel formula. Counts are integers — no float hazards."""
+    cases = ", ".join(
+        f"max(CASE WHEN bin = {b} THEN c END)::INT AS c{b}"
+        for b in range(8))
     return f"""
-        WITH imgs AS (SELECT unnest(range(0, {_IMG_N})) AS i),
+        WITH imgs AS (SELECT unnest(range(0, {n})) AS i),
         dims AS (
-          SELECT i, {_IMG_W} AS w, {_IMG_H} AS h FROM imgs),
+          SELECT i, {w_expr} AS w, {h_expr} AS h FROM imgs),
         pix AS (
           SELECT d.i, d.w, d.h,
-                 (({_IMG_PIX}) // 32)::INT AS bin
+                 (({pix_expr}) // 32)::INT AS bin
           FROM dims d,
                LATERAL (SELECT unnest(range(0, d.w)) AS x) xs,
                LATERAL (SELECT unnest(range(0, d.h)) AS y) ys),
@@ -1644,22 +1681,33 @@ def _image_oracle_sql() -> str:
           SELECT d.i, d.w, d.h, b.bin, coalesce(h.c, 0) AS c
           FROM dims d
           CROSS JOIN (SELECT unnest(range(0, 8)) AS bin) b
-          LEFT JOIN hist h ON h.i = d.i AND h.bin = b.bin),
-        ok_rows AS (
-          SELECT printf('img%02d', i::INT) AS media_id,
-                 w::INT AS width, h::INT AS height, 'png' AS format,
-                 (w * h)::INT AS n_pix,
-                 {', '.join(
-                     f"max(CASE WHEN bin = {b} THEN c END)::INT AS c{b}"
-                     for b in range(8))}
-          FROM feat GROUP BY i, w, h)
-        SELECT * FROM ok_rows
+          LEFT JOIN hist h ON h.i = d.i AND h.bin = b.bin)
+        SELECT printf('{prefix}%02d', i::INT) AS media_id,
+               w::INT AS width, h::INT AS height, '{fmt}' AS format,
+               (w * h)::INT AS n_pix, {cases}
+        FROM feat GROUP BY i, w, h
+    """
+
+
+def _image_oracle_sql() -> str:
+    """Recompute q_image_plumbing entirely in SQL: the PNG family from the
+    _IMG_* pixel formulas, the JPEG family from the _IMG_J* block-constant
+    formulas (exact roundtrip by arithmetic — see q_image_plumbing), plus
+    the three refusal literals."""
+    nulls = ", ".join("NULL" for _ in range(8))
+    return f"""
+        SELECT * FROM ({_image_family_sql(
+            "img", _IMG_N, _IMG_W, _IMG_H, _IMG_PIX, "png")})
         UNION ALL
-        SELECT 'img_jpeg', NULL, NULL, 'unsupported:jpeg', NULL,
-               {', '.join('NULL' for _ in range(8))}
+        SELECT * FROM ({_image_family_sql(
+            "jpg", _IMG_JN, _IMG_JW, _IMG_JH, _IMG_JPIX, "jpeg")})
         UNION ALL
-        SELECT 'img_bad', NULL, NULL, 'error', NULL,
-               {', '.join('NULL' for _ in range(8))}
+        SELECT 'img_prog', NULL, NULL, 'unsupported:jpeg-progressive',
+               NULL, {nulls}
+        UNION ALL
+        SELECT 'img_webp', NULL, NULL, 'unsupported:webp', NULL, {nulls}
+        UNION ALL
+        SELECT 'img_bad', NULL, NULL, 'error', NULL, {nulls}
         ORDER BY media_id
     """
 

@@ -223,8 +223,15 @@ class TestDispatch:
         pal = np.array([[1, 2, 3]], dtype=np.uint8)
         assert decode_image(
             encode_gif(np.zeros((2, 2), np.uint8), pal))[2] == "gif"
-        with pytest.raises(UnsupportedImage, match="jpeg"):
-            decode_image(b"\xff\xd8\xff\xe0junkjunk")
+        # baseline JPEG now decodes for real (kernels/jpegkit.py)
+        from webcrawl_spark.kernels.jpegkit import encode_jpeg
+        w, h, fmt, lum = decode_image(encode_jpeg(gray, quant=1))
+        assert (w, h, fmt) == (4, 4, "jpeg")
+        with pytest.raises(UnsupportedImage, match="jpeg-progressive"):
+            decode_image(
+                b"\xff\xd8\xff\xc2\x00\x08\x08\x00\x10\x00\x10\x00")
+        with pytest.raises(ValueError):
+            decode_image(b"\xff\xd8\xff\xe0junkjunk")   # truncated APP0
         with pytest.raises(UnsupportedImage, match="webp"):
             decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
         with pytest.raises(ValueError):
@@ -244,7 +251,12 @@ class TestOperatorsRealDecode:
                 .astype(np.uint8)
             imgs[f"m{i}"] = gray
             rows.append((f"m{i}", bytearray(encode_png(gray))))
-        rows.append(("jpg", bytearray(b"\xff\xd8\xff\xe0 fake jpeg")))
+        from webcrawl_spark.kernels.jpegkit import encode_jpeg
+        jgray = (np.indices((16, 24)).sum(0) // 8 * 31 % 256) \
+            .astype(np.uint8)
+        rows.append(("jpg", bytearray(encode_jpeg(jgray, quant=1))))
+        rows.append(("prog", bytearray(
+            b"\xff\xd8\xff\xc2\x00\x08\x08\x00\x10\x00\x10\x00")))
         rows.append(("bad", bytearray(b"garbage")))
         df = spark.createDataFrame(rows, "media_id string, payload binary")
         out = {r["media_id"]: r for r in
@@ -255,8 +267,10 @@ class TestOperatorsRealDecode:
             assert r["format"] == "png"
             exp = image_feature_from_luminance(imgs[f"m{i}"])
             assert np.allclose(r["feature"], exp)
-        assert out["jpg"]["format"] == "unsupported:jpeg"
-        assert out["jpg"]["width"] is None
+        assert out["jpg"]["format"] == "jpeg"
+        assert (out["jpg"]["width"], out["jpg"]["height"]) == (24, 16)
+        assert out["prog"]["format"] == "unsupported:jpeg-progressive"
+        assert out["prog"]["width"] is None
         assert out["bad"]["format"] == "error"
 
     def test_resize_real(self, spark):

@@ -5,9 +5,10 @@ bit-twiddling — the same predictor math the PDF kernel already uses for
 FlateDecode xref streams (kernels/pdfkit.py) — so the engine's
 ``_decode_image_real`` path does real work for the two formats that
 dominate crawled inline images, with no imaging library in the runtime.
-JPEG/WebP/AVIF need entropy codecs outside the stdlib and get a clean
-``UnsupportedImage`` refusal (parity with the PDF engine's DCTDecode
-refusal), never silent garbage.
+Baseline JPEG decodes for real too (kernels/jpegkit.py — pure-numpy
+Huffman + IDCT, luminance-only reconstruction); progressive JPEG,
+WebP, and AVIF get a clean ``UnsupportedImage`` refusal (parity with
+the PDF engine's DCTDecode refusal), never silent garbage.
 
 Decoded output is a LUMINANCE plane (uint8, integer BT.601-ish weights
 (r*299 + g*587 + b*114) // 1000 — integer math so any oracle can
@@ -369,7 +370,12 @@ def decode_image(data: bytes) -> tuple[int, int, str, np.ndarray]:
         w, h, lum = decode_gif(data)
         return w, h, "gif", lum
     if data[:3] == b"\xff\xd8\xff":
-        raise UnsupportedImage("jpeg", "DCT entropy codec not in stdlib")
+        # baseline/extended-sequential decode in kernels/jpegkit.py;
+        # progressive/arithmetic/CMYK refuse typed from there
+        from .jpegkit import decode_jpeg
+
+        w, h, lum = decode_jpeg(data)
+        return w, h, "jpeg", lum
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
         raise UnsupportedImage("webp", "VP8 codec not in stdlib")
     if data[4:12] in (b"ftypavif", b"ftypheic"):
