@@ -42,10 +42,10 @@ Operator-family mapping (SURVEY.md §2 → query):
   ANN top-k (RP-LSH bucketed)          → q_ann_topk (FULL oracle: bucketing
                                          recomputed in SQL from shared plane
                                          constants + exact rerank)
-  multimodal (real PNG/GIF + WAV)      → q_image_plumbing / q_audio_plumbing
-                                         (integer per-bin histogram counts
-                                         recomputed in SQL from shared seed
-                                         formulas)
+  multimodal (real PNG/GIF/JPEG + WAV  → q_image_plumbing / q_audio_plumbing
+  + MP4 metadata)                        / q_video_plumbing (integer counts
+                                         and metadata recomputed in SQL
+                                         from shared seed formulas)
   crawl rounds                         → q_crawl_round (unrolled round-loop
                                          replay in SQL, limit=None config)
   crawl engine end-to-end              → entry() (frontier round on the
@@ -821,6 +821,54 @@ def q_audio_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+#: q_video_plumbing synthetic-MP4 constants (data-independent, shared by
+#: the Spark side and the generated SQL oracle). Durations are exact
+#: milliseconds at timescale 1000, so duration_ms round-trips as an
+#: integer with no float hazards; n_frames mirrors frame_sample_plan's
+#: greatest(floor(duration * fps), 1) at fps = 0.5.
+_VID_N = 15
+_VID_MS = "1500 + i * 777"
+_VID_W = "160 * (1 + i % 4)"
+_VID_H = "90 * (1 + i % 3)"
+_VID_CODECS = ("avc1", "hev1", "av01")
+
+
+def q_video_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video metadata (kernels/videokit.py ISO-BMFF box walk):
+    deterministic synthetic MP4s built from the _VID_* seed formulas are
+    probed by the engine (mvhd v0/v1 alternating, largesize untested here
+    but covered in pytest), composed with frame_sample_plan at fps=0.5,
+    plus refusal rows (webm/avi → unsupported, garbage → error). All
+    output columns are integers/strings — exact."""
+    from webcrawl_spark.kernels.videokit import build_mp4
+    from webcrawl_spark.operators.multimodal import (
+        frame_sample_plan, video_metadata,
+    )
+
+    rows = []
+    for i in range(_VID_N):
+        ms = eval(_VID_MS)                    # noqa: S307 — module constants
+        w = eval(_VID_W)                      # noqa: S307
+        h = eval(_VID_H)                      # noqa: S307
+        rows.append((f"vid{i:02d}", bytearray(build_mp4(
+            ms / 1000.0, timescale=1000, width=w, height=h,
+            codec=_VID_CODECS[i % 3], mvhd_version=i % 2))))
+    rows.append(("vid_webm", bytearray(b"\x1a\x45\xdf\xa3 ebml junk")))
+    rows.append(("vid_avi", bytearray(b"RIFF\x00\x00\x00\x00AVI LIST")))
+    rows.append(("vid_bad", bytearray(b"not a video")))
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    meta = video_metadata(df)
+    plan = frame_sample_plan(
+        meta.filter(F.col("duration_s").isNotNull()), fps=0.5)
+    counts = plan.groupBy("media_id").agg(
+        F.count("*").cast("int").alias("n_frames"))
+    return meta.join(counts, "media_id", "left").select(
+        "media_id",
+        F.round(F.col("duration_s") * 1000).cast("int").alias("duration_ms"),
+        "width", "height", "codec", "format", "n_frames",
+    ).orderBy("media_id")
+
+
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-doc repetition signals: duplicate 2/3-gram
     fractions + top-word fraction (linear sorted-run fold, no shuffle)."""
@@ -937,6 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_crawl_round": q_crawl_round,
         "q_image_plumbing": q_image_plumbing,
         "q_audio_plumbing": q_audio_plumbing,
+        "q_video_plumbing": q_video_plumbing,
         "q_repetition": q_repetition,
         "q_pii_redact": q_pii_redact,
         "q_line_dedup": q_line_dedup,
@@ -1753,6 +1802,32 @@ def _audio_oracle_sql() -> str:
     """
 
 
+def _video_oracle_sql() -> str:
+    """Recompute q_video_plumbing from the _VID_* formulas: exact integer
+    duration_ms/dims, codec cycling, and frame_sample_plan's
+    greatest(floor(duration_s * 0.5), 1) frame count."""
+    codec_case = "CASE i % 3 " + " ".join(
+        f"WHEN {k} THEN '{c}'" for k, c in enumerate(_VID_CODECS)) + " END"
+    return f"""
+        WITH vids AS (SELECT unnest(range(0, {_VID_N})) AS i)
+        SELECT printf('vid%02d', i::INT) AS media_id,
+               ({_VID_MS})::INT AS duration_ms,
+               ({_VID_W})::INT AS width,
+               ({_VID_H})::INT AS height,
+               {codec_case} AS codec,
+               'mp4' AS format,
+               greatest(({_VID_MS}) // 2000, 1)::INT AS n_frames
+        FROM vids
+        UNION ALL
+        SELECT 'vid_webm', NULL, NULL, NULL, NULL, 'unsupported:webm', NULL
+        UNION ALL
+        SELECT 'vid_avi', NULL, NULL, NULL, NULL, 'unsupported:avi', NULL
+        UNION ALL
+        SELECT 'vid_bad', NULL, NULL, NULL, NULL, 'error', NULL
+        ORDER BY media_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     words = _WORDS_SQL.format(col="text")
     return {
@@ -1999,6 +2074,7 @@ def oracle_sql() -> dict[str, str]:
         "q_crawl_round": _crawl_round_oracle_sql(),
         "q_image_plumbing": _image_oracle_sql(),
         "q_audio_plumbing": _audio_oracle_sql(),
+        "q_video_plumbing": _video_oracle_sql(),
         # scale-path MinHash: config-agreement invariant — the md5-config
         # SQL is the ground truth the FNV path must reproduce on this
         # corpus (see q_minhash_dedup docstring for the margin argument)

@@ -34,8 +34,10 @@ __all__ = [
     "IMAGE_META_SCHEMA",
     "AUDIO_META_SCHEMA",
     "RESIZE_SCHEMA",
+    "VIDEO_META_SCHEMA",
     "image_features",
     "audio_features",
+    "video_metadata",
     "resize_images",
     "frame_sample_plan",
 ]
@@ -277,6 +279,58 @@ def resize_images(
                 yield pd.DataFrame(out_rows, columns=cols)
 
     return df.select(id_col, payload_col).mapInPandas(run, RESIZE_SCHEMA)
+
+
+VIDEO_META_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType()),
+    T.StructField("duration_s", T.DoubleType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("codec", T.StringType()),
+    T.StructField("brand", T.StringType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("format", T.StringType()),
+])
+
+
+def video_metadata(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    batch_rows: int = 64,
+) -> DataFrame:
+    """REAL video metadata via kernels/videokit.py (ISO BMFF box walk):
+    duration, display dims, codec fourcc — the inputs frame_sample_plan
+    consumes. WebM/AVI classify as ``unsupported:<fmt>``, garbage as
+    ``error``; mapInPandas keeps the mdat payload out of any shuffle."""
+    from ..kernels.videokit import UnsupportedVideo, probe_video
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in VIDEO_META_SCHEMA]
+        for pdf in batches:
+            out_rows = []
+            for media_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    m = probe_video(raw)
+                    row = (str(media_id), m["duration_s"], m["width"],
+                           m["height"], m["codec"], m["brand"], len(raw),
+                           m["format"])
+                except UnsupportedVideo as u:
+                    row = (str(media_id), None, None, None, None, None,
+                           len(raw), f"unsupported:{u.fmt}")
+                except ValueError:
+                    row = (str(media_id), None, None, None, None, None,
+                           len(raw), "error")
+                out_rows.append(row)
+                if len(out_rows) >= batch_rows:
+                    yield pd.DataFrame(out_rows, columns=cols)
+                    out_rows = []
+            if out_rows:
+                yield pd.DataFrame(out_rows, columns=cols)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, VIDEO_META_SCHEMA)
 
 
 def frame_sample_plan(df: DataFrame, duration_col: str = "duration_s",
