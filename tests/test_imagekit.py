@@ -106,10 +106,16 @@ class TestPng:
         _, _, lum = decode_png(rebuilt)
         assert np.array_equal(lum, gray)
 
+    @pytest.mark.parametrize("h,w", [(1, 1), (3, 2), (8, 8), (13, 17),
+                                     (24, 40)])
+    def test_adam7_interlaced_roundtrip(self, h, w):
+        gray = RNG.integers(0, 256, (h, w), dtype=np.uint8)
+        ww, hh, lum = decode_png(encode_png(gray, interlace=True))
+        assert (ww, hh) == (w, h)
+        np.testing.assert_array_equal(lum, gray)
+
     def test_refusals(self):
         gray = RNG.integers(0, 256, (4, 4), dtype=np.uint8)
-        with pytest.raises(UnsupportedImage, match="interlace"):
-            decode_png(_build_png(gray[..., None], 0, [0], interlace=1))
         bad_depth = bytearray(encode_png(gray))
         ihdr_at = bad_depth.index(b"IHDR") + 4
         bad_depth[ihdr_at + 8] = 16            # bit depth byte

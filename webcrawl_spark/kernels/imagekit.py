@@ -13,8 +13,8 @@ the PDF engine's DCTDecode refusal), never silent garbage.
 Decoded output is a LUMINANCE plane (uint8, integer BT.601-ish weights
 (r*299 + g*587 + b*114) // 1000 — integer math so any oracle can
 recompute it bit-exactly) plus (width, height, format). PNG support:
-bit depth 8, color types 0/2/3/4/6, non-interlaced (interlaced PNG is
-<1% of web images and refuses cleanly). GIF support: first frame,
+bit depth 8, color types 0/2/3/4/6, sequential and Adam7-interlaced
+layouts. GIF support: first frame,
 global/local palettes, LZW (LSB-first packing), interlaced row order,
 frame offsets within the logical screen.
 
@@ -65,6 +65,11 @@ def luminance(rgb: np.ndarray) -> np.ndarray:
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+#: Adam7 pass origins/steps (x0, y0, dx, dy) — spec §8.2
+ADAM7_PASSES = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
 
 def _png_unfilter(data: bytes, width: int, height: int,
@@ -113,8 +118,8 @@ def _png_unfilter(data: bytes, width: int, height: int,
 
 def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
     """→ (width, height, luminance uint8 [h, w]). Bit depth 8, color
-    types 0/2/3/4/6, non-interlaced; anything else refuses via
-    UnsupportedImage."""
+    types 0/2/3/4/6, sequential or Adam7-interlaced; anything else
+    refuses via UnsupportedImage."""
     if data[:8] != PNG_SIG:
         raise ValueError("PNG: bad signature")
     pos, width, height = 8, None, None
@@ -141,11 +146,25 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
         raise UnsupportedImage("png", f"bit depth {bit_depth}")
     if color_type not in _CHANNELS:
         raise UnsupportedImage("png", f"color type {color_type}")
-    if interlace:
-        raise UnsupportedImage("png", "Adam7 interlace")
     nch = _CHANNELS[color_type]
     raw = zlib.decompress(bytes(idat))
-    px = _png_unfilter(raw, width, height, nch).reshape(height, width, nch)
+    if interlace == 1:
+        px = np.empty((height, width, nch), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in ADAM7_PASSES:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue                       # empty pass: zero bytes
+            take = ph * (pw * nch + 1)
+            sub = _png_unfilter(raw[pos:pos + take], pw, ph, nch)
+            pos += take
+            px[y0::dy, x0::dx] = sub.reshape(ph, pw, nch)
+    elif interlace:
+        raise ValueError(f"PNG: unknown interlace method {interlace}")
+    else:
+        px = _png_unfilter(raw, width, height, nch) \
+            .reshape(height, width, nch)
     if color_type == 3:
         if palette is None:
             raise ValueError("PNG: palette image without PLTE")
@@ -158,17 +177,28 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
     return width, height, luminance(px[..., :3])
 
 
-def encode_png(gray: np.ndarray) -> bytes:
-    """Minimal grayscale-8 PNG encoder (filter 0 rows) for tests/datagen."""
+def encode_png(gray: np.ndarray, interlace: bool = False) -> bytes:
+    """Minimal grayscale-8 PNG encoder (filter 0 rows, optional Adam7
+    pass layout) for tests/datagen."""
     h, w = gray.shape
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         return (struct.pack(">I", len(body)) + ctype + body
                 + struct.pack(">I", zlib.crc32(ctype + body)))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
-    raw = b"".join(b"\x00" + gray[y].astype(np.uint8).tobytes()
-                   for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1 if interlace else 0)
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in ADAM7_PASSES:
+            sub = gray[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            parts += [b"\x00" + sub[y].astype(np.uint8).tobytes()
+                      for y in range(sub.shape[0])]
+        raw = b"".join(parts)
+    else:
+        raw = b"".join(b"\x00" + gray[y].astype(np.uint8).tobytes()
+                       for y in range(h))
     return (PNG_SIG + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(raw))
             + chunk(b"IEND", b""))
