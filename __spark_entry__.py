@@ -831,16 +831,23 @@ _VID_MS = "1500 + i * 777"
 _VID_W = "160 * (1 + i % 4)"
 _VID_H = "90 * (1 + i % 3)"
 _VID_CODECS = ("avc1", "hev1", "av01")
+#: WebM family (EBML walk): integer-ms durations at the default 1e6-ns
+#: timestamp scale round-trip exactly through the stored float64.
+_VID_WN = 6
+_VID_WMS = "2200 + i * 911"
+_VID_WW = "128 * (1 + i % 3)"
+_VID_WH = "72 * (1 + i % 2)"
+_VID_WCODECS = ("V_VP8", "V_VP9", "V_AV1")
 
 
 def q_video_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL video metadata (kernels/videokit.py ISO-BMFF box walk):
-    deterministic synthetic MP4s built from the _VID_* seed formulas are
-    probed by the engine (mvhd v0/v1 alternating, largesize untested here
-    but covered in pytest), composed with frame_sample_plan at fps=0.5,
-    plus refusal rows (webm/avi → unsupported, garbage → error). All
-    output columns are integers/strings — exact."""
-    from webcrawl_spark.kernels.videokit import build_mp4
+    """REAL video metadata (kernels/videokit.py): deterministic synthetic
+    MP4s (ISO-BMFF box walk, mvhd v0/v1 alternating) AND WebM files (EBML
+    varint walk, Segment>Info duration + video TrackEntry dims/codec),
+    both from the _VID_* seed formulas, composed with frame_sample_plan
+    at fps=0.5, plus refusal rows (avi → unsupported, garbage → error).
+    All output columns are integers/strings — exact."""
+    from webcrawl_spark.kernels.videokit import build_mp4, build_webm
     from webcrawl_spark.operators.multimodal import (
         frame_sample_plan, video_metadata,
     )
@@ -853,7 +860,13 @@ def q_video_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((f"vid{i:02d}", bytearray(build_mp4(
             ms / 1000.0, timescale=1000, width=w, height=h,
             codec=_VID_CODECS[i % 3], mvhd_version=i % 2))))
-    rows.append(("vid_webm", bytearray(b"\x1a\x45\xdf\xa3 ebml junk")))
+    for i in range(_VID_WN):
+        ms = eval(_VID_WMS)                   # noqa: S307
+        w = eval(_VID_WW)                     # noqa: S307
+        h = eval(_VID_WH)                     # noqa: S307
+        rows.append((f"vidw{i:02d}", bytearray(build_webm(
+            ms / 1000.0, width=w, height=h,
+            codec=_VID_WCODECS[i % 3]))))
     rows.append(("vid_avi", bytearray(b"RIFF\x00\x00\x00\x00AVI LIST")))
     rows.append(("vid_bad", bytearray(b"not a video")))
     df = spark.createDataFrame(rows, "media_id string, payload binary")
@@ -1808,6 +1821,8 @@ def _video_oracle_sql() -> str:
     greatest(floor(duration_s * 0.5), 1) frame count."""
     codec_case = "CASE i % 3 " + " ".join(
         f"WHEN {k} THEN '{c}'" for k, c in enumerate(_VID_CODECS)) + " END"
+    wcodec_case = "CASE i % 3 " + " ".join(
+        f"WHEN {k} THEN '{c}'" for k, c in enumerate(_VID_WCODECS)) + " END"
     return f"""
         WITH vids AS (SELECT unnest(range(0, {_VID_N})) AS i)
         SELECT printf('vid%02d', i::INT) AS media_id,
@@ -1819,7 +1834,11 @@ def _video_oracle_sql() -> str:
                greatest(({_VID_MS}) // 2000, 1)::INT AS n_frames
         FROM vids
         UNION ALL
-        SELECT 'vid_webm', NULL, NULL, NULL, NULL, 'unsupported:webm', NULL
+        SELECT printf('vidw%02d', i::INT),
+               ({_VID_WMS})::INT, ({_VID_WW})::INT, ({_VID_WH})::INT,
+               {wcodec_case}, 'webm',
+               greatest(({_VID_WMS}) // 2000, 1)::INT
+        FROM (SELECT unnest(range(0, {_VID_WN})) AS i)
         UNION ALL
         SELECT 'vid_avi', NULL, NULL, NULL, NULL, 'unsupported:avi', NULL
         UNION ALL

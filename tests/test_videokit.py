@@ -53,11 +53,39 @@ class TestParseMp4:
             parse_mp4(bytes(data))
 
 
+class TestWebm:
+    def test_roundtrip(self):
+        from webcrawl_spark.kernels.videokit import build_webm, parse_webm
+
+        m = parse_webm(build_webm(42.5, width=1280, height=720,
+                                  codec="V_VP9"))
+        assert m["duration_s"] == pytest.approx(42.5)
+        assert (m["width"], m["height"]) == (1280, 720)
+        assert m["codec"] == "V_VP9"
+        assert m["brand"] == "webm"
+
+    def test_custom_timescale_and_mkv(self):
+        from webcrawl_spark.kernels.videokit import build_webm, probe_video
+
+        m = probe_video(build_webm(7.25, width=320, height=180,
+                                   codec="V_AV1", timescale_ns=100_000,
+                                   doctype="matroska"))
+        assert m["format"] == "mkv"
+        assert m["duration_s"] == pytest.approx(7.25)
+        assert m["codec"] == "V_AV1"
+
+    def test_probe_dispatches_webm(self):
+        from webcrawl_spark.kernels.videokit import build_webm
+
+        m = probe_video(build_webm(3.0, width=64, height=48))
+        assert m["format"] == "webm"
+
+    def test_garbage_ebml_raises(self):
+        with pytest.raises(ValueError):
+            probe_video(b"\x1a\x45\xdf\xa3\xff\xff\xff\xff")
+
+
 class TestProbe:
-    def test_webm_refuses(self):
-        with pytest.raises(UnsupportedVideo) as e:
-            probe_video(b"\x1a\x45\xdf\xa3 ebml")
-        assert e.value.fmt == "webm"
 
     def test_avi_refuses(self):
         with pytest.raises(UnsupportedVideo) as e:
@@ -77,11 +105,14 @@ class TestOperator:
             frame_sample_plan, video_metadata,
         )
 
+        from webcrawl_spark.kernels.videokit import build_webm
+
         rows = [
             ("v0", bytearray(build_mp4(10.0, width=320, height=240))),
             ("v1", bytearray(build_mp4(4.0, width=640, height=480,
                                        codec="av01"))),
-            ("web", bytearray(b"\x1a\x45\xdf\xa3 ebml")),
+            ("web", bytearray(build_webm(6.0, width=1280, height=720))),
+            ("avi", bytearray(b"RIFF\x00\x00\x00\x00AVI LIST")),
             ("bad", bytearray(b"nope")),
         ]
         df = spark.createDataFrame(rows, "media_id string, payload binary")
@@ -90,7 +121,10 @@ class TestOperator:
         assert out["v0"]["duration_s"] == pytest.approx(10.0)
         assert (out["v0"]["width"], out["v0"]["height"]) == (320, 240)
         assert out["v1"]["codec"] == "av01"
-        assert out["web"]["format"] == "unsupported:webm"
+        assert out["web"]["format"] == "webm"
+        assert out["web"]["codec"] == "V_VP9"
+        assert (out["web"]["width"], out["web"]["height"]) == (1280, 720)
+        assert out["avi"]["format"] == "unsupported:avi"
         assert out["bad"]["format"] == "error"
 
         # composition: real durations drive the sampling plan
@@ -98,4 +132,4 @@ class TestOperator:
             meta.filter(F.col("duration_s").isNotNull()), fps=0.5)
         frames = plan.groupBy("media_id").count().collect()
         by_id = {r["media_id"]: r["count"] for r in frames}
-        assert by_id == {"v0": 5, "v1": 2}
+        assert by_id == {"v0": 5, "v1": 2, "web": 3}
