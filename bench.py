@@ -175,6 +175,66 @@ def bench_corpus_ops(spark) -> dict[str, float]:
     return times
 
 
+def bench_multimodal(spark) -> dict:
+    """Non-headline: REAL decode throughput for the multimodal kernels
+    (PNG zlib+unfilter, baseline-JPEG Huffman+IDCT, WAV PCM) through the
+    image_features / audio_features operators at fake=False. Payloads are
+    built once into a temp parquet so the timed passes measure scan +
+    decode, not driver-side re-serialization of a LocalTableScan."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from webcrawl_spark.kernels.audiokit import encode_wav
+    from webcrawl_spark.kernels.imagekit import encode_png
+    from webcrawl_spark.kernels.jpegkit import encode_jpeg
+    from webcrawl_spark.operators.multimodal import (
+        audio_features, image_features,
+    )
+
+    n = 192
+    x, y = np.meshgrid(np.arange(96), np.arange(64))
+    img_rows, wav_rows = [], []
+    base_wav = (np.arange(8000) * 997 % 65536 - 32768).astype(np.int64)
+    for i in range(n):
+        gray = ((x * 3 + y * 5 + i * 7) % 256).astype(np.uint8)
+        img_rows.append((f"png{i:03d}", bytearray(encode_png(gray))))
+        img_rows.append((f"jpg{i:03d}", bytearray(encode_jpeg(gray))))
+        wav_rows.append((f"wav{i:03d}",
+                         bytearray(encode_wav(np.roll(base_wav, i), 16000))))
+    tmp = tempfile.mkdtemp(prefix="bench_mm_")
+    out: dict = {}
+    try:
+        spark.createDataFrame(img_rows, "media_id string, payload binary") \
+            .repartition(CPUS).write.mode("overwrite") \
+            .parquet(os.path.join(tmp, "img"))
+        spark.createDataFrame(wav_rows, "media_id string, payload binary") \
+            .repartition(CPUS).write.mode("overwrite") \
+            .parquet(os.path.join(tmp, "wav"))
+        img_df = spark.read.parquet(os.path.join(tmp, "img"))
+        wav_df = spark.read.parquet(os.path.join(tmp, "wav"))
+        best_img = best_wav = float("inf")
+        for _pass in range(2):
+            t0 = time.perf_counter()
+            image_features(img_df, fake=False).count()
+            best_img = min(best_img, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            audio_features(wav_df, fake=False).count()
+            best_wav = min(best_wav, time.perf_counter() - t0)
+        out = {
+            "images_per_s": round(2 * n / best_img, 1),
+            "image_decode_sec": round(best_img, 3),
+            "wavs_per_s": round(n / best_wav, 1),
+            "audio_decode_sec": round(best_wav, 3),
+            "n_images": 2 * n,
+            "n_wavs": n,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def bench_scrape(spark) -> dict[str, float]:
     """Sustained extraction throughput: scrape (markdown+links+quality) over
     a dense synthetic pages table — one big Arrow-UDF stage, the engine's
@@ -292,6 +352,7 @@ def main() -> None:
                  if only in ("", "crawl") else {"crawl_sec": 0.0})
         ann = bench_ann_recall(spark) if only in ("", "queries") else {}
         corpus_ops = bench_corpus_ops(spark) if only in ("", "queries") else {}
+        multimodal = bench_multimodal(spark) if only in ("", "queries") else {}
         wall = round(time.perf_counter() - t0, 3)
         # protocol v2 (see BENCH.md measurement protocol): value = sum of
         # per-workload best times — what r2/r3's per-query rows already
@@ -315,6 +376,7 @@ def main() -> None:
             "crawl": crawl,
             "ann": ann,
             "corpus_ops": corpus_ops,
+            "multimodal": multimodal,
         }
         print(json.dumps(out))
     finally:
