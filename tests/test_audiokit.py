@@ -113,3 +113,22 @@ class TestFeature:
         fmt, rate, n, samples = decode_audio(encode_wav(src, 16000))
         assert (fmt, rate, n) == ("wav", 16000, 64)
         np.testing.assert_array_equal(samples, src)
+
+
+class TestMalformed:
+    def test_zero_sample_rate_is_value_error(self):
+        wav = bytearray(encode_wav(np.array([0], dtype=np.int64), 8000))
+        wav[24:28] = b"\x00\x00\x00\x00"       # fmt rate field
+        with pytest.raises(ValueError):
+            decode_wav(bytes(wav))
+
+    def test_short_fmt_chunk_classifies_in_operator(self, spark):
+        from webcrawl_spark.operators.multimodal import audio_features
+
+        # struct.error (not ValueError) inside the kernel must still
+        # classify as 'error', never kill the task
+        wav = b"RIFF\x10\x00\x00\x00WAVEfmt \x04\x00\x00\x00\x01\x00\x01\x00"
+        df = spark.createDataFrame([("m", bytearray(wav))],
+                                   "media_id string, payload binary")
+        assert audio_features(df, fake=False).collect()[0]["format"] \
+            == "error"

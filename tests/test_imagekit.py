@@ -298,3 +298,28 @@ class TestOperatorsRealDecode:
             (np.arange(30) * 2).astype(int), (np.arange(50) * 2).astype(int))])
         assert out["junk"]["width"] is None
         assert out["junk"]["resized"] is None
+
+
+class TestBombGuards:
+    def test_png_huge_dims_refuse(self):
+        import struct as _s
+        import zlib as _z
+        ihdr = _s.pack(">IIBBBBB", 65000, 65000, 8, 0, 0, 0, 0)
+        body = _s.pack(">I", 13) + b"IHDR" + ihdr \
+            + _s.pack(">I", _z.crc32(b"IHDR" + ihdr))
+        png = PNG_SIG + body + _s.pack(">I", 0) + b"IEND" \
+            + _s.pack(">I", _z.crc32(b"IEND"))
+        with pytest.raises(UnsupportedImage, match="decode cap"):
+            decode_png(png)
+
+    def test_corrupt_idat_classifies_in_operator(self, spark):
+        from webcrawl_spark.operators.multimodal import image_features
+
+        png = bytearray(encode_png(np.zeros((8, 8), np.uint8)))
+        at = png.index(b"IDAT") + 4
+        png[at:at + 6] = b"\x00" * 6           # corrupt the zlib stream
+        df = spark.createDataFrame([("m", bytearray(bytes(png)))],
+                                   "media_id string, payload binary")
+        # zlib.error is not a ValueError — must classify, not kill the task
+        assert image_features(df, fake=False).collect()[0]["format"] \
+            == "error"

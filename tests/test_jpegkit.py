@@ -144,3 +144,11 @@ class TestResizeIntegration:
         r = resize_images(df, max_w=32, max_h=32, fake=False).collect()[0]
         assert (r["width"], r["height"]) == (32, 21)
         assert r["resized"][:8] == b"\x89PNG\r\n\x1a\n"
+
+
+class TestBombGuard:
+    def test_huge_declared_dims_refuse_before_alloc(self):
+        body = struct.pack(">BHHB", 8, 65500, 65500, 1) + b"\x01\x11\x00"
+        data = b"\xff\xd8\xff\xc0" + struct.pack(">H", 2 + len(body)) + body
+        with pytest.raises(UnsupportedImage, match="decode cap"):
+            decode_jpeg(data)

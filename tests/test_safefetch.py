@@ -199,3 +199,21 @@ class TestSafeFetchUdf:
         assert rows[f"http://site.example:{port}/a"] == b"hello from /a"
         assert rows[f"http://site.example:{port}/b"] == b"hello from /b"
         assert rows["ftp://bad.scheme/x"] is None
+
+
+class TestAddressFallback:
+    def test_falls_back_to_next_vetted_address(self, server):
+        # first answer refuses the connection (closed port on 127.0.0.2),
+        # the second is the live server — fetch must succeed on addrs[1]
+        port = server.server_address[1]
+        status, _final, body = safe_fetch(
+            f"http://site.example:{port}/fb",
+            getaddrinfo=_gai("127.0.0.2", "127.0.0.1"),
+            unsafe=_loopback_ok, timeout=2.0)
+        assert status == 200 and body == b"hello from /fb"
+
+    def test_all_addresses_dead_raises_oserror(self):
+        with pytest.raises(OSError):
+            safe_fetch("http://site.example:1/x",
+                       getaddrinfo=_gai("127.0.0.2"),
+                       unsafe=_loopback_ok, timeout=1.0)

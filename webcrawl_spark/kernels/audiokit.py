@@ -62,6 +62,8 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
             payload = body
     if rate is None or payload is None:
         raise ValueError("WAV: missing fmt or data chunk")
+    if rate == 0:
+        raise ValueError("WAV: zero sample rate")
     if audio_fmt != 1:                         # 1 = PCM; 3 = float, etc.
         raise UnsupportedAudio("wav", f"non-PCM format tag {audio_fmt}")
     if bits == 8:

@@ -65,6 +65,10 @@ def luminance(rgb: np.ndarray) -> np.ndarray:
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+#: decompression-bomb guard: a crawled payload's declared dimensions are
+#: attacker-controlled; refuse (typed, classifiable) before allocating.
+#: 64 MP ≈ any real inline web image; jpegkit shares this policy.
+MAX_PIXELS = 64_000_000
 #: Adam7 pass origins/steps (x0, y0, dx, dy) — spec §8.2
 ADAM7_PASSES = [
     (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
@@ -76,7 +80,12 @@ def _png_unfilter(data: bytes, width: int, height: int,
                   bpp: int) -> np.ndarray:
     """Undo per-row PNG filters (None/Sub/Up/Average/Paeth — spec §9).
     Same math as the PDF kernel's predictor 10-15 path
-    (kernels/pdfkit.py:354-415), operating on (height, rowlen) bytes."""
+    (kernels/pdfkit.py:354-415), operating on (height, rowlen) bytes.
+    None/Up/Sub are vectorized; Average/Paeth carry an inherent
+    left-neighbor dependence and run per-byte — worst-case cost is
+    bounded by the MAX_PIXELS decode cap, and a production deployment
+    would swap this for a codec library without touching the operator
+    contract."""
     rowlen = width * bpp
     need = height * (rowlen + 1)
     if len(data) < need:
@@ -92,8 +101,11 @@ def _png_unfilter(data: bytes, width: int, height: int,
         if ft == 0:
             pass
         elif ft == 1:                                  # Sub
-            for j in range(bpp, rowlen):
-                row[j] = (int(row[j]) + int(row[j - bpp])) & 0xFF
+            # prefix sum mod 256 per bpp lane — vectorized (Sub is the
+            # most common filter in photographic PNGs after Paeth)
+            for k in range(bpp):
+                row[k::bpp] = np.cumsum(
+                    row[k::bpp], dtype=np.int64) & 0xFF
         elif ft == 2:                                  # Up
             row = (row.astype(np.int16) + prev).astype(np.uint8)
         elif ft == 3:                                  # Average
@@ -146,8 +158,21 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
         raise UnsupportedImage("png", f"bit depth {bit_depth}")
     if color_type not in _CHANNELS:
         raise UnsupportedImage("png", f"color type {color_type}")
+    if width * height > MAX_PIXELS:
+        raise UnsupportedImage(
+            "png", f"{width}x{height} exceeds {MAX_PIXELS}-pixel decode cap")
     nch = _CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
+    if interlace == 1:
+        expected = sum(
+            ph * (pw * nch + 1)
+            for pw, ph in (((width - x0 + dx - 1) // dx,
+                            (height - y0 + dy - 1) // dy)
+                           for x0, y0, dx, dy in ADAM7_PASSES)
+            if pw and ph)
+    else:
+        expected = height * (width * nch + 1)
+    # bounded inflate: never materialize more than the geometry implies
+    raw = zlib.decompressobj().decompress(bytes(idat), expected)
     if interlace == 1:
         px = np.empty((height, width, nch), dtype=np.uint8)
         pos = 0
@@ -208,9 +233,12 @@ def encode_png(gray: np.ndarray, interlace: bool = False) -> bytes:
 # GIF
 # --------------------------------------------------------------------------
 
-def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytes:
+def _gif_lzw_decode(data: bytes, min_code_size: int,
+                    max_out: int | None = None) -> bytes:
     """GIF-flavour LZW: LSB-first bit packing, clear=2^n, end=2^n+1,
-    code width grows after the table fills 2^width (max 12 bits)."""
+    code width grows after the table fills 2^width (max 12 bits).
+    ``max_out`` bounds the emitted bytes (LZW-bomb guard: the frame
+    geometry tells the caller exactly how many pixels are legitimate)."""
     clear = 1 << min_code_size
     end = clear + 1
     out = bytearray()
@@ -253,6 +281,8 @@ def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytes:
                 raise ValueError("GIF: LZW code out of range")
             out += entry
             prev = entry
+            if max_out is not None and len(out) >= max_out:
+                return bytes(out[:max_out])
             if next_code == (1 << width) and width < 12:
                 width += 1
     return bytes(out)
@@ -267,6 +297,9 @@ def decode_gif(data: bytes) -> tuple[int, int, np.ndarray]:
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("GIF: bad signature")
     sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    if sw * sh > MAX_PIXELS:
+        raise UnsupportedImage(
+            "gif", f"{sw}x{sh} exceeds {MAX_PIXELS}-pixel decode cap")
     pos = 13
     gct: np.ndarray | None = None
     if flags & 0x80:
@@ -303,7 +336,8 @@ def decode_gif(data: bytes) -> tuple[int, int, np.ndarray]:
                 pos += 1 + n
             pos += 1                            # block terminator
             idx = np.frombuffer(
-                _gif_lzw_decode(bytes(stream), min_code)[:iw * ih],
+                _gif_lzw_decode(bytes(stream), min_code,
+                                max_out=iw * ih)[:iw * ih],
                 dtype=np.uint8)
             if len(idx) < iw * ih:
                 raise ValueError("GIF: truncated frame")

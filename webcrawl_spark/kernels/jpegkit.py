@@ -33,7 +33,7 @@ import struct
 
 import numpy as np
 
-from .imagekit import UnsupportedImage
+from .imagekit import MAX_PIXELS, UnsupportedImage
 
 __all__ = ["decode_jpeg", "encode_jpeg"]
 
@@ -189,6 +189,13 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
                 raise UnsupportedImage("jpeg", "4-component (CMYK/YCCK)")
             if width == 0 or height == 0 or ncomp not in (1, 3):
                 raise ValueError("JPEG: bad SOF dimensions")
+            if width * height > MAX_PIXELS:
+                # bomb guard: header dims are attacker-controlled and the
+                # coefficient store is allocated before entropy data is
+                # ever validated
+                raise UnsupportedImage(
+                    "jpeg", f"{width}x{height} exceeds "
+                            f"{MAX_PIXELS}-pixel decode cap")
             for c in range(ncomp):
                 cid, hv, tq = struct.unpack(
                     ">BBB", body[6 + 3 * c:9 + 3 * c])

@@ -436,6 +436,8 @@ def lzw_decode(data: bytes, early_change: int = 1) -> bytes:
         while nbits >= width:
             code = (acc >> (nbits - width)) & ((1 << width) - 1)
             nbits -= width
+            acc &= (1 << nbits) - 1      # drop consumed bits: keep acc
+            #                              a machine int, not an O(n) bignum
             if code == 256:
                 reset()
                 prev = None
@@ -906,7 +908,13 @@ def pdf_is_encrypted(data: bytes) -> bool:
     for m in re.finditer(rb"trailer\s*<<", data):
         found_trailer = True
         end = data.find(b"startxref", m.start())
-        region = data[m.start():end if end != -1 else m.start() + 4096]
+        if end == -1:
+            end = len(data)
+        # real trailer dicts are tiny; capping the span keeps a
+        # content-level 'trailer <<' string (whose nearest startxref may
+        # be half the file away) from widening the scan over ordinary
+        # content that merely mentions /Encrypt
+        region = data[m.start():min(end, m.start() + 4096)]
         if _ENCRYPT_RE.search(region):
             return True
     if found_trailer:

@@ -133,34 +133,45 @@ def safe_fetch(
         port = parts.port or (443 if parts.scheme == "https" else 80)
         addrs = resolve_safe(host, port, getaddrinfo=getaddrinfo,
                              unsafe=unsafe)
-        ip = addrs[0]
-        if parts.scheme == "https":
-            ctx = ssl_context or ssl.create_default_context()
-            conn: http.client.HTTPConnection = _PinnedHTTPSConnection(
-                ip, host, port, timeout, ctx)
-        else:
-            conn = http.client.HTTPConnection(ip, port, timeout=timeout)
-        try:
-            path = parts.path or "/"
-            if parts.query:
-                path += "?" + parts.query
-            host_hdr = host if port in (80, 443) else f"{host}:{port}"
-            conn.request("GET", path, headers={
-                "Host": host_hdr,
-                "User-Agent": user_agent,
-                "Accept-Encoding": "identity",
-                "Connection": "close",
-            })
-            resp = conn.getresponse()
-            if resp.status in (301, 302, 303, 307, 308):
-                loc = resp.getheader("Location")
-                if not loc:
+        path = parts.path or "/"
+        if parts.query:
+            path += "?" + parts.query
+        default_port = 443 if parts.scheme == "https" else 80
+        host_hdr = host if port == default_port else f"{host}:{port}"
+        # try every vetted address in resolver order (AAAA-first answers
+        # on a v4-only executor would otherwise fail the whole fetch)
+        last_err: OSError | None = None
+        redirected = None
+        for ip in addrs:
+            if parts.scheme == "https":
+                ctx = ssl_context or ssl.create_default_context()
+                conn: http.client.HTTPConnection = _PinnedHTTPSConnection(
+                    ip, host, port, timeout, ctx)
+            else:
+                conn = http.client.HTTPConnection(ip, port, timeout=timeout)
+            try:
+                conn.request("GET", path, headers={
+                    "Host": host_hdr,
+                    "User-Agent": user_agent,
+                    "Accept-Encoding": "identity",
+                    "Connection": "close",
+                })
+                resp = conn.getresponse()
+                loc = resp.getheader("Location") \
+                    if resp.status in (301, 302, 303, 307, 308) else None
+                if loc is None:
                     return resp.status, current, resp.read(max_bytes)
-                current = urljoin(current, loc)
+                redirected = urljoin(current, loc)
+            except OSError as e:
+                last_err = e
                 continue
-            return resp.status, current, resp.read(max_bytes)
-        finally:
-            conn.close()
+            finally:
+                conn.close()
+            break                             # redirect: leave address loop
+        else:
+            raise last_err if last_err is not None else \
+                UnsafeAddressError(host, "<no dialable address>")
+        current = redirected                  # re-enter hop loop
     raise UnsafeAddressError(urlsplit(url).hostname or "",
                              f"<too many redirects (> {max_redirects})>")
 

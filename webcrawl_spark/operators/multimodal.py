@@ -111,7 +111,7 @@ def image_features(
                 except UnsupportedImage as u:
                     width = height = feature = None
                     fmt = f"unsupported:{u.fmt}"
-                except ValueError:
+                except Exception:  # zlib/struct/Index… — classify, don't kill
                     width = height = feature = None
                     fmt = "error"
                 out_rows.append((str(media_id), width, height, len(raw),
@@ -191,7 +191,7 @@ def audio_features(
                 except UnsupportedAudio as u:
                     rate = n = dur = feature = None
                     fmt = f"unsupported:{u.fmt}"
-                except ValueError:
+                except Exception:  # struct/zero-rate/… — classify, don't kill
                     rate = n = dur = feature = None
                     fmt = "error"
                 out_rows.append((str(media_id), rate, n, dur, len(raw),
@@ -269,7 +269,7 @@ def resize_images(
                 raw = bytes(payload) if payload is not None else b""
                 try:
                     w, h, scale, resized = resize(raw, max_w, max_h)
-                except (UnsupportedImage, ValueError):
+                except Exception:  # incl. Unsupported — null row
                     w = h = scale = resized = None
                 out_rows.append((str(media_id), w, h, scale, resized))
                 if len(out_rows) >= batch_rows:
@@ -319,7 +319,7 @@ def video_metadata(
                 except UnsupportedVideo as u:
                     row = (str(media_id), None, None, None, None, None,
                            len(raw), f"unsupported:{u.fmt}")
-                except ValueError:
+                except Exception:  # struct/EBML overrun — classify
                     row = (str(media_id), None, None, None, None, None,
                            len(raw), "error")
                 out_rows.append(row)

@@ -185,6 +185,10 @@ def _open_stream(path: str):
         return open(unquote(u.path) if u.scheme else path, "rb")
     import pyarrow.fs as pafs
 
+    # Spark lists Common Crawl under the Hadoop s3a:/s3n: schemes, which
+    # pyarrow's from_uri does not recognize — map them to its s3 handler.
+    if u.scheme in ("s3a", "s3n"):
+        path = "s3" + path[len(u.scheme):]
     fs, inner = pafs.FileSystem.from_uri(path)
     return fs.open_input_stream(inner)
 
