@@ -721,11 +721,11 @@ _IMG_JPIX = "(x // 8 * 11 + y // 8 * 17 + i * 29) % 256"
 def q_image_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode (kernels/imagekit.py + jpegkit.py): deterministic
     synthetic PNGs (from the _IMG_* seed formulas — actual zlib inflate +
-    unfilter + luminance + histogram) AND baseline JPEGs (from the _IMG_J*
+    unfilter + luminance + histogram) AND JPEGs (from the _IMG_J*
     block-constant formulas — actual Huffman entropy decode + dequant +
-    IDCT, cycling grayscale / 4:4:4 / 4:2:0 / restart-interval stream
-    shapes), plus refusal rows (progressive jpeg + webp → unsupported,
-    garbage → error). Output is integer-exact: per-bin pixel COUNTS
+    IDCT, cycling grayscale / 4:4:4 / 4:2:0 / restart-interval /
+    progressive-SA stream shapes), plus refusal rows (arithmetic jpeg +
+    webp → unsupported, garbage → error). Output is integer-exact: per-bin pixel COUNTS
     (feature[i] * n_pix rounded back to int — float32 relative error
     ~1e-7 can never move an integer by 0.5), so the DuckDB oracle
     recomputes everything from the same pixel formulas with no
@@ -733,7 +733,9 @@ def q_image_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     from webcrawl_spark.kernels.imagekit import encode_png
-    from webcrawl_spark.kernels.jpegkit import encode_jpeg
+    from webcrawl_spark.kernels.jpegkit import (
+        encode_jpeg, encode_jpeg_progressive,
+    )
     from webcrawl_spark.operators.multimodal import image_features
 
     rows = []
@@ -748,22 +750,26 @@ def q_image_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
         h = eval(_IMG_JH)
         x, y = np.meshgrid(np.arange(w), np.arange(h))
         gray = eval(_IMG_JPIX).astype(np.uint8)  # noqa: S307
-        variant = i % 4
+        variant = i % 6
+        cb = np.full_like(gray, (60 + i * 7) % 256)
+        cr = np.full_like(gray, (200 - i * 5) % 256)
         if variant == 0:
             data = encode_jpeg(gray)
         elif variant == 1:
-            cb = np.full_like(gray, (60 + i * 7) % 256)
-            cr = np.full_like(gray, (200 - i * 5) % 256)
             data = encode_jpeg(gray, cb, cr)
         elif variant == 2:
-            cb = np.full_like(gray, (60 + i * 7) % 256)
-            cr = np.full_like(gray, (200 - i * 5) % 256)
             data = encode_jpeg(gray, cb, cr, subsample=True)
-        else:
+        elif variant == 3:
             data = encode_jpeg(gray, restart_interval=2)
+        elif variant == 4:
+            # progressive: spectral selection + successive approximation
+            data = encode_jpeg_progressive(gray, al=1)
+        else:
+            data = encode_jpeg_progressive(gray, cb, cr, subsample=True,
+                                           al=2)
         rows.append((f"jpg{i:02d}", bytearray(data)))
-    rows.append(("img_prog", bytearray(
-        b"\xff\xd8\xff\xc2\x00\x08\x08\x00\x10\x00\x10\x00")))
+    rows.append(("img_arith", bytearray(      # arithmetic coding: refusal
+        b"\xff\xd8\xff\xc9\x00\x08\x08\x00\x10\x00\x10\x00")))
     rows.append(("img_webp", bytearray(b"RIFF\x00\x10\x00\x00WEBPVP8 ")))
     rows.append(("img_bad", bytearray(b"not an image at all")))
     df = spark.createDataFrame(rows, "media_id string, payload binary")
@@ -1764,8 +1770,7 @@ def _image_oracle_sql() -> str:
         SELECT * FROM ({_image_family_sql(
             "jpg", _IMG_JN, _IMG_JW, _IMG_JH, _IMG_JPIX, "jpeg")})
         UNION ALL
-        SELECT 'img_prog', NULL, NULL, 'unsupported:jpeg-progressive',
-               NULL, {nulls}
+        SELECT 'img_arith', NULL, NULL, 'unsupported:jpeg', NULL, {nulls}
         UNION ALL
         SELECT 'img_webp', NULL, NULL, 'unsupported:webp', NULL, {nulls}
         UNION ALL

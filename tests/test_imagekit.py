@@ -229,13 +229,19 @@ class TestDispatch:
         pal = np.array([[1, 2, 3]], dtype=np.uint8)
         assert decode_image(
             encode_gif(np.zeros((2, 2), np.uint8), pal))[2] == "gif"
-        # baseline JPEG now decodes for real (kernels/jpegkit.py)
-        from webcrawl_spark.kernels.jpegkit import encode_jpeg
+        # baseline AND progressive JPEG now decode for real
+        from webcrawl_spark.kernels.jpegkit import (
+            encode_jpeg, encode_jpeg_progressive,
+        )
         w, h, fmt, lum = decode_image(encode_jpeg(gray, quant=1))
         assert (w, h, fmt) == (4, 4, "jpeg")
-        with pytest.raises(UnsupportedImage, match="jpeg-progressive"):
-            decode_image(
-                b"\xff\xd8\xff\xc2\x00\x08\x08\x00\x10\x00\x10\x00")
+        w, h, fmt, lum2 = decode_image(
+            encode_jpeg_progressive(gray, quant=1))
+        assert (w, h, fmt) == (4, 4, "jpeg")
+        np.testing.assert_array_equal(lum2, lum)
+        with pytest.raises(UnsupportedImage, match="SOF9"):
+            decode_image(    # arithmetic coding stays a typed refusal
+                b"\xff\xd8\xff\xc9\x00\x08\x08\x00\x10\x00\x10\x00")
         with pytest.raises(ValueError):
             decode_image(b"\xff\xd8\xff\xe0junkjunk")   # truncated APP0
         with pytest.raises(UnsupportedImage, match="webp"):
@@ -261,8 +267,8 @@ class TestOperatorsRealDecode:
         jgray = (np.indices((16, 24)).sum(0) // 8 * 31 % 256) \
             .astype(np.uint8)
         rows.append(("jpg", bytearray(encode_jpeg(jgray, quant=1))))
-        rows.append(("prog", bytearray(
-            b"\xff\xd8\xff\xc2\x00\x08\x08\x00\x10\x00\x10\x00")))
+        rows.append(("arith", bytearray(
+            b"\xff\xd8\xff\xc9\x00\x08\x08\x00\x10\x00\x10\x00")))
         rows.append(("bad", bytearray(b"garbage")))
         df = spark.createDataFrame(rows, "media_id string, payload binary")
         out = {r["media_id"]: r for r in
@@ -275,8 +281,8 @@ class TestOperatorsRealDecode:
             assert np.allclose(r["feature"], exp)
         assert out["jpg"]["format"] == "jpeg"
         assert (out["jpg"]["width"], out["jpg"]["height"]) == (24, 16)
-        assert out["prog"]["format"] == "unsupported:jpeg-progressive"
-        assert out["prog"]["width"] is None
+        assert out["arith"]["format"] == "unsupported:jpeg"
+        assert out["arith"]["width"] is None
         assert out["bad"]["format"] == "error"
 
     def test_resize_real(self, spark):

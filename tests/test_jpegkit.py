@@ -89,12 +89,48 @@ class TestRoundtrip:
         assert np.abs(lum.astype(int) - img.astype(int)).max() <= 1
 
 
-class TestRefusals:
-    def test_progressive(self):
-        with pytest.raises(UnsupportedImage) as e:
-            decode_jpeg(b"\xff\xd8\xff\xc2\x00\x08\x08\x00\x10\x00\x10\x00")
-        assert e.value.fmt == "jpeg-progressive"
+class TestProgressive:
+    """SOF2: spectral selection + successive approximation must decode
+    bit-identically to the baseline path on the same coefficients."""
 
+    @pytest.mark.parametrize("al", [0, 1, 2])
+    def test_grayscale_matches_baseline(self, al):
+        from webcrawl_spark.kernels.jpegkit import encode_jpeg_progressive
+
+        img = _gradient(29, 37)
+        base = decode_jpeg(encode_jpeg(img, quant=2))[2]
+        prog = decode_jpeg(encode_jpeg_progressive(img, quant=2, al=al))[2]
+        np.testing.assert_array_equal(prog, base)
+
+    def test_noisy_matches_baseline(self):
+        from webcrawl_spark.kernels.jpegkit import encode_jpeg_progressive
+
+        img = RNG.integers(0, 256, (24, 31), dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quant=2))[2]
+        prog = decode_jpeg(encode_jpeg_progressive(img, quant=2, al=1))[2]
+        np.testing.assert_array_equal(prog, base)
+
+    @pytest.mark.parametrize("subsample", [False, True])
+    def test_color_matches_baseline(self, subsample):
+        from webcrawl_spark.kernels.jpegkit import encode_jpeg_progressive
+
+        img = _block_constant(24, 40)
+        cb = np.full_like(img, 90)
+        cr = np.full_like(img, 150)
+        base = decode_jpeg(encode_jpeg(img, cb, cr,
+                                       subsample=subsample))[2]
+        prog = decode_jpeg(encode_jpeg_progressive(
+            img, cb, cr, subsample=subsample, al=2))[2]
+        np.testing.assert_array_equal(prog, base)
+        np.testing.assert_array_equal(prog, img)  # block-constant → exact
+
+    def test_sof2_without_scan_is_value_error(self):
+        with pytest.raises(ValueError):
+            decode_jpeg(b"\xff\xd8\xff\xc2\x00\x08\x08\x00\x10\x00\x10\x00"
+                        b"\xff\xd9")
+
+
+class TestRefusals:
     @pytest.mark.parametrize("sof", [0xC3, 0xC9, 0xCB, 0xCF])
     def test_other_processes(self, sof):
         data = b"\xff\xd8" + bytes([0xFF, sof]) + struct.pack(">H", 8) \

@@ -35,7 +35,7 @@ import numpy as np
 
 from .imagekit import MAX_PIXELS, UnsupportedImage
 
-__all__ = ["decode_jpeg", "encode_jpeg"]
+__all__ = ["decode_jpeg", "encode_jpeg", "encode_jpeg_progressive"]
 
 # zigzag scan order: index k in the stream → linear position in the 8x8
 # block (row*8+col). Public T.81 Figure A.6 constant.
@@ -124,9 +124,10 @@ def _extend(v: int, n: int) -> int:
     return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
 
 
-def _scan_segments(data: bytes, start: int) -> list[bytes]:
+def _scan_segments(data: bytes, start: int) -> tuple[list[bytes], int]:
     """Entropy-coded data from ``start``: de-stuff FF00, split on RST0-7
-    (each split = one restart interval), stop at any other marker."""
+    (each split = one restart interval), stop at any other marker.
+    → (segments, position of the terminating marker)."""
     segs: list[bytes] = []
     cur = bytearray()
     i, n = start, len(data)
@@ -137,6 +138,7 @@ def _scan_segments(data: bytes, start: int) -> list[bytes]:
             i += 1
             continue
         if i + 1 >= n:
+            i = n
             break
         m = data[i + 1]
         if m == 0x00:
@@ -149,12 +151,14 @@ def _scan_segments(data: bytes, start: int) -> list[bytes]:
         else:
             break                       # real marker (EOI, next SOS, ...)
     segs.append(bytes(cur))
-    return segs
+    return segs, i
 
 
 def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
     """→ (width, height, uint8 luminance[h, w]). Baseline/extended-
-    sequential 8-bit Huffman JPEG; everything else refuses typed."""
+    sequential (SOF0/SOF1) and progressive (SOF2, spectral selection +
+    successive approximation per T.81 §G) 8-bit Huffman JPEG; arithmetic
+    / lossless / hierarchical / 12-bit / CMYK refuse typed."""
     if data[:3] != b"\xff\xd8\xff":
         raise ValueError("JPEG: missing SOI")
     qt: dict[int, np.ndarray] = {}
@@ -162,6 +166,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
     restart_interval = 0
     comps: list[dict] = []
     width = height = 0
+    progressive = False
+    prog = None
     i = 2
     n = len(data)
     while i + 4 <= n:
@@ -173,14 +179,13 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
         (seglen,) = struct.unpack(">H", data[i + 2:i + 4])
         body = data[i + 4:i + 2 + seglen]
         i += 2 + seglen
-        if marker == 0xC2:
-            raise UnsupportedImage(
-                "jpeg-progressive", "progressive DCT not implemented")
         if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                       0xCD, 0xCE, 0xCF):
             raise UnsupportedImage(
                 "jpeg", f"SOF{marker - 0xC0} process not implemented")
-        if marker in (0xC0, 0xC1):      # baseline / extended sequential
+        if marker == 0xC2:
+            progressive = True
+        if marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
             precision, height, width, ncomp = struct.unpack(
                 ">BHHB", body[:6])
             if precision != 8:
@@ -233,9 +238,16 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
         elif marker == 0xDA:            # SOS
             if not comps:
                 raise ValueError("JPEG: SOS before SOF")
-            return _decode_scan(data, i, body, comps, qt, huff,
-                                restart_interval, width, height)
+            if not progressive:
+                return _decode_scan(data, i, body, comps, qt, huff,
+                                    restart_interval, width, height)
+            if prog is None:
+                prog = _ProgState(comps, width, height)
+            i = _decode_prog_scan(data, i, body, prog, huff,
+                                  restart_interval)
         # APPn / COM / others: skipped by length
+    if prog is not None and prog.any_scan:
+        return _reconstruct_y(prog, qt, width, height)
     raise ValueError("JPEG: no scan data")
 
 
@@ -277,7 +289,7 @@ def _decode_scan(data, scan_start, sos, comps, qt, huff,
         blocks_y = mcus_y * yv
     mcus = mcus_x * mcus_y
 
-    segments = _scan_segments(data, scan_start)
+    segments, _scan_end = _scan_segments(data, scan_start)
     y_coefs = np.zeros((blocks_y * blocks_x, 64), dtype=np.int64)
     per_mcu = [(ci, c, c["h"] * c["v"] if len(comps) > 1 else 1)
                for ci, c in enumerate(comps)]
@@ -333,8 +345,16 @@ def _decode_scan(data, scan_start, sos, comps, qt, huff,
                             reader.receive(sz)
             done += 1
 
-    # vectorized dequant + inverse zigzag + IDCT over every Y block
-    deq = (y_coefs * y["q"][None, :]).astype(np.float64)
+    return _idct_assemble(y_coefs, y["q"], blocks_x, blocks_y,
+                          y["h"], y["v"], hmax, vmax, len(comps),
+                          width, height)
+
+
+def _idct_assemble(y_coefs, q, blocks_x, blocks_y, yh, yv, hmax, vmax,
+                   ncomp, width, height):
+    """Vectorized dequant + inverse zigzag + IDCT over every Y block,
+    assembled into the cropped luminance plane."""
+    deq = (y_coefs * q[None, :]).astype(np.float64)
     spatial = np.zeros((len(deq), 64), dtype=np.float64)
     spatial[:, ZIGZAG] = deq            # zigzag k → linear position
     blocks = spatial.reshape(-1, 8, 8)
@@ -343,12 +363,215 @@ def _decode_scan(data, scan_start, sos, comps, qt, huff,
     pix = np.clip(np.round(pix), 0, 255).astype(np.uint8)
     plane = pix.reshape(blocks_y, blocks_x, 8, 8).transpose(
         0, 2, 1, 3).reshape(blocks_y * 8, blocks_x * 8)
-
     # Y resolution vs frame resolution (h/v relative to hmax/vmax)
-    if len(comps) > 1 and (y["h"] != hmax or y["v"] != vmax):
-        plane = plane.repeat(vmax // y["v"], axis=0) \
-                     .repeat(hmax // y["h"], axis=1)
+    if ncomp > 1 and (yh != hmax or yv != vmax):
+        plane = plane.repeat(vmax // yv, axis=0) \
+                     .repeat(hmax // yh, axis=1)
     return width, height, plane[:height, :width]
+
+
+def _reconstruct_y(prog: "_ProgState", qt, width, height):
+    y = prog.comps[0]
+    if y["tq"] not in qt:
+        raise ValueError("JPEG: missing quant table")
+    return _idct_assemble(prog.y_coefs, qt[y["tq"]], prog.blocks_x,
+                          prog.blocks_y, prog.yh, prog.yv,
+                          prog.hmax, prog.vmax, len(prog.comps),
+                          width, height)
+
+
+class _ProgState:
+    """Progressive-decode coefficient store: only the Y component is
+    accumulated (chroma-only scans are skipped wholesale; chroma units
+    inside interleaved DC scans are entropy-consumed and discarded)."""
+
+    def __init__(self, comps: list[dict], width: int, height: int):
+        self.comps = comps
+        self.hmax = max(c["h"] for c in comps)
+        self.vmax = max(c["v"] for c in comps)
+        if len(comps) == 1:
+            self.mcus_x = (width + 7) // 8
+            self.mcus_y = (height + 7) // 8
+            self.yh = self.yv = 1
+        else:
+            self.mcus_x = (width + 8 * self.hmax - 1) // (8 * self.hmax)
+            self.mcus_y = (height + 8 * self.vmax - 1) // (8 * self.vmax)
+            self.yh, self.yv = comps[0]["h"], comps[0]["v"]
+        self.blocks_x = self.mcus_x * self.yh
+        self.blocks_y = self.mcus_y * self.yv
+        self.y_coefs = np.zeros((self.blocks_y * self.blocks_x, 64),
+                                dtype=np.int64)
+        for c in comps:
+            cw = -(-width * c["h"] // self.hmax)       # ceil
+            ch = -(-height * c["v"] // self.vmax)
+            c["bw"], c["bh"] = (cw + 7) // 8, (ch + 7) // 8
+        self.any_scan = False
+
+
+def _decode_prog_scan(data: bytes, scan_start: int, sos: bytes,
+                      prog: "_ProgState", huff, restart_interval) -> int:
+    """One progressive scan (T.81 §G.2): DC first/refine (interleaved or
+    single-component) and AC first/refine (always single-component).
+    Returns the stream position after the scan's entropy data."""
+    ns = sos[0]
+    ss, se = sos[1 + 2 * ns], sos[2 + 2 * ns]
+    ah_al = sos[3 + 2 * ns]
+    ah, al = ah_al >> 4, ah_al & 15
+    scan_comps = []
+    by_id = {c["id"]: c for c in prog.comps}
+    for s in range(ns):
+        cs, tdta = sos[1 + 2 * s], sos[2 + 2 * s]
+        if cs not in by_id:
+            raise ValueError("JPEG: scan component not in frame")
+        scan_comps.append((by_id[cs], tdta >> 4, tdta & 15))
+
+    segments, end = _scan_segments(data, scan_start)
+    prog.any_scan = True
+    y = prog.comps[0]
+    is_y_scan = any(c is y for c, _, _ in scan_comps)
+    if ss > 0 and (ns != 1 or not is_y_scan):
+        if ns != 1:
+            raise ValueError("JPEG: interleaved AC scan is invalid")
+        return end                       # chroma-only AC scan: skip
+    if se > 63 or ss > se:
+        raise ValueError("JPEG: bad spectral band")
+
+    if ss == 0:                          # DC scan (first or refinement)
+        tables = {}
+        for c, td, _ta in scan_comps:
+            if ah == 0:
+                t = huff.get((0, td))
+                if t is None:
+                    raise ValueError("JPEG: missing DC table")
+                tables[id(c)] = t
+        if ns > 1:
+            mcus_x, mcus_y = prog.mcus_x, prog.mcus_y
+            per_mcu = [(c, c["h"] * c["v"], td) for c, td, _ in scan_comps]
+        else:
+            # non-interleaved: iterate the component's REAL block grid
+            # (no MCU padding), mapping into the padded Y store
+            c0 = scan_comps[0][0]
+            mcus_x, mcus_y = c0["bw"], c0["bh"]
+            per_mcu = [(c0, 1, scan_comps[0][1])]
+        mcus = mcus_x * mcus_y
+        interval = restart_interval or mcus
+        reader = None
+        preds: dict[int, int] = {}
+        seg_idx = 0
+        done = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if done % interval == 0:
+                    if seg_idx >= len(segments):
+                        raise ValueError("JPEG: missing restart segment")
+                    reader = _BitReader(segments[seg_idx])
+                    seg_idx += 1
+                    preds = {id(c): 0 for c, _, _ in per_mcu}
+                for c, nblocks, _td in per_mcu:
+                    for b in range(nblocks):
+                        if c is y:
+                            if ns > 1:
+                                by_, bx_ = divmod(b, prog.yh)
+                                gidx = ((my * prog.yv + by_) * prog.blocks_x
+                                        + mx * prog.yh + bx_)
+                            else:
+                                gidx = my * prog.blocks_x + mx
+                            coef = prog.y_coefs[gidx]
+                        else:
+                            coef = None
+                        if ah == 0:      # first DC scan
+                            s = reader.decode(tables[id(c)])
+                            preds[id(c)] += _extend(reader.receive(s), s)
+                            if coef is not None:
+                                coef[0] = preds[id(c)] << al
+                        else:            # DC refinement: one raw bit/unit
+                            bit = reader.receive(1)
+                            if coef is not None and bit:
+                                coef[0] |= 1 << al
+                done += 1
+        return end
+
+    # AC scan over the Y component's own block grid, raster order
+    c0, _td, ta = scan_comps[0]
+    ac = huff.get((1, ta))
+    if ac is None:
+        raise ValueError("JPEG: missing AC table")
+    bw, bh = c0["bw"], c0["bh"]
+    mcus = bw * bh
+    interval = restart_interval or mcus
+    reader = None
+    eobrun = 0
+    seg_idx = 0
+    done = 0
+    p1, m1 = 1 << al, -1 << al
+    for by_ in range(bh):
+        for bx_ in range(bw):
+            if done % interval == 0:
+                if seg_idx >= len(segments):
+                    raise ValueError("JPEG: missing restart segment")
+                reader = _BitReader(segments[seg_idx])
+                seg_idx += 1
+                eobrun = 0
+            coef = prog.y_coefs[by_ * prog.blocks_x + bx_]
+            if ah == 0:                  # AC first scan (§G.2.2)
+                if eobrun > 0:
+                    eobrun -= 1
+                else:
+                    k = ss
+                    while k <= se:
+                        rs = reader.decode(ac)
+                        r, s = rs >> 4, rs & 15
+                        if s:
+                            k += r
+                            if k > se:
+                                raise ValueError("JPEG: AC index overflow")
+                            coef[k] = _extend(reader.receive(s), s) << al
+                            k += 1
+                        elif r == 15:
+                            k += 16
+                        else:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.receive(r)
+                            break
+            else:                        # AC refinement scan (§G.2.3)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = reader.decode(ac)
+                        r, s = rs >> 4, rs & 15
+                        val = 0
+                        if s:
+                            val = p1 if reader.receive(1) else m1
+                        elif r != 15:
+                            # no -1 here: the tail below consumes THIS
+                            # block's remaining correction bits and then
+                            # decrements (unlike the first-scan case)
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.receive(r)
+                            break
+                        while k <= se:
+                            if coef[k] != 0:
+                                if reader.receive(1) and not (coef[k] & p1):
+                                    coef[k] += p1 if coef[k] >= 0 else m1
+                            else:
+                                r -= 1
+                                if r < 0:
+                                    break
+                            k += 1
+                        if val and k <= se:
+                            coef[k] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if coef[k] != 0:
+                            if reader.receive(1) and not (coef[k] & p1):
+                                coef[k] += p1 if coef[k] >= 0 else m1
+                        k += 1
+                    eobrun -= 1
+            done += 1
+    return end
 
 
 # --------------------------------------------------------------------------
@@ -455,6 +678,220 @@ def _q_linear(q_zz: np.ndarray) -> np.ndarray:
     lin = np.empty(64, dtype=np.int64)
     lin[ZIGZAG] = q_zz
     return lin
+
+
+def _emit_ac_first(w: _BitWriter, coef_zz, ss, se, al, ac_codes):
+    """One block of an AC first scan (band ss..se at precision al),
+    per-block EOB (no cross-block EOB runs — valid, just not minimal)."""
+    r = 0
+    emitted = False
+    for k in range(ss, se + 1):
+        t = int(coef_zz[k])
+        temp = abs(t) >> al
+        if temp == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, length = ac_codes[0xF0]
+            w.write(code, length)
+            r -= 16
+        s = temp.bit_length()
+        code, length = ac_codes[(r << 4) | s]
+        w.write(code, length)
+        v = temp if t > 0 else -temp
+        w.write(v if v >= 0 else v + (1 << s) - 1, s)
+        r = 0
+        emitted = True
+    if r > 0 or not emitted:
+        code, length = ac_codes[0x00]   # EOB (run of 1)
+        w.write(code, length)
+
+
+def _emit_ac_refine(w: _BitWriter, coef_zz, ss, se, al, ac_codes):
+    """One block of an AC refinement scan (T.81 §G.1.2.3 shape):
+    correction bits buffer after each emitted symbol."""
+    absv = [abs(int(coef_zz[k])) >> al for k in range(ss, se + 1)]
+    eobidx = -1
+    for j, a in enumerate(absv):
+        if a == 1:
+            eobidx = j
+    r = 0
+    br: list[int] = []
+    for j, a in enumerate(absv):
+        if a == 0:
+            r += 1
+            continue
+        while r > 15 and j <= eobidx:
+            code, length = ac_codes[0xF0]
+            w.write(code, length)
+            for bit in br:
+                w.write(bit, 1)
+            br = []
+            r -= 16
+        if a > 1:                       # already nonzero: correction bit
+            br.append(a & 1)
+            continue
+        code, length = ac_codes[(r << 4) | 1]
+        w.write(code, length)
+        w.write(1 if int(coef_zz[ss + j]) > 0 else 0, 1)
+        for bit in br:
+            w.write(bit, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        code, length = ac_codes[0x00]
+        w.write(code, length)
+        for bit in br:
+            w.write(bit, 1)
+
+
+def encode_jpeg_progressive(y: np.ndarray, cb: np.ndarray | None = None,
+                            cr: np.ndarray | None = None, quant: int = 2,
+                            subsample: bool = False,
+                            al: int = 1) -> bytes:
+    """Progressive (SOF2) encoder twin: spectral selection (DC; AC 1-5;
+    AC 6-63) with ``al`` successive-approximation levels on the Y bands
+    (first scans at Al=al, then refinement passes down to 0). Chroma AC
+    ships as single Al=0 scans (each component/band owns its own SA
+    sequence, so this is a valid progression). Grayscale or YCbCr
+    4:4:4 / 4:2:0."""
+    h, w = y.shape
+    q_zz = np.full(64, quant, dtype=np.int64)
+    dc_counts, dc_syms, dc_codes = _equal_length_table(_DC_SYMS)
+    ac_counts, ac_syms, ac_codes = _equal_length_table(_AC_SYMS)
+    ncomp = 1 if cb is None else 3
+    samp_y = (2, 2) if (subsample and ncomp == 3) else (1, 1)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, 0) + bytes(
+        int(v) for v in q_zz)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    sof += struct.pack(">BBB", 1, (samp_y[0] << 4) | samp_y[1], 0)
+    if ncomp == 3:
+        sof += struct.pack(">BBB", 2, 0x11, 0)
+        sof += struct.pack(">BBB", 3, 0x11, 0)
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc, (counts, syms) in ((0, (dc_counts, dc_syms)),
+                               (1, (ac_counts, ac_syms))):
+        body = bytes([tc << 4]) + bytes(counts) + syms
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    # per-component coefficient grids (same layout as the baseline encoder)
+    planes = [y]
+    samps = [samp_y]
+    if ncomp == 3:
+        if subsample:
+            ph2 = (h + 1) // 2 * 2
+            pw2 = (w + 1) // 2 * 2
+
+            def ds(p):
+                pp = np.pad(p.astype(np.int64),
+                            ((0, ph2 - h), (0, pw2 - w)), mode="edge")
+                return ((pp[0::2, 0::2] + pp[0::2, 1::2]
+                         + pp[1::2, 0::2] + pp[1::2, 1::2]) // 4)
+            planes += [ds(cb), ds(cr)]
+        else:
+            planes += [cb, cr]
+        samps += [(1, 1), (1, 1)]
+    comp_blocks = []
+    comp_grids = []
+    for p, _s in zip(planes, samps):
+        blocks = _forward_blocks(p, q_zz)
+        bw = (p.shape[1] + 7) // 8
+        bh = (p.shape[0] + 7) // 8
+        comp_blocks.append(blocks.reshape(bh, bw, 64))
+        comp_grids.append((bh, bw))
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    if ncomp == 1:
+        mcus_y, mcus_x = comp_grids[0]
+    else:
+        mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+        mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+
+    def sos_header(comp_ids: list[int], ss: int, se: int, ah: int,
+                   a: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += struct.pack(">BB", cid, 0x00)
+        body += bytes([ss, se, (ah << 4) | a])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    def mcu_units():
+        """(ci, gy, gx) unit sequence of the interleaved DC scan."""
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(ncomp):
+                    sh, sv = samps[ci] if ncomp > 1 else (1, 1)
+                    bh, bw = comp_grids[ci]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            yield (ci, min(my * sv + by, bh - 1),
+                                   min(mx * sh + bx, bw - 1))
+
+    all_ids = list(range(1, ncomp + 1))
+
+    # 1. DC first scan (interleaved), Al=al
+    out += sos_header(all_ids, 0, 0, 0, al)
+    writer = _BitWriter()
+    preds = [0] * ncomp
+    for ci, gy, gx in mcu_units():
+        dc = int(comp_blocks[ci][gy, gx][0]) >> al
+        diff = dc - preds[ci]
+        preds[ci] = dc
+        size = abs(diff).bit_length()
+        code, length = dc_codes[size]
+        writer.write(code, length)
+        if size:
+            writer.write(diff if diff >= 0 else diff + (1 << size) - 1,
+                         size)
+    writer.flush()
+    out += writer.out
+
+    # 2-3. AC Y first scans at Al=al
+    ybh, ybw = comp_grids[0]
+    for ss, se in ((1, 5), (6, 63)):
+        out += sos_header([1], ss, se, 0, al)
+        writer = _BitWriter()
+        for by in range(ybh):
+            for bx in range(ybw):
+                _emit_ac_first(writer, comp_blocks[0][by, bx], ss, se, al,
+                               ac_codes)
+        writer.flush()
+        out += writer.out
+
+    # 4. chroma AC: single Al=0 scans
+    for ci in range(1, ncomp):
+        cbh, cbw = comp_grids[ci]
+        out += sos_header([ci + 1], 1, 63, 0, 0)
+        writer = _BitWriter()
+        for by in range(cbh):
+            for bx in range(cbw):
+                _emit_ac_first(writer, comp_blocks[ci][by, bx], 1, 63, 0,
+                               ac_codes)
+        writer.flush()
+        out += writer.out
+
+    # 5. successive-approximation refinements down to Al=0
+    for a in range(al - 1, -1, -1):
+        out += sos_header(all_ids, 0, 0, a + 1, a)   # DC refine
+        writer = _BitWriter()
+        for ci, gy, gx in mcu_units():
+            writer.write((int(comp_blocks[ci][gy, gx][0]) >> a) & 1, 1)
+        writer.flush()
+        out += writer.out
+        for ss, se in ((1, 5), (6, 63)):             # AC Y refine
+            out += sos_header([1], ss, se, a + 1, a)
+            writer = _BitWriter()
+            for by in range(ybh):
+                for bx in range(ybw):
+                    _emit_ac_refine(writer, comp_blocks[0][by, bx], ss, se,
+                                    a, ac_codes)
+            writer.flush()
+            out += writer.out
+
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def encode_jpeg(y: np.ndarray, cb: np.ndarray | None = None,
