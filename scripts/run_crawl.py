@@ -40,6 +40,7 @@ def main() -> None:
     ap.add_argument("--priority", action="store_true")
     ap.add_argument("--enforce-robots", action="store_true")
     ap.add_argument("--dedup-key", default="url", choices=["url", "url_canon"])
+    ap.add_argument("--seen-filter", default="bloom", choices=["bloom", "cuckoo"])
     ap.add_argument("--num-buckets", type=int, default=256)
     ap.add_argument("--max-rounds", type=int, default=None)
     args = ap.parse_args()
@@ -77,7 +78,8 @@ def main() -> None:
         enforce_robots=args.enforce_robots,
     )
     engine = EngineConfig(num_buckets=args.num_buckets,
-                          dedup_key=args.dedup_key)
+                          dedup_key=args.dedup_key,
+                          seen_filter=args.seen_filter)
     crawl = SparkCrawl(spark, pages, cfg, args.workdir, engine=engine)
     rounds = crawl.run(max_rounds=args.max_rounds)
     fetched = crawl.fetch_log().count()

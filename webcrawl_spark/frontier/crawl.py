@@ -84,6 +84,7 @@ from ..kernels.scrape import markdown_for_page
 from ..kernels import urlkit
 from ..sources.iceberg_io import make_tableio
 from .bloom import BloomShard, bits_for, optimal_k
+from .cuckoo import CuckooShard, buckets_for, shard_from_bytes
 from .oracle import CrawlConfig
 
 __all__ = ["SparkCrawl", "EngineConfig"]
@@ -114,6 +115,8 @@ class EngineConfig:
         num_buckets: int = 32,
         dedup_key: str = "url",           # "url" (reference parity) | "url_canon"
         use_bloom: bool = True,
+        seen_filter: str = "bloom",       # "bloom" | "cuckoo" (north rule
+        #                                   names both; same shard contract)
         bloom_keys_per_shard: int = 100_000,
         bloom_fp_rate: float = 0.01,
         max_rounds: int = 1000,
@@ -126,6 +129,9 @@ class EngineConfig:
         self.num_buckets = num_buckets
         self.dedup_key = dedup_key
         self.use_bloom = use_bloom
+        if seen_filter not in ("bloom", "cuckoo"):
+            raise ValueError("seen_filter must be 'bloom' or 'cuckoo'")
+        self.seen_filter = seen_filter
         self.bloom_keys_per_shard = bloom_keys_per_shard
         self.bloom_fp_rate = bloom_fp_rate
         self.max_rounds = max_rounds
@@ -699,6 +705,8 @@ class SparkCrawl:
         import numpy as np
 
         m_bits, k = self._shard_params()
+        filter_kind = self.engine.seen_filter
+        cuckoo_nb = buckets_for(self.engine.bloom_keys_per_shard)
         n_parts = self._cogroup_parts(n_rows)
         dedup = self._dedup_col()
         # pre-partition both cogroup inputs to a row-count-sized task count
@@ -717,7 +725,9 @@ class SparkCrawl:
 
         def merge(key, old: pd.DataFrame, new: pd.DataFrame) -> pd.DataFrame:
             if len(old):
-                shard = BloomShard.from_bytes(bytes(old["blob"].iloc[0]))
+                shard = shard_from_bytes(bytes(old["blob"].iloc[0]))
+            elif filter_kind == "cuckoo":
+                shard = CuckooShard(cuckoo_nb)
             else:
                 shard = BloomShard(m_bits, k)
             if len(new):
@@ -772,7 +782,7 @@ class SparkCrawl:
                 # no shard ⇒ the bucket has no committed frontier rows
                 out["is_seen"] = False
                 return out
-            blob = BloomShard.from_bytes(bytes(shard["blob"].iloc[0]))
+            blob = shard_from_bytes(bytes(shard["blob"].iloc[0]))
             h = cand["dedup_hash"].to_numpy().astype(np.uint64)
             maybe = blob.contains(h)
             if not maybe.any():
