@@ -698,6 +698,39 @@ def q_crawl_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+#: q_hostrank site/config constants — shared by the Spark query and the
+#: generated SQL oracle (same no-drift trick as q_crawl_round). Hot hosts
+#: give the rank distribution real spread; 10 fixed iterations keep the
+#: SQL unroll exact (no convergence test on either side).
+_HR_Q_SITE = dict(seed=13, n_hosts=6, pages_per_host=12,
+                  n_hot_hosts=2, hot_factor=3)
+_HR_Q_ITER = 10
+
+
+def q_hostrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-rank (operators/hostrank.py): weighted PageRank over the
+    host→host link graph of a deterministic synthetic site — the computed
+    input to the north star's priority = depth + host-rank. Full oracle:
+    the raw link pairs are exported through the same extraction kernel
+    (extract_links + url_host) into VALUES literals and the DuckDB side
+    re-derives edge weights, out-weight normalization, dangling mass and
+    all 10 power iterations as an unrolled MATERIALIZED WITH chain.
+    Ranks are emitted as integer nano-rank (round(rank*1e9)) so the
+    comparison is integer-exact despite double summation-order jitter."""
+    from webcrawl_spark.datagen import build_site, render_page_html
+    from webcrawl_spark.operators.hostrank import (
+        host_link_edges, host_pagerank,
+    )
+
+    site = build_site(**_HR_Q_SITE)
+    rows = [(u, render_page_html(site, u).encode()) for u in site.urls()]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    ranks = host_pagerank(host_link_edges(pages), n_iter=_HR_Q_ITER)
+    return ranks.select(
+        "host",
+        F.round(F.col("rank") * 1e9).cast("long").alias("rank_e9"))
+
+
 #: q_image_plumbing synthetic-PNG constants (data-independent, shared by
 #: the Spark side and the generated SQL oracle). Pixel formula:
 #: gray(x, y, i) = (x*5 + y*7 + i*13) % 256. h is always ODD so n_pix
@@ -1002,6 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_dedup": q_minhash_dedup,
         "q_ann_topk": q_ann_topk,
         "q_crawl_round": q_crawl_round,
+        "q_hostrank": q_hostrank,
         "q_image_plumbing": q_image_plumbing,
         "q_audio_plumbing": q_audio_plumbing,
         "q_video_plumbing": q_video_plumbing,
@@ -1724,6 +1758,66 @@ frontier_{k + 1}(url, seq) AS MATERIALIZED (
               f"({rounds_union}) ORDER BY seq")
 
 
+def _hostrank_oracle_sql() -> str:
+    """SQL replay of weighted PageRank for q_hostrank.
+
+    The raw host→host link pairs are exported through the SAME kernels the
+    Spark operator uses (kernels/htmlkit.py extract_links via links_udf;
+    kernels/urlkit.py url_host) into a VALUES literal; edge-weight
+    aggregation, out-weight normalization, uniform dangling-mass
+    redistribution and the 10 fixed power iterations are re-derived purely
+    in SQL as an unrolled WITH chain (MATERIALIZED stops exponential CTE
+    inlining, same hazard as _crawl_round_oracle_sql). The final
+    projection rounds rank to integer nano-units on both sides: double
+    summation-order differences between DuckDB and Spark are ~1e-15 while
+    the grid is 1e-9, so the integer compare is stable."""
+    from webcrawl_spark.datagen import build_site, render_page_html
+    from webcrawl_spark.kernels.htmlkit import extract_links
+    from webcrawl_spark.kernels import urlkit
+
+    site = build_site(**_HR_Q_SITE)
+    pairs: list[tuple[str, str]] = []
+    for u in site.urls():
+        src = urlkit.url_host(u)
+        for link in extract_links(render_page_html(site, u), u):
+            dst = urlkit.url_host(link)
+            if src and dst and src != dst:
+                pairs.append((src, dst))
+    vals = ", ".join(f"('{s}', '{d}')" for s, d in pairs)
+    d = 0.85
+    parts = [
+        f"WITH pairs(src, dst) AS (VALUES {vals}),",
+        "edges AS MATERIALIZED (SELECT src, dst,"
+        " CAST(count(*) AS DOUBLE) AS w FROM pairs GROUP BY src, dst),",
+        "outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),",
+        "enorm AS MATERIALIZED (SELECT e.src, e.dst, e.w / o.ow AS p"
+        " FROM edges e JOIN outw o USING (src)),",
+        "hosts AS MATERIALIZED (SELECT DISTINCT host FROM"
+        " (SELECT src AS host FROM edges"
+        "  UNION ALL SELECT dst FROM edges)),",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM hosts),",
+        "r_0 AS MATERIALIZED (SELECT host,"
+        " 1.0 / (SELECT n FROM nn) AS rank FROM hosts),",
+    ]
+    for k in range(_HR_Q_ITER):
+        parts.append(f"""dang_{k} AS (
+  SELECT COALESCE(sum(rank), 0.0) AS dm FROM r_{k}
+  WHERE host NOT IN (SELECT DISTINCT src FROM enorm)),
+c_{k} AS (
+  SELECT e.dst AS host, sum(r.rank * e.p) AS m
+  FROM r_{k} r JOIN enorm e ON e.src = r.host GROUP BY e.dst),
+r_{k + 1} AS MATERIALIZED (
+  SELECT h.host,
+         (1.0 - {d}) / (SELECT n FROM nn)
+         + {d} * (COALESCE(c.m, 0.0)
+                  + (SELECT dm FROM dang_{k}) / (SELECT n FROM nn))
+         AS rank
+  FROM hosts h LEFT JOIN c_{k} c USING (host)),""")
+    return ("\n".join(parts).rstrip(",")
+            + f"\nSELECT host, CAST(ROUND(rank * 1e9) AS BIGINT) AS rank_e9"
+              f" FROM r_{_HR_Q_ITER} ORDER BY host")
+
+
 def _image_family_sql(prefix: str, n: int, w_expr: str, h_expr: str,
                       pix_expr: str, fmt: str) -> str:
     """Histogram-count recompute for one synthetic-image family: per-image
@@ -2096,6 +2190,7 @@ def oracle_sql() -> dict[str, str]:
         "q_gopher_quality": _gopher_oracle_sql(),
         "q_interdup": _INTERDUP_ORACLE_SQL,
         "q_crawl_round": _crawl_round_oracle_sql(),
+        "q_hostrank": _hostrank_oracle_sql(),
         "q_image_plumbing": _image_oracle_sql(),
         "q_audio_plumbing": _audio_oracle_sql(),
         "q_video_plumbing": _video_oracle_sql(),

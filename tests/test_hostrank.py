@@ -1,0 +1,206 @@
+"""operators/hostrank.py — weighted PageRank over the host link graph
+(north star: priority = depth + host-rank, with the rank COMPUTED from
+the corpus instead of hand-maintained): numpy power-iteration parity,
+dangling-mass handling, edge extraction through the crawl's own link
+kernel, level quantization, and end-to-end crawl scheduling parity when
+the computed levels feed CrawlConfig.host_rank."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from webcrawl_spark.operators.hostrank import (
+    as_host_rank,
+    attach_host_priority,
+    host_link_edges,
+    host_pagerank,
+    host_rank_levels,
+)
+
+DAMPING = 0.85
+
+
+def _random_edges(seed, n_nodes=30, n_edges=150):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n_nodes, n_edges)
+    dst = rng.integers(0, n_nodes, n_edges)
+    keep = src != dst
+    w = rng.integers(1, 6, n_edges).astype(float)
+    return [(f"h{s}.com", f"h{d}.com", float(x))
+            for s, d, x in zip(src[keep], dst[keep], w[keep])]
+
+
+def _numpy_pagerank(edges, n_iter, damping=DAMPING):
+    """Reference semantics: weighted transition, uniform dangling
+    redistribution, fixed iterations from the uniform vector."""
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    idx = {h: i for i, h in enumerate(nodes)}
+    n = len(nodes)
+    w = np.zeros((n, n))
+    for s, d, x in edges:
+        w[idx[s], idx[d]] += x
+    outw = w.sum(axis=1)
+    has_out = outw > 0
+    p = np.zeros_like(w)
+    p[has_out] = w[has_out] / outw[has_out, None]
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        dang = r[~has_out].sum()
+        r = (1 - damping) / n + damping * (p.T @ r + dang / n)
+    return dict(zip(nodes, r))
+
+
+class TestPagerank:
+    @pytest.mark.parametrize("seed,n_iter", [(1, 10), (2, 7), (3, 12)])
+    def test_matches_numpy_power_iteration(self, spark, seed, n_iter):
+        edges = _random_edges(seed)
+        df = spark.createDataFrame(
+            edges, "src string, dst string, weight double")
+        got = {r["host"]: r["rank"]
+               for r in host_pagerank(df, n_iter=n_iter).collect()}
+        want = _numpy_pagerank(edges, n_iter)
+        assert set(got) == set(want)
+        for h in want:
+            assert got[h] == pytest.approx(want[h], abs=1e-12)
+
+    def test_rank_is_a_distribution(self, spark):
+        df = spark.createDataFrame(
+            _random_edges(7), "src string, dst string, weight double")
+        total = host_pagerank(df, n_iter=10).agg(F.sum("rank")).first()[0]
+        assert total == pytest.approx(1.0, abs=1e-9)
+
+    def test_dangling_sink_mass_redistributed(self, spark):
+        # b is a pure sink: without redistribution its mass would leak
+        edges = [("a.com", "b.com", 1.0), ("c.com", "a.com", 1.0),
+                 ("a.com", "c.com", 1.0)]
+        df = spark.createDataFrame(
+            edges, "src string, dst string, weight double")
+        got = {r["host"]: r["rank"]
+               for r in host_pagerank(df, n_iter=20).collect()}
+        want = _numpy_pagerank(edges, 20)
+        for h in want:
+            assert got[h] == pytest.approx(want[h], abs=1e-12)
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+    def test_duplicate_edges_pre_aggregated(self, spark):
+        dup = [("a.com", "b.com", 1.0), ("a.com", "b.com", 2.0),
+               ("b.com", "a.com", 1.0)]
+        merged = [("a.com", "b.com", 3.0), ("b.com", "a.com", 1.0)]
+        d1 = spark.createDataFrame(
+            dup, "src string, dst string, weight double")
+        d2 = spark.createDataFrame(
+            merged, "src string, dst string, weight double")
+        r1 = {r["host"]: r["rank"] for r in host_pagerank(d1, 8).collect()}
+        r2 = {r["host"]: r["rank"] for r in host_pagerank(d2, 8).collect()}
+        assert r1 == r2
+
+    def test_empty_graph(self, spark):
+        df = spark.createDataFrame([],
+                                   "src string, dst string, weight double")
+        assert host_pagerank(df, 3).count() == 0
+
+    def test_checkpoint_cadence_does_not_change_result(self, spark):
+        edges = _random_edges(11)
+        df = spark.createDataFrame(
+            edges, "src string, dst string, weight double")
+        a = {r["host"]: r["rank"]
+             for r in host_pagerank(df, 9, checkpoint_every=2).collect()}
+        b = {r["host"]: r["rank"]
+             for r in host_pagerank(df, 9, checkpoint_every=100).collect()}
+        for h in a:
+            assert a[h] == pytest.approx(b[h], abs=1e-12)
+
+
+class TestHostLinkEdges:
+    def test_cross_host_weights(self, spark):
+        pages = [
+            ("https://a.com/", "<a href='https://b.com/x'>1</a>"
+                               "<a href='https://b.com/y'>2</a>"
+                               "<a href='https://a.com/self'>s</a>"),
+            ("https://a.com/p2", "<a href='https://c.com/'>3</a>"),
+            ("https://b.com/", "<a href='https://a.com/'>4</a>"),
+        ]
+        df = spark.createDataFrame(
+            [(u, h.encode()) for u, h in pages], "url string, html binary")
+        got = {(r["src"], r["dst"]): r["weight"]
+               for r in host_link_edges(df).collect()}
+        assert got == {("a.com", "b.com"): 2.0,
+                       ("a.com", "c.com"): 1.0,
+                       ("b.com", "a.com"): 1.0}
+
+    def test_relative_links_resolve_to_same_host_and_drop(self, spark):
+        df = spark.createDataFrame(
+            [("https://a.com/d/", b"<a href='x'>r</a>"
+                                  b"<a href='https://b.com/'>b</a>")],
+            "url string, html binary")
+        got = {(r["src"], r["dst"]) for r in host_link_edges(df).collect()}
+        assert got == {("a.com", "b.com")}
+
+
+class TestLevels:
+    def test_levels_monotone_in_rank(self, spark):
+        df = spark.createDataFrame(
+            _random_edges(5), "src string, dst string, weight double")
+        ranks = host_pagerank(df, 10)
+        joined = (host_rank_levels(ranks, n_levels=4)
+                  .join(ranks, "host").collect())
+        by_rank = sorted(joined, key=lambda r: -r["rank"])
+        levels = [r["level"] for r in by_rank]
+        assert levels == sorted(levels)          # best rank ⇒ lowest level
+        assert min(levels) == 0
+        assert max(levels) <= 3
+
+    def test_as_host_rank_keeps_the_head(self, spark):
+        df = spark.createDataFrame(
+            _random_edges(6), "src string, dst string, weight double")
+        levels = host_rank_levels(host_pagerank(df, 10), n_levels=4)
+        head = as_host_rank(levels, top_n=5)
+        assert len(head) == 5
+        worst_kept = max(head.values())
+        dropped = {r["host"]: r["level"] for r in levels.collect()
+                   if r["host"] not in head}
+        assert all(lv >= worst_kept for lv in dropped.values())
+
+    def test_attach_host_priority_matches_dict_semantics(self, spark):
+        levels = spark.createDataFrame(
+            [("a.com", 0), ("b.com", 3)], "host string, level int")
+        cand = spark.createDataFrame(
+            [("a.com", 1), ("b.com", 1), ("c.com", 2)],
+            "host string, depth int")
+        got = {(r["host"], r["priority"])
+               for r in attach_host_priority(cand, levels).collect()}
+        assert got == {("a.com", 1), ("b.com", 4), ("c.com", 2)}
+
+
+class TestCrawlIntegration:
+    def test_computed_levels_schedule_the_crawl(self, spark, tmp_path):
+        """End-to-end: rank the synthetic site's host graph, feed the
+        computed levels into CrawlConfig.host_rank, and the engine's
+        priority schedule matches the python oracle given the same
+        levels — the north star's priority = depth + host-rank with the
+        rank actually computed from the corpus."""
+        from webcrawl_spark.datagen import build_site, render_page_html
+        from webcrawl_spark.frontier.crawl import SparkCrawl
+        from webcrawl_spark.frontier.oracle import CrawlConfig, round_crawl
+
+        site = build_site(seed=31, n_hosts=4, pages_per_host=20,
+                          n_hot_hosts=1, hot_factor=3)
+        rows = [(u, render_page_html(site, u).encode())
+                for u in site.urls()]
+        pages_df = spark.createDataFrame(rows, "url string, html binary")
+        ranks = host_pagerank(host_link_edges(pages_df), n_iter=10)
+        hr = as_host_rank(host_rank_levels(ranks, n_levels=4), top_n=4)
+        assert len(hr) >= 2 and len(set(hr.values())) >= 2
+
+        cfg = CrawlConfig(seed_url=f"https://{site.hosts[0]}/", limit=40,
+                          max_depth=3, allow_backward_crawling=True,
+                          host_budget=5, priority_mode=True, host_rank=hr)
+
+        def fetch(url):
+            return (render_page_html(site, url)
+                    if url in site.pages else None)
+
+        oracle = round_crawl(fetch, cfg)
+        crawl = SparkCrawl(spark, pages_df, cfg, str(tmp_path / "hr"))
+        crawl.run()
+        assert crawl.fetch_order() == oracle.fetch_order

@@ -1,0 +1,161 @@
+"""Host-rank: weighted PageRank over the host→host link graph.
+
+north_star parity: the frontier's priority is ``depth + host-rank``. The
+reference treats host-rank as an operator input (crawlService.ts priority
+hints passed alongside the crawl config); this module COMPUTES it from
+the corpus link graph so the priority queue can favor well-linked hosts
+instead of relying on hand-maintained hints. The algorithm is the public
+weighted PageRank (Brin & Page, WWW 1998) with uniform dangling-mass
+redistribution — fixed iteration count, fully deterministic given the
+edge list, which is what makes the SQL oracle possible.
+
+Scale shape (10^10-URL corpus → ~10^7-10^8 hosts):
+- ``host_link_edges`` explodes links once and aggregates to weighted
+  host pairs — after the explode everything is hash-only host strings;
+  page html never reaches the aggregation shuffle.
+- ``host_pagerank`` normalizes + caches the edge table once; each
+  iteration is ONE shuffle keyed on dst over the (small) rank table
+  joined against the cached edges. The dangling mass stays distributed
+  (1-row aggregate, broadcast cross-join — no per-iteration driver
+  collect), and ``localCheckpoint`` every ``checkpoint_every``
+  iterations truncates lineage so plan depth — and with it Catalyst
+  analysis time — stays O(checkpoint_every) instead of O(n_iter).
+- ``host_rank_levels`` quantizes rank into small integer levels without
+  a global window: cut points come from one driver-side approxQuantile
+  (O(n_levels) driver memory), assignment is a pure Column expression.
+- ``as_host_rank`` materializes ONLY the top-N ranked hosts as the
+  CrawlConfig.host_rank dict: priority hints matter for the head of the
+  host distribution; the tail shares the default level, which keeps the
+  literal host→level map bounded regardless of corpus size. For a
+  fully-mapped priority at 10^7+ hosts, join the levels table instead
+  (``attach_host_priority`` — broadcast; levels ≪ candidates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions import links_udf, url_host
+
+__all__ = [
+    "host_link_edges",
+    "host_pagerank",
+    "host_rank_levels",
+    "as_host_rank",
+    "attach_host_priority",
+]
+
+
+def host_link_edges(pages: DataFrame, url_col: str = "url",
+                    html_col: str = "html") -> DataFrame:
+    """(url, html) pages → weighted host→host edges (src, dst, weight).
+
+    Links are pulled through the same oracle-tested extraction kernel the
+    crawl uses (L1 extract_links via links_udf). Intra-host links are
+    dropped — a self-endorsement carries no rank information and would
+    otherwise dominate the mass of template-navigation-heavy sites.
+    """
+    links = pages.select(
+        url_host(F.col(url_col)).alias("src"),
+        F.explode(links_udf(F.col(html_col), F.col(url_col))).alias("link"),
+    )
+    return (
+        links.select("src", url_host(F.col("link")).alias("dst"))
+        .where((F.col("src") != F.col("dst"))
+               & (F.col("src") != "") & (F.col("dst") != ""))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+
+
+def host_pagerank(edges: DataFrame, n_iter: int = 10,
+                  damping: float = 0.85,
+                  checkpoint_every: int = 5) -> DataFrame:
+    """Weighted PageRank over (src, dst, weight) edges → (host, rank).
+
+    rank_{t+1}(h) = (1-d)/N + d * (Σ_{e: e.dst=h} rank_t(e.src) *
+    w(e)/out_w(e.src) + dangling_t/N), dangling_t = Σ rank_t over hosts
+    with no out-edges. Fixed ``n_iter`` (no convergence test ⇒
+    deterministic plan and oracle-replayable). Returns a lineage-free
+    (localCheckpoint'd) DataFrame; the internal edge cache is released
+    before returning.
+    """
+    edges = (edges.groupBy("src", "dst")
+             .agg(F.sum("weight").alias("w")))
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    e_norm = (edges.join(outw, "src")
+              .select("src", "dst", (F.col("w") / F.col("ow")).alias("p"))
+              .persist())
+    hosts = (edges.select(F.col("src").alias("host"))
+             .union(edges.select(F.col("dst").alias("host")))
+             .distinct().persist())
+    n = hosts.count()
+    if n == 0:
+        e_norm.unpersist()
+        hosts.unpersist()
+        return edges.sparkSession.createDataFrame(
+            [], "host string, rank double")
+    src_hosts = e_norm.select(F.col("src").alias("host")).distinct()
+    ranks = hosts.withColumn("rank", F.lit(1.0 / n))
+    for i in range(n_iter):
+        dang = (ranks.join(src_hosts, "host", "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")))
+        contrib = (ranks.join(e_norm, ranks["host"] == e_norm["src"])
+                   .groupBy(F.col("dst").alias("host"))
+                   .agg(F.sum(F.col("rank") * F.col("p")).alias("m")))
+        ranks = (hosts.join(contrib, "host", "left")
+                 .crossJoin(F.broadcast(dang))
+                 .select("host",
+                         (F.lit((1.0 - damping) / n)
+                          + F.lit(damping)
+                          * (F.coalesce(F.col("m"), F.lit(0.0))
+                             + F.col("dm") / n)).alias("rank")))
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+            ranks = ranks.localCheckpoint(eager=True)
+    ranks = ranks.localCheckpoint(eager=True)
+    e_norm.unpersist()
+    hosts.unpersist()
+    return ranks
+
+
+def host_rank_levels(ranks: DataFrame, n_levels: int = 8) -> DataFrame:
+    """(host, rank) → (host, level): quantile levels, 0 = best-ranked.
+
+    No global window (an ntile over all hosts would funnel every row
+    through one task): cut points come from a single driver-side
+    approxQuantile (exact at relativeError=0 on the small rank table;
+    O(n_levels) driver memory), assignment is a pure Column when-chain.
+    """
+    qs = [i / n_levels for i in range(1, n_levels)]
+    cuts = ranks.approxQuantile("rank", qs, 0.0)
+    # level counts DOWN as rank climbs past each quantile cut
+    level: Column = F.lit(n_levels - 1)
+    for j, c in enumerate(cuts):
+        level = F.when(F.col("rank") > F.lit(c),
+                       F.lit(n_levels - 2 - j)).otherwise(level)
+    return ranks.select("host", level.cast("int").alias("level"))
+
+
+def as_host_rank(levels: DataFrame, top_n: int = 10_000) -> dict[str, int]:
+    """Levels table → CrawlConfig.host_rank dict, HEAD ONLY: the top_n
+    best-levelled hosts (deterministic host tie-break). Everything else
+    falls back to the config default (level 0 shift is irrelevant —
+    priority is ordinal). Bounded driver materialization by contract."""
+    rows = (levels.orderBy("level", "host").limit(top_n).collect())
+    return {r["host"]: int(r["level"]) for r in rows}
+
+
+def attach_host_priority(df: DataFrame, levels: DataFrame,
+                         depth_col: str = "depth",
+                         host_col: str = "host") -> DataFrame:
+    """The at-scale alternative to the literal host→level map: broadcast
+    the (small) levels table onto a candidate frame and emit
+    priority = depth + level (missing hosts → level 0)."""
+    lv = levels.select(F.col("host").alias(host_col),
+                       F.col("level").alias("_hr_level"))
+    return (df.join(F.broadcast(lv), host_col, "left")
+            .withColumn("priority",
+                        (F.col(depth_col)
+                         + F.coalesce(F.col("_hr_level"), F.lit(0)))
+                        .cast("int"))
+            .drop("_hr_level"))
