@@ -731,6 +731,51 @@ def q_hostrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rank") * 1e9).cast("long").alias("rank_e9"))
 
 
+def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text index (operators/anchors.py): the (target, anchor)
+    corpus of the synthetic site's link graph with occurrence and
+    endorsing-host counts. Full oracle: raw (src_host, target_host,
+    target, anchor) quadruples are exported through the SAME kernels
+    (extract_anchors + url_host) into VALUES; the intra-host drop, the
+    length cap and the two-level aggregation are re-derived in SQL."""
+    from webcrawl_spark.datagen import build_site, render_page_html
+    from webcrawl_spark.operators.anchors import anchor_text_index
+
+    site = build_site(**_HR_Q_SITE)
+    rows = [(u, render_page_html(site, u).encode()) for u in site.urls()]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    return anchor_text_index(pages, max_len=64)
+
+
+def _anchor_oracle_sql() -> str:
+    """SQL replay of anchor_text_index over the kernel-exported pairs."""
+    from webcrawl_spark.datagen import build_site, render_page_html
+    from webcrawl_spark.kernels.htmlkit import extract_anchors
+    from webcrawl_spark.kernels import urlkit
+
+    site = build_site(**_HR_Q_SITE)
+    quads: list[tuple[str, str, str, str]] = []
+    for u in site.urls():
+        src = urlkit.url_host(u)
+        for href, text in extract_anchors(render_page_html(site, u), u):
+            quads.append((src, urlkit.url_host(href), href, text))
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    vals = ", ".join(
+        f"('{q(a)}', '{q(b)}', '{q(c)}', '{q(d)}')" for a, b, c, d in quads)
+    return (
+        f"WITH pairs(src_host, target_host, target, anchor) AS "
+        f"(VALUES {vals})\n"
+        "SELECT target, substr(anchor, 1, 64) AS anchor,\n"
+        "       count(*) AS n,\n"
+        "       count(DISTINCT src_host) AS n_hosts\n"
+        "FROM pairs\n"
+        "WHERE target_host <> src_host AND src_host <> '' AND target <> ''\n"
+        "GROUP BY target, substr(anchor, 1, 64)")
+
+
 #: q_image_plumbing synthetic-PNG constants (data-independent, shared by
 #: the Spark side and the generated SQL oracle). Pixel formula:
 #: gray(x, y, i) = (x*5 + y*7 + i*13) % 256. h is always ODD so n_pix
@@ -1036,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_topk": q_ann_topk,
         "q_crawl_round": q_crawl_round,
         "q_hostrank": q_hostrank,
+        "q_anchor_text": q_anchor_text,
         "q_image_plumbing": q_image_plumbing,
         "q_audio_plumbing": q_audio_plumbing,
         "q_video_plumbing": q_video_plumbing,
@@ -2191,6 +2237,7 @@ def oracle_sql() -> dict[str, str]:
         "q_interdup": _INTERDUP_ORACLE_SQL,
         "q_crawl_round": _crawl_round_oracle_sql(),
         "q_hostrank": _hostrank_oracle_sql(),
+        "q_anchor_text": _anchor_oracle_sql(),
         "q_image_plumbing": _image_oracle_sql(),
         "q_audio_plumbing": _audio_oracle_sql(),
         "q_video_plumbing": _video_oracle_sql(),

@@ -38,6 +38,11 @@ def main() -> None:
     ap.add_argument("--host-budget", type=int, default=None)
     ap.add_argument("--budget-capacity", type=int, default=None)
     ap.add_argument("--priority", action="store_true")
+    ap.add_argument("--hostrank-levels", type=int, default=0, metavar="N",
+                    help="with --priority: compute host-rank (weighted "
+                         "PageRank over the corpus link graph, quantized "
+                         "to N levels) and schedule by priority = depth + "
+                         "level via the broadcast levels table")
     ap.add_argument("--enforce-robots", action="store_true")
     ap.add_argument("--dedup-key", default="url", choices=["url", "url_canon"])
     ap.add_argument("--seen-filter", default="bloom", choices=["bloom", "cuckoo"])
@@ -80,7 +85,20 @@ def main() -> None:
     engine = EngineConfig(num_buckets=args.num_buckets,
                           dedup_key=args.dedup_key,
                           seen_filter=args.seen_filter)
-    crawl = SparkCrawl(spark, pages, cfg, args.workdir, engine=engine)
+    levels = None
+    if args.hostrank_levels:
+        if not args.priority:
+            ap.error("--hostrank-levels requires --priority")
+        from webcrawl_spark.operators.hostrank import (
+            host_link_edges, host_pagerank, host_rank_levels,
+        )
+
+        levels = host_rank_levels(
+            host_pagerank(host_link_edges(pages)),
+            n_levels=args.hostrank_levels,
+        ).localCheckpoint(eager=True)
+    crawl = SparkCrawl(spark, pages, cfg, args.workdir, engine=engine,
+                       host_rank_table=levels)
     rounds = crawl.run(max_rounds=args.max_rounds)
     fetched = crawl.fetch_log().count()
     print(json.dumps({

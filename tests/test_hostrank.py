@@ -204,3 +204,95 @@ class TestCrawlIntegration:
         crawl = SparkCrawl(spark, pages_df, cfg, str(tmp_path / "hr"))
         crawl.run()
         assert crawl.fetch_order() == oracle.fetch_order
+
+
+class TestTablePriority:
+    """host_rank_table: the at-scale twin of CrawlConfig.host_rank — a
+    (host, level) DataFrame broadcast-joined into admission instead of a
+    plan-literal map (a 10^7-host rank map cannot be a config literal)."""
+
+    def _site(self, spark):
+        from webcrawl_spark.datagen import build_site, render_page_html
+
+        site = build_site(seed=31, n_hosts=4, pages_per_host=20,
+                          n_hot_hosts=1, hot_factor=3)
+        rows = [(u, render_page_html(site, u).encode())
+                for u in site.urls()]
+        pages = spark.createDataFrame(rows, "url string, html binary")
+        ranks = host_pagerank(host_link_edges(pages), n_iter=10)
+        levels = host_rank_levels(ranks, n_levels=4) \
+            .localCheckpoint(eager=True)
+        return site, pages, levels
+
+    def _cfg(self, site, hr):
+        from webcrawl_spark.frontier.oracle import CrawlConfig
+
+        return CrawlConfig(seed_url=f"https://{site.hosts[0]}/", limit=40,
+                           max_depth=3, allow_backward_crawling=True,
+                           host_budget=5, priority_mode=True,
+                           host_rank=hr)
+
+    def _run(self, spark, pages, cfg, workdir, levels=None, engine=None):
+        from webcrawl_spark.frontier.crawl import SparkCrawl
+
+        crawl = SparkCrawl(spark, pages, cfg, workdir, engine=engine,
+                           host_rank_table=levels)
+        crawl.run()
+        return crawl.fetch_order()
+
+    def test_table_matches_dict_semantics(self, spark, tmp_path):
+        """Same levels as dict vs as table → identical fetch order
+        (exercises the seed + limit-replay driver paths)."""
+        site, pages, levels = self._site(spark)
+        full = {r["host"]: int(r["level"]) for r in levels.collect()}
+        a = self._run(spark, pages, self._cfg(site, full),
+                      str(tmp_path / "dict"))
+        b = self._run(spark, pages, self._cfg(site, {}),
+                      str(tmp_path / "table"), levels=levels)
+        assert a == b and len(a) > 10
+
+    def test_table_priority_distributed_admission(self, spark, tmp_path):
+        """small_round_threshold=1 forces _admit_distributed — the
+        broadcast-join priority path — and still matches the dict run."""
+        from webcrawl_spark.frontier.crawl import EngineConfig
+        from webcrawl_spark.frontier.oracle import CrawlConfig
+
+        site, pages, levels = self._site(spark)
+        full = {r["host"]: int(r["level"]) for r in levels.collect()}
+
+        def cfg(hr):
+            return CrawlConfig(seed_url=f"https://{site.hosts[0]}/",
+                               limit=None, max_depth=3,
+                               allow_backward_crawling=True,
+                               host_budget=5, priority_mode=True,
+                               host_rank=hr)
+
+        eng = lambda: EngineConfig(small_round_threshold=1)  # noqa: E731
+        a = self._run(spark, pages, cfg(full), str(tmp_path / "d"),
+                      engine=eng())
+        b = self._run(spark, pages, cfg({}), str(tmp_path / "t"),
+                      levels=levels, engine=eng())
+        assert a == b and len(a) > 10
+
+    def test_with_priority_plan_broadcasts(self, spark, tmp_path):
+        """Plan gate: the table path joins the levels table with a
+        broadcast hash join — no shuffle of the candidate side."""
+        from webcrawl_spark.frontier.crawl import SparkCrawl
+        from webcrawl_spark.frontier.oracle import CrawlConfig
+
+        levels = spark.createDataFrame(
+            [("a.com", 1), ("b.com", 2)], "host string, level int")
+        pages = spark.createDataFrame(
+            [("https://a.com/", b"<a href='https://b.com/'>x</a>")],
+            "url string, html binary")
+        cfg = CrawlConfig(seed_url="https://a.com/", priority_mode=True)
+        crawl = SparkCrawl(spark, pages, cfg, str(tmp_path / "w"),
+                           host_rank_table=levels)
+        cand = spark.createDataFrame(
+            [("a.com", 1), ("c.com", 2)], "host string, depth int")
+        out = crawl._with_priority(cand)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        got = {(r["host"], r["priority"]) for r in out.collect()}
+        assert got == {("a.com", 2), ("c.com", 2)}

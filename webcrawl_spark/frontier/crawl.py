@@ -359,6 +359,7 @@ class SparkCrawl:
         fetch_udf=None,
         cond_fetch_udf=None,
         fetch_cache_dir: str | None = None,
+        host_rank_table: DataFrame | None = None,
     ) -> None:
         """Fetch modes:
         - ``pages`` DataFrame (url, html binary): corpus-replay fetch — the
@@ -389,6 +390,19 @@ class SparkCrawl:
         else:
             self.fetch_cache = None
         self.cfg = cfg
+        # host-rank at scale: a (host, level) DataFrame instead of the
+        # CrawlConfig.host_rank literal dict. The dict shape holds for the
+        # head of the host distribution (bounded config, plan-side literal
+        # map); a fully-mapped rank over 10^7-10^8 hosts cannot be a plan
+        # literal — it stays a table and joins in (operators/hostrank.py
+        # computes it; attach semantics identical: missing host → level 0).
+        self._levels_df = None
+        if host_rank_table is not None:
+            assert not cfg.host_rank, \
+                "host_rank dict and host_rank_table are mutually exclusive"
+            self._levels_df = host_rank_table.select(
+                F.col("host").cast("string").alias("host"),
+                F.col("level").cast("int").alias("level"))
         self.engine = engine or EngineConfig()
         # backend-pluggable table layer: parquet stand-in by default,
         # real Iceberg catalog tables with SPARK_GRAFT_TABLE_BACKEND=iceberg
@@ -595,11 +609,12 @@ class SparkCrawl:
                 if url not in seen and len(seeds) < limit:
                     seen.add(url)
                     seeds.append(url)
+        pr = self._priority_of_batch(seeds)
         rows = [
             (
                 url, urlkit.canonicalize_url(url), urlkit.url_host(url), 0,
                 urlkit.get_url_depth(urlkit.url_path(url)),
-                cfg.priority_of(url), 0, seq,
+                pr(url), 0, seq,
             )
             for seq, url in enumerate(seeds)
         ]
@@ -625,6 +640,50 @@ class SparkCrawl:
             ])
             rank = F.coalesce(mapping[host_col].cast("int"), F.lit(0))
         return (depth_col + rank).cast("int")
+
+    def _with_priority(self, df: DataFrame) -> DataFrame:
+        """Adds ``priority`` to a frame that already has (host, depth).
+
+        Dict mode inlines the bounded literal map (_priority_col); table
+        mode broadcast-joins the (host, level) levels table — the only
+        shape that holds when the rank map covers 10^7+ hosts. Missing
+        hosts coalesce to level 0, bit-identical to the dict semantics."""
+        if self._levels_df is None:
+            return df.withColumn(
+                "priority",
+                self._priority_col(F.col("depth"), F.col("host")))
+        if not self.cfg.priority_mode:
+            return df.withColumn("priority", F.lit(0).cast("int"))
+        lv = self._levels_df.withColumnRenamed("level", "_hr_level")
+        return (df.join(F.broadcast(lv), "host", "left")
+                .withColumn("priority",
+                            (F.col("depth")
+                             + F.coalesce(F.col("_hr_level"), F.lit(0)))
+                            .cast("int"))
+                .drop("_hr_level"))
+
+    def _priority_of_batch(self, urls) -> "Callable[[str], int]":
+        """Driver-side twin of cfg.priority_of for the bounded replay
+        paths (seeds / small rounds / limit replay). In table mode the
+        levels for just the batch's hosts are fetched via one semi-join
+        collect — O(distinct hosts in batch) rows, never the whole
+        table."""
+        if self._levels_df is None or not self.cfg.priority_mode:
+            return self.cfg.priority_of
+        hosts = sorted({urlkit.url_host(u) for u in urls} - {""})
+        lv: dict[str, int] = {}
+        if hosts:
+            hdf = self.spark.createDataFrame(
+                [(h,) for h in hosts], "host string")
+            lv = {r["host"]: int(r["level"])
+                  for r in self._levels_df.join(
+                      F.broadcast(hdf), "host").collect()}
+
+        def pr(url: str) -> int:
+            return (urlkit.get_url_depth(urlkit.url_path(url))
+                    + lv.get(urlkit.url_host(url), 0))
+
+        return pr
 
     def _allowance_upper_bound(self) -> int | None:
         """Largest possible per-host selection this round (None = unlimited
@@ -1329,17 +1388,18 @@ class SparkCrawl:
             .select("source_priority", "source_seq", "link_pos", "link",
                     "url_canon")
         )
-        cols = admitted.select(
+        cols = self._with_priority(admitted.select(
             F.col("link").alias("url"),
             F.col("url_canon"),
             url_host(F.col("link")).alias("host"),
             F.pmod(F.xxhash64(url_host(F.col("link"))),
                    F.lit(eng.num_buckets)).cast("int").alias("host_bucket"),
             url_depth(F.col("link")).alias("depth"),
-            self._priority_col(url_depth(F.col("link")),
-                               url_host(F.col("link"))).alias("priority"),
             F.lit(round_no).alias("round_discovered"),
             F.col("source_priority"), F.col("source_seq"), F.col("link_pos"),
+        )).select(
+            "url", "url_canon", "host", "host_bucket", "depth", "priority",
+            "round_discovered", "source_priority", "source_seq", "link_pos",
         )
         # pinned: consumed by both the offsets broadcast and the final write
         # (without this the exact anti-join upstream would run twice)
@@ -1371,6 +1431,7 @@ class SparkCrawl:
             .orderBy("source_priority", "source_seq", "link_pos").collect()
         )
         t = self._trace(round_no, "  small: flagged collect", t)
+        pr = self._priority_of_batch([r["link"] for r in rows])
         seen: set[str] = set()
         admitted: list[tuple] = []
         seq = self._next_seq
@@ -1382,7 +1443,7 @@ class SparkCrawl:
             admitted.append((
                 link, r["url_canon"], urlkit.url_host(link), 0,
                 urlkit.get_url_depth(urlkit.url_path(link)),
-                self.cfg.priority_of(link), round_no, seq,
+                pr(link), round_no, seq,
             ))
             seq += 1
         t = self._trace(round_no, "  small: replay", t)
@@ -1420,6 +1481,7 @@ class SparkCrawl:
                     "link", "url_canon", "dedup_key", "is_seen")
             .orderBy("source_priority", "source_seq", "link_pos").collect()
         )
+        pr = self._priority_of_batch([r["link"] for r in rows])
         admitted: list[tuple] = []
         round_new: set[str] = set()
         total = self._frontier_count
@@ -1441,7 +1503,7 @@ class SparkCrawl:
                 admitted.append((
                     link, r["url_canon"], urlkit.url_host(link), 0,
                     urlkit.get_url_depth(urlkit.url_path(link)),
-                    self.cfg.priority_of(link), round_no, seq,
+                    pr(link), round_no, seq,
                 ))
                 seq += 1
                 total += 1

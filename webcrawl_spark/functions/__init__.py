@@ -30,6 +30,7 @@ from ..kernels.classify import (
 )
 from ..kernels.htmlkit import (
     decode_html,
+    extract_anchors,
     extract_images,
     extract_links,
     extract_metadata,
@@ -302,6 +303,23 @@ def links_udf(htmls: pd.Series, urls: pd.Series) -> pd.Series:
         try:
             text = _as_text(html)
             out.append(extract_links(text, url) if text else [])
+        except Exception:
+            out.append([])
+    return pd.Series(out, dtype="object")
+
+
+@pandas_udf(T.ArrayType(T.StructType([
+    T.StructField("href", T.StringType()),
+    T.StructField("text", T.StringType()),
+])))
+def anchors_udf(htmls: pd.Series, urls: pd.Series) -> pd.Series:
+    """(href, text) per <a> occurrence — kernels/htmlkit.py
+    extract_anchors (extract_links' resolution, no dedup, text kept)."""
+    out = []
+    for html, url in zip(htmls, urls):
+        try:
+            text = _as_text(html)
+            out.append(extract_anchors(text, url) if text else [])
         except Exception:
             out.append([])
     return pd.Series(out, dtype="object")

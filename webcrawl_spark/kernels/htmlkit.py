@@ -197,6 +197,32 @@ def extract_links(html: str, base_url: str) -> list[str]:
     return links
 
 
+def extract_anchors(html: str, base_url: str) -> list[tuple[str, str]]:
+    """(resolved href, anchor text) per <a> occurrence, document order.
+
+    Same href resolution path as extract_links (extractLinks.ts:48-65
+    semantics: base-href aware, scheme-slash fixed, fragments dropped),
+    but NO dedup — an anchor-text index wants every occurrence, because
+    occurrence counts carry the signal. Text is the anchor's visible text
+    contents, whitespace-collapsed; empty-text anchors (image links) keep
+    an empty string so link counts still aggregate."""
+    try:
+        base_href = extract_base_href(html, base_url)
+    except URLParseError:
+        return []
+    doc = parse_html(html)
+    out: list[tuple[str, str]] = []
+    for a in doc.select("a[href]"):
+        href = a.get("href")
+        if href is None:
+            continue
+        resolved = _resolve_with_base_href(
+            _fix_scheme_slash(href).strip(), base_url, base_href)
+        if resolved:
+            out.append((resolved, " ".join(a.text_contents().split())))
+    return out
+
+
 # --- transform (X1) -------------------------------------------------------
 
 def transform_html(
