@@ -776,6 +776,68 @@ def _anchor_oracle_sql() -> str:
         "GROUP BY target, substr(anchor, 1, 64)")
 
 
+def _trap_urls() -> list[str]:
+    """Deterministic URL corpus for q_trap_detect, shared by the Spark
+    query and the generated SQL oracle: one calendar trap, one session-id
+    trap, one clean host whose biggest template misses the population
+    floor."""
+    urls = [f"https://trap.example.com/cal/{y}/{m:02d}/{d:02d}"
+            for y in (2023, 2024) for m in range(1, 13) for d in range(1, 8)]
+    urls += [f"https://trap.example.com/{p}" for p in ("about", "contact")]
+    urls += ["https://sess.example.com/s/%016x" % (i * 2654435761 % (1 << 64))
+             for i in range(40)]
+    urls += [f"https://sess.example.com/help/page{i}" for i in range(30)]
+    urls += [f"https://clean.example.com/{s}/art{i}"
+             for s in ("news", "blog") for i in range(20)]
+    urls += ["https://clean.example.com", "https://clean.example.com/?q=1"]
+    return urls
+
+
+def q_trap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-trap detection (operators/traps.py): URL-template collapse
+    (digit/hex runs) + the two-condition flag (population floor AND host
+    share). Full oracle: the same URL corpus as VALUES; DuckDB re-derives
+    the path extraction, both regexp collapses, the per-(host, template)
+    aggregation and the flag logic."""
+    from webcrawl_spark.operators.traps import trap_templates
+
+    urls = spark.createDataFrame([(u,) for u in _trap_urls()],
+                                 "url string")
+    return (trap_templates(urls, min_urls=40, min_share=0.5)
+            .select("host", "template", "n_urls", "host_urls",
+                    F.round("share", 6).alias("share_r6"), "is_trap"))
+
+
+def _trap_oracle_sql() -> str:
+    vals = ", ".join(f"('{u}')" for u in _trap_urls())
+    return f"""
+WITH urls(url) AS (VALUES {vals}),
+t AS (
+  SELECT regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]*)', 1)
+           AS host,
+         regexp_replace(
+           regexp_replace(
+             CASE WHEN regexp_extract(url,
+                    '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) = ''
+                  THEN '/'
+                  ELSE regexp_extract(url,
+                    '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) END,
+             '[0-9a-fA-F]{{8,}}', '{{hex}}', 'g'),
+           '[0-9]+', '{{n}}', 'g') AS template
+  FROM urls WHERE regexp_extract(url,
+    '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]*)', 1) <> ''),
+stats AS (
+  SELECT host, template, count(*) AS n_urls
+  FROM t GROUP BY host, template),
+totals AS (SELECT host, CAST(sum(n_urls) AS BIGINT) AS host_urls
+           FROM stats GROUP BY host)
+SELECT s.host, s.template, s.n_urls, tt.host_urls,
+       ROUND(CAST(s.n_urls AS DOUBLE) / tt.host_urls, 6) AS share_r6,
+       (s.n_urls >= 40
+        AND CAST(s.n_urls AS DOUBLE) / tt.host_urls >= 0.5) AS is_trap
+FROM stats s JOIN totals tt USING (host)"""
+
+
 #: q_image_plumbing synthetic-PNG constants (data-independent, shared by
 #: the Spark side and the generated SQL oracle). Pixel formula:
 #: gray(x, y, i) = (x*5 + y*7 + i*13) % 256. h is always ODD so n_pix
@@ -1082,6 +1144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_crawl_round": q_crawl_round,
         "q_hostrank": q_hostrank,
         "q_anchor_text": q_anchor_text,
+        "q_trap_detect": q_trap_detect,
         "q_image_plumbing": q_image_plumbing,
         "q_audio_plumbing": q_audio_plumbing,
         "q_video_plumbing": q_video_plumbing,
@@ -2238,6 +2301,7 @@ def oracle_sql() -> dict[str, str]:
         "q_crawl_round": _crawl_round_oracle_sql(),
         "q_hostrank": _hostrank_oracle_sql(),
         "q_anchor_text": _anchor_oracle_sql(),
+        "q_trap_detect": _trap_oracle_sql(),
         "q_image_plumbing": _image_oracle_sql(),
         "q_audio_plumbing": _audio_oracle_sql(),
         "q_video_plumbing": _video_oracle_sql(),
