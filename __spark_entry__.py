@@ -731,6 +731,27 @@ def q_hostrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rank") * 1e9).cast("long").alias("rank_e9"))
 
 
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted HITS hubs/authorities (operators/hostrank.py host_hits)
+    over the same synthetic host graph as q_hostrank. Full oracle: the
+    10 mutual-reinforcement iterations — including both L2
+    normalizations per iteration — unroll as a MATERIALIZED WITH chain;
+    scores compare integer-exact in nano-units."""
+    from webcrawl_spark.datagen import build_site, render_page_html
+    from webcrawl_spark.operators.hostrank import (
+        host_hits, host_link_edges,
+    )
+
+    site = build_site(**_HR_Q_SITE)
+    rows = [(u, render_page_html(site, u).encode()) for u in site.urls()]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    scores = host_hits(host_link_edges(pages), n_iter=_HR_Q_ITER)
+    return scores.select(
+        "host",
+        F.round(F.col("hub") * 1e9).cast("long").alias("hub_e9"),
+        F.round(F.col("authority") * 1e9).cast("long").alias("auth_e9"))
+
+
 def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text index (operators/anchors.py): the (target, anchor)
     corpus of the synthetic site's link graph with occurrence and
@@ -1143,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_topk": q_ann_topk,
         "q_crawl_round": q_crawl_round,
         "q_hostrank": q_hostrank,
+        "q_hits": q_hits,
         "q_anchor_text": q_anchor_text,
         "q_trap_detect": q_trap_detect,
         "q_image_plumbing": q_image_plumbing,
@@ -1927,6 +1949,57 @@ r_{k + 1} AS MATERIALIZED (
               f" FROM r_{_HR_Q_ITER} ORDER BY host")
 
 
+def _hits_oracle_sql() -> str:
+    """SQL replay of weighted HITS for q_hits: same kernel-exported link
+    pairs as _hostrank_oracle_sql; edge weights, both per-iteration L2
+    normalizations and the mutual-reinforcement updates re-derived as an
+    unrolled MATERIALIZED WITH chain."""
+    from webcrawl_spark.datagen import build_site, render_page_html
+    from webcrawl_spark.kernels.htmlkit import extract_links
+    from webcrawl_spark.kernels import urlkit
+
+    site = build_site(**_HR_Q_SITE)
+    pairs: list[tuple[str, str]] = []
+    for u in site.urls():
+        src = urlkit.url_host(u)
+        for link in extract_links(render_page_html(site, u), u):
+            dst = urlkit.url_host(link)
+            if src and dst and src != dst:
+                pairs.append((src, dst))
+    vals = ", ".join(f"('{s}', '{d}')" for s, d in pairs)
+    parts = [
+        f"WITH pairs(src, dst) AS (VALUES {vals}),",
+        "e AS MATERIALIZED (SELECT src, dst,"
+        " CAST(count(*) AS DOUBLE) AS w FROM pairs GROUP BY src, dst),",
+        "hosts AS MATERIALIZED (SELECT DISTINCT host FROM"
+        " (SELECT src AS host FROM e UNION ALL SELECT dst FROM e)),",
+        "s_0 AS MATERIALIZED (SELECT host, 1.0 AS hub,"
+        " 1.0 AS authority FROM hosts),",
+    ]
+    for k in range(1, _HR_Q_ITER + 1):
+        parts.append(f"""ar_{k} AS (
+  SELECT e.dst AS host, sum(s.hub * e.w) AS ar
+  FROM s_{k - 1} s JOIN e ON e.src = s.host GROUP BY e.dst),
+a_{k} AS MATERIALIZED (
+  SELECT host, ar / (SELECT sqrt(sum(ar * ar)) FROM ar_{k}) AS a
+  FROM ar_{k}),
+hr_{k} AS (
+  SELECT e.src AS host, sum(a.a * e.w) AS hr
+  FROM a_{k} a JOIN e ON e.dst = a.host GROUP BY e.src),
+h_{k} AS MATERIALIZED (
+  SELECT host, hr / (SELECT sqrt(sum(hr * hr)) FROM hr_{k}) AS h
+  FROM hr_{k}),
+s_{k} AS MATERIALIZED (
+  SELECT hs.host, COALESCE(h.h, 0.0) AS hub,
+         COALESCE(a.a, 0.0) AS authority
+  FROM hosts hs LEFT JOIN h_{k} h USING (host)
+                LEFT JOIN a_{k} a USING (host)),""")
+    return ("\n".join(parts).rstrip(",")
+            + f"\nSELECT host, CAST(ROUND(hub * 1e9) AS BIGINT) AS hub_e9,"
+              f" CAST(ROUND(authority * 1e9) AS BIGINT) AS auth_e9"
+              f" FROM s_{_HR_Q_ITER} ORDER BY host")
+
+
 def _image_family_sql(prefix: str, n: int, w_expr: str, h_expr: str,
                       pix_expr: str, fmt: str) -> str:
     """Histogram-count recompute for one synthetic-image family: per-image
@@ -2300,6 +2373,7 @@ def oracle_sql() -> dict[str, str]:
         "q_interdup": _INTERDUP_ORACLE_SQL,
         "q_crawl_round": _crawl_round_oracle_sql(),
         "q_hostrank": _hostrank_oracle_sql(),
+        "q_hits": _hits_oracle_sql(),
         "q_anchor_text": _anchor_oracle_sql(),
         "q_trap_detect": _trap_oracle_sql(),
         "q_image_plumbing": _image_oracle_sql(),

@@ -296,3 +296,59 @@ class TestTablePriority:
         assert "SortMergeJoin" not in plan
         got = {(r["host"], r["priority"]) for r in out.collect()}
         assert got == {("a.com", 2), ("c.com", 2)}
+
+
+def _numpy_hits(edges, n_iter):
+    """Weighted HITS, L2-normalized each half-step, all-ones init."""
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    idx = {h: i for i, h in enumerate(nodes)}
+    n = len(nodes)
+    w = np.zeros((n, n))
+    for s, d, x in edges:
+        w[idx[s], idx[d]] += x
+    hub = np.ones(n)
+    auth = np.ones(n)
+    for _ in range(n_iter):
+        auth = w.T @ hub
+        auth = auth / np.linalg.norm(auth)
+        hub = w @ auth
+        hub = hub / np.linalg.norm(hub)
+    return dict(zip(nodes, zip(hub, auth)))
+
+
+class TestHits:
+    @pytest.mark.parametrize("seed,n_iter", [(4, 10), (8, 6)])
+    def test_matches_numpy(self, spark, seed, n_iter):
+        from webcrawl_spark.operators.hostrank import host_hits
+
+        edges = _random_edges(seed)
+        df = spark.createDataFrame(
+            edges, "src string, dst string, weight double")
+        got = {r["host"]: (r["hub"], r["authority"])
+               for r in host_hits(df, n_iter=n_iter).collect()}
+        want = _numpy_hits(edges, n_iter)
+        assert set(got) == set(want)
+        for h, (hb, au) in want.items():
+            assert got[h][0] == pytest.approx(hb, abs=1e-12)
+            assert got[h][1] == pytest.approx(au, abs=1e-12)
+
+    def test_hub_vs_authority_roles(self, spark):
+        from webcrawl_spark.operators.hostrank import host_hits
+
+        # directory.com links out to everything; popular.com only receives
+        edges = [("directory.com", f"p{i}.com", 1.0) for i in range(4)]
+        edges += [(f"p{i}.com", "popular.com", 1.0) for i in range(4)]
+        df = spark.createDataFrame(
+            edges, "src string, dst string, weight double")
+        got = {r["host"]: r for r in host_hits(df, 10).collect()}
+        best_hub = max(got.values(), key=lambda r: r["hub"])["host"]
+        best_auth = max(got.values(), key=lambda r: r["authority"])["host"]
+        assert best_hub == "directory.com"
+        assert best_auth == "popular.com"
+
+    def test_empty_graph(self, spark):
+        from webcrawl_spark.operators.hostrank import host_hits
+
+        df = spark.createDataFrame([],
+                                   "src string, dst string, weight double")
+        assert host_hits(df, 3).count() == 0

@@ -38,6 +38,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from ..functions import links_udf, url_host
 
 __all__ = [
+    "host_hits",
     "host_link_edges",
     "host_pagerank",
     "host_rank_levels",
@@ -116,6 +117,71 @@ def host_pagerank(edges: DataFrame, n_iter: int = 10,
     e_norm.unpersist()
     hosts.unpersist()
     return ranks
+
+
+def host_hits(edges: DataFrame, n_iter: int = 10,
+              checkpoint_every: int = 1) -> DataFrame:
+    """Weighted HITS over (src, dst, weight) edges → (host, hub, authority).
+
+    Kleinberg's algorithm (JACM 1999), fixed ``n_iter`` mutual-
+    reinforcement iterations from the all-ones vector with L2
+    normalization each half-step:
+    auth_{t}(v) = Σ_{u→v} w(u,v)·hub_{t-1}(u), then auth /= ‖auth‖₂;
+    hub_{t}(u) = Σ_{u→v} w(u,v)·auth_{t}(v),  then hub  /= ‖hub‖₂.
+    Deterministic given the edge list (no convergence test), so the SQL
+    oracle can unroll it. Complements PageRank in the priority mix: hubs
+    are the link-list pages a crawler mines for discovery; authorities
+    are what it wants ranked fetch-first.
+
+    Scale shape mirrors host_pagerank: the edge table is cached once;
+    each half-step is one shuffle keyed on the gathering side; the L2
+    norm is a 1-row aggregate broadcast back (no driver collect);
+    lineage is truncated by a final localCheckpoint."""
+    e = (edges.groupBy("src", "dst").agg(F.sum("weight").alias("w"))
+         .persist())
+    hosts = (e.select(F.col("src").alias("host"))
+             .union(e.select(F.col("dst").alias("host")))
+             .distinct().persist())
+    if hosts.count() == 0:
+        e.unpersist()
+        hosts.unpersist()
+        return edges.sparkSession.createDataFrame(
+            [], "host string, hub double, authority double")
+    scores = hosts.select("host", F.lit(1.0).alias("hub"),
+                          F.lit(1.0).alias("authority"))
+    for i in range(n_iter):
+        auth = (scores.join(e, scores["host"] == e["src"])
+                .groupBy(F.col("dst").alias("host"))
+                .agg(F.sum(F.col("hub") * F.col("w")).alias("a_raw")))
+        a_norm = auth.agg(
+            F.sqrt(F.sum(F.col("a_raw") * F.col("a_raw"))).alias("nrm"))
+        auth = (auth.crossJoin(F.broadcast(a_norm))
+                .select("host", (F.col("a_raw") / F.col("nrm"))
+                        .alias("authority")))
+        hub = (auth.join(e, auth["host"] == e["dst"])
+               .groupBy(F.col("src").alias("host"))
+               .agg(F.sum(F.col("authority") * F.col("w")).alias("h_raw")))
+        h_norm = hub.agg(
+            F.sqrt(F.sum(F.col("h_raw") * F.col("h_raw"))).alias("nrm"))
+        hub = (hub.crossJoin(F.broadcast(h_norm))
+               .select("host", (F.col("h_raw") / F.col("nrm"))
+                       .alias("hub")))
+        scores = (hosts.join(hub, "host", "left")
+                  .join(auth, "host", "left")
+                  .select("host",
+                          F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"),
+                          F.coalesce(F.col("authority"), F.lit(0.0))
+                          .alias("authority")))
+        # each iteration stacks 4 joins + 2 aggregates on BOTH score
+        # columns' lineage — twice host_pagerank's per-iteration depth, so
+        # the default truncates EVERY iteration (Catalyst analysis time
+        # goes superlinear in plan depth well before 10 iterations)
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+            scores = scores.localCheckpoint(eager=True)
+    scores = scores.localCheckpoint(eager=True)
+    e.unpersist()
+    hosts.unpersist()
+    return scores
 
 
 def host_rank_levels(ranks: DataFrame, n_levels: int = 8) -> DataFrame:
