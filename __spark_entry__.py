@@ -859,6 +859,87 @@ SELECT s.host, s.template, s.n_urls, tt.host_urls,
 FROM stats s JOIN totals tt USING (host)"""
 
 
+#: q_recrawl constants (shared generator — no drift between sides)
+_RC_NOW = 1_700_600_000
+_RC_MIN, _RC_MAX, _RC_DEF = 3600, 30 * 86400, 7 * 86400
+
+
+def _recrawl_history() -> list[tuple[str, int, str]]:
+    """Deterministic (url, fetch_ts, fingerprint) fetch history: varying
+    fetch counts/cadences, fingerprint-change patterns from never to
+    every-fetch, plus single-fetch URLs with no estimable rate."""
+    rows: list[tuple[str, int, str]] = []
+    for i in range(40):
+        url = f"https://h{i % 5}.example.com/p{i}"
+        n = 2 + (i % 6)
+        step = 3600 * (1 + i % 9)
+        for k in range(n):
+            fp = f"v{(k * (i % 3 + 1)) // (i % 4 + 1)}"
+            rows.append((url, 1_700_000_000 + k * step + i, fp))
+    rows += [(f"https://h9.example.com/once{j}", 1_700_000_000 + j, "q")
+             for j in range(3)]
+    return rows
+
+
+def q_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl scheduling (operators/recrawl.py): Cho & Garcia-Molina
+    change-rate estimation over consecutive-fetch fingerprints + the
+    clamped due-time schedule. Full oracle: same history as VALUES;
+    DuckDB re-derives the lag-window change detection, the lambda
+    formula (ln both sides — libm vs Math.log agree far inside the e12
+    rounding grid) and the clamp/default/due logic."""
+    from webcrawl_spark.operators.recrawl import (
+        recrawl_schedule, url_change_rates,
+    )
+
+    hist = spark.createDataFrame(
+        _recrawl_history(), "url string, fetch_ts long, fingerprint string")
+    out = recrawl_schedule(url_change_rates(hist), now=_RC_NOW,
+                           min_interval=_RC_MIN, max_interval=_RC_MAX,
+                           default_interval=_RC_DEF)
+    return out.select(
+        "url", "n_fetches", "n_changes", "span",
+        F.coalesce(F.round(F.col("lam") * 1e12).cast("long"), F.lit(-1))
+        .alias("lam_e12"),
+        F.round("interval", 3).alias("interval_r3"),
+        "due_now")
+
+
+def _recrawl_oracle_sql() -> str:
+    vals = ", ".join(f"('{u}', {t}, '{fp}')"
+                     for u, t, fp in _recrawl_history())
+    return f"""
+WITH hist(url, ts, fp) AS (VALUES {vals}),
+marked AS (
+  SELECT url, ts,
+         (lag(fp) OVER w IS NOT NULL AND fp <> lag(fp) OVER w) AS changed
+  FROM hist WINDOW w AS (PARTITION BY url ORDER BY ts)),
+stats AS (
+  SELECT url, count(*) AS n_fetches,
+         CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_changes,
+         max(ts) - min(ts) AS span, max(ts) AS last_ts
+  FROM marked GROUP BY url),
+rates AS (
+  SELECT *, CASE WHEN n_fetches > 1 AND span > 0 THEN
+      -(n_fetches - 1.0)
+      * ln((n_fetches - 1.0 - n_changes + 0.5) / (n_fetches - 1.0 + 0.5))
+      / span END AS lam
+  FROM stats),
+sched AS (
+  SELECT *, CASE WHEN lam > 0 THEN
+                   least(greatest(1.0 / lam, {float(_RC_MIN)}),
+                         {float(_RC_MAX)})
+                 WHEN lam = 0 THEN {float(_RC_MAX)}
+                 ELSE {float(_RC_DEF)} END AS interval
+  FROM rates)
+SELECT url, n_fetches, n_changes, span,
+       COALESCE(CAST(ROUND(lam * 1e12) AS BIGINT), -1) AS lam_e12,
+       ROUND(interval, 3) AS interval_r3,
+       (last_ts + interval <= {_RC_NOW}) AS due_now
+FROM sched"""
+
+
 #: q_image_plumbing synthetic-PNG constants (data-independent, shared by
 #: the Spark side and the generated SQL oracle). Pixel formula:
 #: gray(x, y, i) = (x*5 + y*7 + i*13) % 256. h is always ODD so n_pix
@@ -1167,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hits": q_hits,
         "q_anchor_text": q_anchor_text,
         "q_trap_detect": q_trap_detect,
+        "q_recrawl": q_recrawl,
         "q_image_plumbing": q_image_plumbing,
         "q_audio_plumbing": q_audio_plumbing,
         "q_video_plumbing": q_video_plumbing,
@@ -2376,6 +2458,7 @@ def oracle_sql() -> dict[str, str]:
         "q_hits": _hits_oracle_sql(),
         "q_anchor_text": _anchor_oracle_sql(),
         "q_trap_detect": _trap_oracle_sql(),
+        "q_recrawl": _recrawl_oracle_sql(),
         "q_image_plumbing": _image_oracle_sql(),
         "q_audio_plumbing": _audio_oracle_sql(),
         "q_video_plumbing": _video_oracle_sql(),
