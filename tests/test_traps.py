@@ -86,3 +86,19 @@ class TestStatsAndFlags:
         a = sorted(map(tuple, template_stats(df, host_col="h").collect()))
         b = sorted(map(tuple, template_stats(df).collect()))
         assert a == b
+
+
+class TestFilterTrapped:
+    def test_anti_join_and_plan(self, spark):
+        from webcrawl_spark.operators.traps import filter_trapped
+
+        urls = _urls(spark)
+        traps = trap_templates(urls, min_urls=40, min_share=0.5)
+        kept = filter_trapped(urls, traps)
+        assert kept.columns == ["url"]
+        got = {r["url"] for r in kept.collect()}
+        assert not any("/cal/" in u for u in got)
+        assert "https://trap.com/about" in got
+        assert all("clean.com" in u or "trap.com" in u for u in got)
+        plan = kept._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

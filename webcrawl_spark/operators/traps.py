@@ -25,7 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["url_template", "template_stats", "trap_templates"]
+__all__ = ["url_template", "template_stats", "trap_templates",
+           "filter_trapped"]
 
 #: hex first (a digit-only run is also a hex run — the longer, more
 #: specific collapse must win), then digit runs.
@@ -82,3 +83,26 @@ def trap_templates(urls: DataFrame, url_col: str = "url",
             .withColumn("is_trap",
                         (F.col("n_urls") >= F.lit(min_urls))
                         & (F.col("share") >= F.lit(min_share))))
+
+
+def filter_trapped(candidates: DataFrame, traps: DataFrame,
+                   url_col: str = "url",
+                   host_col: str | None = None) -> DataFrame:
+    """Drop candidates whose (host, template) is a flagged trap.
+
+    The composition point with admission: templates come from the same
+    pure Column expression, the trap table is tiny by construction
+    (flagged templates only), so this is one broadcast LEFT ANTI join —
+    no shuffle of the candidate stream, schema passes through unchanged."""
+    host = (F.col(host_col) if host_col
+            else F.regexp_extract(
+                F.col(url_col),
+                "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]*)", 1))
+    tagged = candidates.withColumn("_t_host", host).withColumn(
+        "_t_tpl", url_template(F.col(url_col)))
+    deny = (traps.where(F.col("is_trap"))
+            .select(F.col("host").alias("_t_host"),
+                    F.col("template").alias("_t_tpl")))
+    return (tagged.join(F.broadcast(deny), ["_t_host", "_t_tpl"],
+                        "left_anti")
+            .drop("_t_host", "_t_tpl"))
