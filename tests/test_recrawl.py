@@ -89,3 +89,56 @@ class TestSchedule:
         assert r["next_due"] == 1100.0 and r["due_now"] is True
         r2 = recrawl_schedule(df, now=1099, default_interval=100).first()
         assert r2["due_now"] is False
+
+
+class TestFetchHistory:
+    def test_crawl_results_to_history(self, spark):
+        from webcrawl_spark.operators.recrawl import fetch_history
+
+        # two crawl runs a day apart; p1 changed, p2 didn't
+        rows = [("https://a.com/p1", "v1 text", 1000),
+                ("https://a.com/p2", "same", 1000),
+                ("https://a.com/p1", "v2 text", 1000 + 86400),
+                ("https://a.com/p2", "same", 1000 + 86400)]
+        res = spark.createDataFrame(
+            rows, "url string, markdown string, crawl_ts long")
+        hist = fetch_history(res)
+        assert hist.columns == ["url", "fetch_ts", "fingerprint"]
+        rates = {r["url"]: r for r in url_change_rates(hist).collect()}
+        assert rates["https://a.com/p1"]["n_changes"] == 1
+        assert rates["https://a.com/p2"]["n_changes"] == 0
+
+    def test_fingerprint_is_jvm_side(self, spark):
+        from webcrawl_spark.operators.recrawl import fetch_history
+
+        res = spark.createDataFrame(
+            [("u", "m", 1)], "url string, markdown string, crawl_ts long")
+        plan = fetch_history(res) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan
+
+    def test_end_to_end_with_engine_results(self, spark, tmp_path):
+        """A real crawl's crawl_result feeds the scheduler: every fetched
+        URL gets a default-interval due time after one observation."""
+        from webcrawl_spark.datagen import build_site, render_page_html
+        from webcrawl_spark.frontier.crawl import SparkCrawl
+        from webcrawl_spark.frontier.oracle import CrawlConfig
+        from webcrawl_spark.operators.recrawl import fetch_history
+
+        site = build_site(seed=3, n_hosts=2, pages_per_host=6)
+        pages = spark.createDataFrame(
+            [(u, render_page_html(site, u).encode()) for u in site.urls()],
+            "url string, html binary")
+        cfg = CrawlConfig(seed_url=f"https://{site.hosts[0]}/",
+                          max_depth=2, allow_backward_crawling=True)
+        crawl = SparkCrawl(spark, pages, cfg, str(tmp_path / "rc"))
+        crawl.run()
+        res = crawl.io.read("crawl_result") \
+            .withColumn("crawl_ts", F.lit(5_000_000))
+        sched = recrawl_schedule(
+            url_change_rates(fetch_history(res)),
+            now=5_000_000, default_interval=86400)
+        rows = sched.collect()
+        assert len(rows) == crawl.fetch_log().count() and len(rows) > 3
+        assert all(r["interval"] == 86400.0 for r in rows)
+        assert all(r["due_now"] is False for r in rows)

@@ -32,7 +32,27 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["url_change_rates", "recrawl_schedule"]
+__all__ = ["fetch_history", "url_change_rates", "recrawl_schedule"]
+
+
+def fetch_history(results: DataFrame, ts_col: str = "crawl_ts",
+                  url_col: str = "url",
+                  content_col: str = "markdown") -> DataFrame:
+    """crawl_result snapshots → (url, fetch_ts, fingerprint) history.
+
+    The engine's crawl_result rows are deterministic and carry no wall
+    clock; the caller tags each crawl run's rows with its run timestamp
+    (``ts_col`` — e.g. from the checkpoint commit time or the scheduler
+    that launched the run) before unioning runs together. The
+    fingerprint is xxhash64 of the extracted content — computed JVM-side
+    over the column, so the (possibly large) markdown never reaches
+    python and is pruned right after the hash."""
+    return results.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).cast("long").alias("fetch_ts"),
+        F.xxhash64(F.coalesce(F.col(content_col), F.lit("")))
+        .alias("fingerprint"),
+    )
 
 
 def url_change_rates(history: DataFrame, url_col: str = "url",
