@@ -175,6 +175,38 @@ def bench_corpus_ops(spark) -> dict[str, float]:
     return times
 
 
+def bench_graph(spark) -> dict:
+    """Non-headline: the host-graph family (PageRank / HITS / levels)
+    over a distributed synthetic skewed graph — single pass (the
+    iteration loop amortizes noise internally; scripts/graph_probe.py
+    carries the multi-size scaling table)."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "scripts"))
+    from graph_probe import synth_edges
+
+    from webcrawl_spark.operators.hostrank import (
+        host_hits, host_pagerank, host_rank_levels,
+    )
+
+    edges = synth_edges(spark, 5_000, avg_deg=8).persist()
+    n_edges = edges.count()
+    t0 = time.perf_counter()
+    pr = host_pagerank(edges, n_iter=10)
+    pr.count()
+    t_pr = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    host_hits(edges, n_iter=10).count()
+    t_hits = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    host_rank_levels(pr, n_levels=8).count()
+    t_lv = round(time.perf_counter() - t0, 3)
+    edges.unpersist()
+    return {"edges": n_edges, "pagerank_10it_sec": t_pr,
+            "hits_10it_sec": t_hits, "levels_sec": t_lv}
+
+
 def bench_multimodal(spark) -> dict:
     """Non-headline: REAL decode throughput for the multimodal kernels
     (PNG zlib+unfilter, baseline-JPEG Huffman+IDCT, WAV PCM) through the
@@ -353,6 +385,7 @@ def main() -> None:
         ann = bench_ann_recall(spark) if only in ("", "queries") else {}
         corpus_ops = bench_corpus_ops(spark) if only in ("", "queries") else {}
         multimodal = bench_multimodal(spark) if only in ("", "queries") else {}
+        graph = bench_graph(spark) if only in ("", "queries") else {}
         wall = round(time.perf_counter() - t0, 3)
         # protocol v2 (see BENCH.md measurement protocol): value = sum of
         # per-workload best times — what r2/r3's per-query rows already
@@ -377,6 +410,7 @@ def main() -> None:
             "ann": ann,
             "corpus_ops": corpus_ops,
             "multimodal": multimodal,
+            "graph": graph,
         }
         print(json.dumps(out))
     finally:
