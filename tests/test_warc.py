@@ -4,6 +4,7 @@ distributed binaryFile → mapInPandas read path."""
 import datetime as dt
 
 import pytest
+from pyspark.sql import functions as F
 
 from webcrawl_spark.sources.warc import (
     build_warc_bytes, parse_warc_bytes, read_warc,
@@ -352,3 +353,69 @@ class TestStreamingShape:
         assert {r["url"] for r in rows} == {r["url"] for r in
                                             ({"url": x["url"]} for x in recs)}
         assert all(len(r["html"]) == 50_007 for r in rows)
+
+
+class TestWriteWarc:
+    def _pages_df(self, spark, n=20):
+        rows = [(f"https://w{i % 4}.example.com/p{i}",
+                 dt.datetime(2026, 2, 1, 0, 0, i, tzinfo=UTC),
+                 f"<html><body>page {i}</body></html>".encode())
+                for i in range(n)]
+        return spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html binary")
+
+    def test_roundtrip_through_reader(self, spark, tmp_path):
+        from webcrawl_spark.sources.warc import write_warc
+
+        df = self._pages_df(spark)
+        out = str(tmp_path / "sink")
+        (tmp_path / "sink").mkdir()
+        manifest = write_warc(df, out, n_files=3).collect()
+        assert sum(m["records"] for m in manifest) == 20
+        assert all(m["path"].endswith(".warc.gz") for m in manifest)
+        back = read_warc(spark, out + "/*.warc.gz")
+        got = {(r["url"], bytes(r["html"])) for r in back.collect()}
+        want = {(r["url"], bytes(r["html"]))
+                for r in df.select("url", "html").collect()}
+        assert got == want
+        # timestamps survive the WARC-Date round trip (second precision)
+        ts = {r["url"]: r["warc_ts"] for r in back.collect()}
+        assert ts["https://w0.example.com/p0"].second == 0
+
+    def test_rolls_at_max_records(self, spark, tmp_path):
+        from webcrawl_spark.sources.warc import write_warc
+
+        out = str(tmp_path / "roll")
+        (tmp_path / "roll").mkdir()
+        manifest = write_warc(self._pages_df(spark, 20), out,
+                              max_records_per_file=3, n_files=1).collect()
+        assert len(manifest) == 7            # ceil(20 / 3)
+        assert max(m["records"] for m in manifest) == 3
+        back = read_warc(spark, out + "/*.warc.gz")
+        assert back.count() == 20
+
+    def test_status_and_content_type_columns_respected(self, spark,
+                                                       tmp_path):
+        from webcrawl_spark.sources.warc import write_warc
+
+        df = self._pages_df(spark, 4) \
+            .withColumn("http_status", F.lit(404)) \
+            .withColumn("content_type", F.lit("text/plain"))
+        out = str(tmp_path / "st")
+        (tmp_path / "st").mkdir()
+        write_warc(df, out, n_files=1).collect()
+        back = read_warc(spark, out + "/*.warc.gz").first()
+        assert back["http_status"] == 404
+        assert back["content_type"] == "text/plain"
+
+    def test_manifest_runs_once(self, spark, tmp_path):
+        """localCheckpoint pins the sink job: consuming the manifest
+        twice must not rewrite (and re-count) the files."""
+        from webcrawl_spark.sources.warc import write_warc
+
+        out = str(tmp_path / "once")
+        (tmp_path / "once").mkdir()
+        m = write_warc(self._pages_df(spark, 6), out, n_files=2)
+        a = sorted(map(tuple, m.collect()))
+        b = sorted(map(tuple, m.collect()))
+        assert a == b

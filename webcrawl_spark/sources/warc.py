@@ -33,10 +33,11 @@ from datetime import datetime, timezone
 from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = ["parse_warc_bytes", "iter_warc_stream", "read_warc",
-           "warc_pages", "wet_text", "build_warc_bytes"]
+           "warc_pages", "wet_text", "build_warc_bytes", "write_warc"]
 
 _CRLF2 = b"\r\n\r\n"
 _READ_CHUNK = 1 << 20          # 1 MB stream reads
@@ -270,29 +271,129 @@ def wet_text(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def _serialize_record(r: dict) -> bytes:
+    """One WARC/1.0 response record (shared by the in-memory builder and
+    the distributed sink). Record dict: url, warc_ts (datetime), html
+    (bytes), http_status (int, default 200), content_type (str)."""
+    body = (
+        b"HTTP/1.1 %d OK\r\nContent-Type: %s\r\n\r\n" % (
+            r.get("http_status", 200),
+            (r.get("content_type") or "text/html").encode())
+    ) + r["html"]
+    head = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: " + r["url"].encode() + b"\r\n"
+        b"WARC-Date: " +
+        r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ").encode() + b"\r\n"
+        b"Content-Type: application/http; msgtype=response\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+        b"\r\n"
+    )
+    return head + body + b"\r\n\r\n"
+
+
 def build_warc_bytes(records: list[dict], gzip_members: bool = False) -> bytes:
     """Serialize records into WARC/1.0 bytes (test/datagen helper — the
-    inverse of parse_warc_bytes). Each record dict: url, warc_ts
-    (datetime), html (bytes), http_status (int), content_type (str)."""
+    inverse of parse_warc_bytes)."""
     import gzip as _gzip
 
     out = io.BytesIO()
     for r in records:
-        body = (
-            b"HTTP/1.1 %d OK\r\nContent-Type: %s\r\n\r\n" % (
-                r.get("http_status", 200),
-                r.get("content_type", "text/html").encode())
-        ) + r["html"]
-        head = (
-            b"WARC/1.0\r\n"
-            b"WARC-Type: response\r\n"
-            b"WARC-Target-URI: " + r["url"].encode() + b"\r\n"
-            b"WARC-Date: " +
-            r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ").encode() + b"\r\n"
-            b"Content-Type: application/http; msgtype=response\r\n"
-            b"Content-Length: " + str(len(body)).encode() + b"\r\n"
-            b"\r\n"
-        )
-        rec = head + body + b"\r\n\r\n"
+        rec = _serialize_record(r)
         out.write(_gzip.compress(rec) if gzip_members else rec)
     return out.getvalue()
+
+
+def _open_sink(path: str):
+    """Write twin of _open_stream: local paths via open(), other schemes
+    via pyarrow.fs output streams."""
+    from urllib.parse import unquote, urlparse
+
+    u = urlparse(path)
+    if u.scheme in ("", "file"):
+        return open(unquote(u.path) if u.scheme else path, "wb")
+    import pyarrow.fs as pafs
+
+    if u.scheme in ("s3a", "s3n"):
+        path = "s3" + path[len(u.scheme):]
+    fs, inner = pafs.FileSystem.from_uri(path)
+    return fs.open_output_stream(inner)
+
+
+WARC_MANIFEST_SCHEMA = T.StructType([
+    T.StructField("path", T.StringType()),
+    T.StructField("records", T.LongType()),
+    T.StructField("bytes", T.LongType()),
+])
+
+
+def write_warc(df: DataFrame, out_dir: str,
+               max_records_per_file: int = 50_000,
+               n_files: int | None = None) -> DataFrame:
+    """Distributed WARC sink: (url, warc_ts, html[, http_status,
+    content_type]) → per-record-gzipped .warc.gz files under ``out_dir``
+    (the Common Crawl member layout read_warc streams), returning the
+    materialized (path, records, bytes) manifest.
+
+    Scale shape: each task STREAMS its partition to its own file — one
+    gzip member per record written as produced, never a whole file in
+    memory (the sink twin of the reader's bounded-chunk contract). Files
+    roll at ``max_records_per_file``; ``n_files`` repartitions first when
+    the caller wants a target file count. File names are
+    partition-deterministic, so a re-executed task overwrites its own
+    output (idempotent under Spark retries). The manifest job runs
+    eagerly (localCheckpoint) — exactly once even if the returned frame
+    is consumed by several downstream jobs."""
+    import gzip as _gzip
+
+    import pandas as pd
+    from pyspark import TaskContext
+
+    cols = set(df.columns)
+    sel = [F.col("url"), F.col("warc_ts"), F.col("html")]
+    sel.append(F.col("http_status") if "http_status" in cols
+               else F.lit(200).alias("http_status"))
+    sel.append(F.col("content_type") if "content_type" in cols
+               else F.lit("text/html").alias("content_type"))
+    data = df.select(*sel)
+    if n_files is not None:
+        data = data.repartition(n_files)
+
+    def sink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        seq = n_rec = n_bytes = 0
+        out = None
+        path = None
+        done: list[tuple[str, int, int]] = []
+
+        def roll():
+            nonlocal out, path, seq, n_rec, n_bytes
+            if out is not None:
+                out.close()
+                done.append((path, n_rec, n_bytes))
+                seq += 1
+            path = f"{out_dir}/part-{pid:05d}-{seq:03d}.warc.gz"
+            out = _open_sink(path)
+            n_rec = n_bytes = 0
+
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                if out is None or n_rec >= max_records_per_file:
+                    roll()
+                member = _gzip.compress(_serialize_record({
+                    "url": r.url, "warc_ts": r.warc_ts,
+                    "html": bytes(r.html),
+                    "http_status": int(r.http_status),
+                    "content_type": r.content_type,
+                }))
+                out.write(member)
+                n_rec += 1
+                n_bytes += len(member)
+        if out is not None:
+            out.close()
+            done.append((path, n_rec, n_bytes))
+        yield pd.DataFrame(done, columns=["path", "records", "bytes"])
+
+    return (data.mapInPandas(sink, WARC_MANIFEST_SCHEMA)
+            .localCheckpoint(eager=True))
