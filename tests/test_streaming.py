@@ -131,3 +131,36 @@ class TestStreamExactDedup:
         assert 3 in kept
         assert len({1, 2} & set(kept)) == 1   # exactly one of the dup pair
         assert "_fp" not in spark.table("stream_dedup").columns
+
+
+class TestStreamWarc:
+    def test_landing_dir_drained_available_now(self, spark, tmp_path):
+        """New .warc.gz files in a landing dir become streamed pages;
+        trigger(availableNow) drains the snapshot into a memory sink."""
+        import datetime as dt
+
+        from webcrawl_spark.sources.warc import build_warc_bytes
+        from webcrawl_spark.streaming import stream_warc
+
+        land = tmp_path / "landing"
+        land.mkdir()
+        utc = dt.timezone.utc
+        for i in range(3):
+            recs = [{"url": f"https://s{i}.example.com/p{j}",
+                     "warc_ts": dt.datetime(2026, 3, 1, 0, i, j,
+                                            tzinfo=utc),
+                     "html": f"<html>{i}-{j}</html>".encode()}
+                    for j in range(4)]
+            (land / f"f{i}.warc.gz").write_bytes(
+                build_warc_bytes(recs, gzip_members=True))
+        stream = stream_warc(spark, str(land))
+        assert stream.isStreaming
+        q = (stream.select("url", "html")
+             .writeStream.format("memory").queryName("warc_sink")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {r["url"] for r in spark.sql(
+            "SELECT url FROM warc_sink").collect()}
+        assert len(got) == 12
+        assert "https://s2.example.com/p3" in got

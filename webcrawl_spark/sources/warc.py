@@ -194,20 +194,15 @@ def _open_stream(path: str):
     return fs.open_input_stream(inner)
 
 
-def read_warc(spark: SparkSession, path: str,
-              response_only: bool = True,
-              chunk_bytes: int = 64 << 20) -> DataFrame:
-    """WARC files → pages DataFrame (url, warc_ts, warc_type, http_status,
-    content_type, html, warc_file). The driver job only LISTS files
-    (binaryFile scan pruned to ``path`` — no bytes read); each task
-    streams one file through the incremental parser and yields record
-    chunks of ~``chunk_bytes`` payload, so task memory is bounded by the
-    chunk size + one record regardless of file size."""
+def make_warc_parser(chunk_bytes: int = 64 << 20,
+                     response_only: bool = True):
+    """mapInPandas parser over a (path) frame — shared by the batch
+    reader and the streaming ingest (streaming.py stream_warc). Each
+    task streams one file through the incremental parser and yields
+    record chunks of ~``chunk_bytes`` payload, so task memory is bounded
+    by the chunk size + one record regardless of file size."""
     import pandas as pd
 
-    files = spark.read.format("binaryFile").load(path).select("path")
-    n_files = files.count()          # listing-only job: 1 row per file
-    paths = files.repartition(max(n_files, 1))
     cols = [f.name for f in WARC_SCHEMA]
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -233,7 +228,21 @@ def read_warc(spark: SparkSession, path: str,
                 if rows:
                     yield pd.DataFrame(rows, columns=cols)
 
-    return paths.mapInPandas(parse, WARC_SCHEMA)
+    return parse
+
+
+def read_warc(spark: SparkSession, path: str,
+              response_only: bool = True,
+              chunk_bytes: int = 64 << 20) -> DataFrame:
+    """WARC files → pages DataFrame (url, warc_ts, warc_type, http_status,
+    content_type, html, warc_file). The driver job only LISTS files
+    (binaryFile scan pruned to ``path`` — no bytes read); parsing is the
+    bounded-memory streaming parser (make_warc_parser)."""
+    files = spark.read.format("binaryFile").load(path).select("path")
+    n_files = files.count()          # listing-only job: 1 row per file
+    paths = files.repartition(max(n_files, 1))
+    return paths.mapInPandas(
+        make_warc_parser(chunk_bytes, response_only), WARC_SCHEMA)
 
 
 def warc_pages(spark: SparkSession, path: str) -> DataFrame:

@@ -27,7 +27,29 @@ from .kernels.scrape import ScrapeOptions
 from .operators.scrape import scrape
 
 __all__ = ["stream_scrape", "stream_fetch_metrics", "stream_host_sessions",
-           "stream_exact_dedup"]
+           "stream_exact_dedup", "stream_warc"]
+
+
+def stream_warc(spark, path: str, chunk_bytes: int = 64 << 20) -> DataFrame:
+    """Continuous WARC ingestion: a landing directory of .warc.gz files
+    (the shape a Common Crawl mirror or a fetch fleet produces) becomes a
+    streaming pages DataFrame — new files are parsed as they arrive.
+
+    Same scale contract as the batch reader (sources/warc.py read_warc):
+    the binaryFile streaming source is pruned to ``path`` only (the
+    file's content column is never selected, so whole-file bytes never
+    reach a task), and each file streams through the incremental parser
+    in bounded chunks. Compose with stream_scrape / stream_exact_dedup
+    downstream; trigger(availableNow=True) drains a static snapshot."""
+    from .sources.warc import WARC_SCHEMA, make_warc_parser
+
+    files = (spark.readStream.format("binaryFile")
+             .option("pathGlobFilter", "*.warc*")
+             .schema("path string, modificationTime timestamp, "
+                     "length long, content binary")
+             .load(path)
+             .select("path"))
+    return files.mapInPandas(make_warc_parser(chunk_bytes), WARC_SCHEMA)
 
 
 def stream_scrape(pages_stream: DataFrame,
