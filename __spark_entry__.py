@@ -627,6 +627,41 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", *_GOPHER_FLAG_COLS).orderBy("doc_id")
 
 
+_C4_FLAG_COLS = ["ok_sentences", "ok_lorem", "ok_brace", "ok_badwords",
+                 "c4_pass"]
+
+
+def q_c4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020): line filter (terminal
+    punctuation, >=3 words, no javascript) re-joined as c4_text, plus the
+    document-level rule flags. Pure Column pipeline; SQL twin recomputes
+    the line filter with list_filter."""
+    from webcrawl_spark.operators.textstats import with_c4_flags
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return with_c4_flags(docs) \
+        .select("doc_id", "c4_text", *_C4_FLAG_COLS).orderBy("doc_id")
+
+
+def q_ccnet_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet dedup normalization: the canonical dedup key (lowercase,
+    digits->0, punctuation stripped, whitespace collapsed) hashed with md5,
+    plus the per-key duplicate-group size the dedup pass would act on."""
+    from pyspark.sql import Window
+
+    from webcrawl_spark.operators.textstats import normalize_for_dedup
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    norm = normalize_for_dedup(F.col("text"))
+    out = docs.select(
+        "doc_id",
+        F.length(norm).alias("norm_len"),
+        F.md5(norm).alias("norm_key"),
+    )
+    w = Window.partitionBy("norm_key")
+    return out.withColumn("n_dups", F.count("*").over(w)).orderBy("doc_id")
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: per-doc count of word 8-grams shared with
     a 'benchmark' set (deterministically derived: the first 200 chars of
@@ -1262,6 +1297,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontaminate": q_decontaminate,
         "q_gopher_quality": q_gopher_quality,
         "q_interdup": q_interdup,
+        "q_c4_quality": q_c4_quality,
+        "q_ccnet_normalize": q_ccnet_normalize,
     }
 
 
@@ -1722,6 +1759,63 @@ _CHUNKING_ORACLE_SQL = f"""
            array_to_string(list_slice(ws, s + 1, s + 32), ' ') AS chunk_text,
            len(list_slice(ws, s + 1, s + 32)) AS n_words_chunk
     FROM starts ORDER BY doc_id, chunk_id
+"""
+
+
+def _c4_oracle_sql() -> str:
+    """Twin of q_c4_quality built from the SAME constants the operator
+    uses (imported, not copied)."""
+    from webcrawl_spark.operators import textstats as ts
+
+    bad = "[" + ", ".join(f"'{w}'" for w in ts.C4_BAD_WORDS) + "]"
+    words = _WORDS_SQL.format(col="text")
+    line_ok = rf"""x -> regexp_matches(trim(x), '{ts.C4_TERMINAL_RE}')
+                 AND len(list_filter(regexp_split_to_array(trim(x), '\s+'),
+                                     w -> w != ''))
+                     >= {ts.C4_MIN_WORDS_PER_LINE}
+                 AND NOT contains(lower(trim(x)), 'javascript')"""
+    flags = {
+        "ok_sentences": (
+            f"len(regexp_extract_all(c4_text, '[.!?]'))"
+            f" >= {ts.C4_MIN_SENTENCES}"),
+        "ok_lorem": "NOT contains(lower(text), 'lorem ipsum')",
+        "ok_brace": "NOT contains(text, chr(123))",
+        "ok_badwords": f"len(list_intersect({words}, {bad})) = 0",
+    }
+    cols = ",\n          ".join(f"({sql}) AS {name}"
+                                for name, sql in flags.items())
+    conj = " AND ".join(f"({sql})" for sql in flags.values())
+    return rf"""
+        WITH base AS (
+          SELECT doc_id, text,
+                 -- DuckDB array_to_string([]) is NULL; Spark array_join is ''
+                 coalesce(array_to_string(
+                   list_filter(
+                     list_transform(string_split(text, chr(10)),
+                                    x -> trim(x)),
+                     {line_ok}),
+                   chr(10)), '') AS c4_text
+          FROM documents
+        )
+        SELECT doc_id, c4_text,
+          {cols},
+          ({conj}) AS c4_pass
+        FROM base ORDER BY doc_id
+    """
+
+
+_CCNET_NORMALIZE_ORACLE_SQL = r"""
+    WITH n AS (
+      SELECT doc_id,
+        trim(regexp_replace(regexp_replace(regexp_replace(
+          lower(text), '[0-9]', '0', 'g'),
+          '[^a-z0-9\s]', ' ', 'g'),
+          '\s+', ' ', 'g')) AS norm
+      FROM documents
+    )
+    SELECT doc_id, length(norm) AS norm_len, md5(norm) AS norm_key,
+           count(*) OVER (PARTITION BY md5(norm)) AS n_dups
+    FROM n ORDER BY doc_id
 """
 
 
@@ -2452,6 +2546,8 @@ def oracle_sql() -> dict[str, str]:
         "q_ivf_topk": _ivf_oracle_sql(),
         "q_decontaminate": _DECONTAMINATE_ORACLE_SQL,
         "q_gopher_quality": _gopher_oracle_sql(),
+        "q_c4_quality": _c4_oracle_sql(),
+        "q_ccnet_normalize": _CCNET_NORMALIZE_ORACLE_SQL,
         "q_interdup": _INTERDUP_ORACLE_SQL,
         "q_crawl_round": _crawl_round_oracle_sql(),
         "q_hostrank": _hostrank_oracle_sql(),

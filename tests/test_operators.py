@@ -754,3 +754,81 @@ class TestDuplicatePassages:
         got = {r["doc_id"]: r["dup_frac"] for r in
                duplicate_passage_fraction(df, n=4).collect()}
         assert got[1] == 0.0 and got[2] == 0.0
+
+
+class TestC4Rules:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2) — line filter + doc flags.
+    Reference behavior: TensorFlow-datasets c4_utils (public); oracle twin
+    q_c4_quality in __spark_entry__.py."""
+
+    def test_line_filter(self, spark):
+        from webcrawl_spark.operators.textstats import c4_clean
+
+        text = "\n".join([
+            "This line has five proper words.",     # kept
+            "Too short.",                           # < 3 words
+            "no terminal punctuation here",         # no [.!?"] ending
+            "Enable JavaScript to view this page.", # javascript mention
+            '  "Quoted speech counts as terminal."',  # kept (quote ending)
+        ])
+        df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+        out = df.select(c4_clean(F.col("text")).alias("t")).first()["t"]
+        assert out == ('This line has five proper words.\n'
+                       '"Quoted speech counts as terminal."')
+
+    def test_doc_flags(self, spark):
+        from webcrawl_spark.operators.textstats import with_c4_flags
+
+        good = " ".join(["This is a perfectly fine sentence number %d." % i
+                         for i in range(6)])
+        rows = [
+            (1, good),
+            (2, "Lorem ipsum dolor sit amet filler text here."),
+            (3, "A sentence with code { inside } braces is dropped."),
+            (4, "This casino page should fail the badword screen."),
+            (5, ""),  # empty -> no sentences
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        got = {r["doc_id"]: r for r in with_c4_flags(df).collect()}
+        assert got[1]["c4_pass"]
+        assert not got[2]["ok_lorem"] and not got[2]["c4_pass"]
+        assert not got[3]["ok_brace"]
+        assert not got[4]["ok_badwords"]
+        assert not got[5]["ok_sentences"] and got[5]["c4_text"] == ""
+
+    def test_sentence_count_on_filtered_text(self, spark):
+        """Sentences are counted AFTER the line filter: a doc whose only
+        punctuation lives on dropped lines has zero sentences."""
+        from webcrawl_spark.operators.textstats import with_c4_flags
+
+        text = "\n".join(["Ok."] * 10)    # each line < 3 words -> all dropped
+        df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+        row = with_c4_flags(df).first()
+        assert row["c4_text"] == "" and not row["ok_sentences"]
+
+
+class TestCcnetNormalize:
+    def test_normalization_key(self, spark):
+        from webcrawl_spark.operators.textstats import normalize_for_dedup
+
+        rows = [
+            (1, "Hello,  World! 2024 edition"),
+            (2, "hello world 1999 EDITION"),   # same key as 1
+            (3, "hello world edition"),        # different (no digit slot)
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        got = {r["doc_id"]: r["k"] for r in
+               df.select("doc_id",
+                         normalize_for_dedup(F.col("text")).alias("k"))
+                 .collect()}
+        assert got[1] == got[2] == "hello world 0000 edition"
+        assert got[3] == "hello world edition"
+
+    def test_whitespace_and_unicode_scope(self, spark):
+        from webcrawl_spark.operators.textstats import normalize_for_dedup
+
+        df = spark.createDataFrame(
+            [(1, "tabs\tand\nnewlines   spaces")], "doc_id int, text string")
+        out = df.select(
+            normalize_for_dedup(F.col("text")).alias("k")).first()["k"]
+        assert out == "tabs and newlines spaces"

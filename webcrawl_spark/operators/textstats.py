@@ -21,6 +21,10 @@ __all__ = [
     "redact_pii",
     "gopher_quality_flags",
     "with_gopher_flags",
+    "c4_clean",
+    "c4_quality_flags",
+    "with_c4_flags",
+    "normalize_for_dedup",
     "with_text_stats",
 ]
 
@@ -296,6 +300,85 @@ def fingerprint(text: Column) -> Column:
     (rolling-hash equivalent; xxhash64 is the JVM-side stand-in)."""
     normalized = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
     return F.xxhash64(normalized)
+
+
+# --- C4 cleaning rules (Raffel et al. 2020, §2.2) ---------------------------
+# Line level: keep only lines that end in a terminal punctuation mark, carry
+# at least C4_MIN_WORDS_PER_LINE words, and don't mention "javascript".
+# Document level (over the line-filtered text): at least C4_MIN_SENTENCES
+# sentences, no "lorem ipsum", no curly brace, no blocklisted word.
+C4_MIN_WORDS_PER_LINE = 3
+C4_MIN_SENTENCES = 5
+C4_TERMINAL_RE = r'[.!?"]$'
+C4_BAD_WORDS = ["sex", "porn", "xxx", "viagra", "casino", "bet365"]
+
+
+def _c4_line_ok(t: Column) -> Column:
+    # t is already trimmed (c4_clean strips each line first, like the
+    # public c4_utils.clean_page which works on line.strip()).
+    return (
+        t.rlike(C4_TERMINAL_RE)
+        & (F.size(F.filter(F.split(t, r"\s+"), lambda w: w != ""))
+           >= C4_MIN_WORDS_PER_LINE)
+        & ~F.lower(t).contains("javascript")
+    )
+
+
+def c4_clean(text: Column) -> Column:
+    """The C4 line filter: strip each line, keep terminal-punctuated,
+    >=3-word, non-javascript lines; return the stripped survivors
+    re-joined. Pure Column (higher-order filter over the split lines —
+    no shuffle, no Python)."""
+    stripped = F.transform(F.split(text, "\n"), lambda ln: F.trim(ln))
+    return F.array_join(F.filter(stripped, _c4_line_ok), "\n")
+
+
+def c4_quality_flags(text: Column) -> dict[str, Column]:
+    """C4's document-level rules as one boolean per rule plus the
+    conjunction ``c4_pass``, evaluated over the line-filtered text the way
+    the pipeline applies them. Sentence count = terminal-punctuation marks
+    in the kept lines (the paper's sentence proxy). SQL oracle twin:
+    q_c4_quality."""
+    kept = c4_clean(text)
+    n_sentences = F.size(
+        F.regexp_extract_all(kept, F.lit(r"[.!?]"), F.lit(0)))
+    flags = {
+        "ok_sentences": n_sentences >= C4_MIN_SENTENCES,
+        "ok_lorem": ~F.lower(text).contains("lorem ipsum"),
+        "ok_brace": ~text.contains("{"),
+        "ok_badwords": ~F.arrays_overlap(
+            _words(text), F.array(*[F.lit(w) for w in C4_BAD_WORDS])),
+    }
+    c4_pass = F.lit(True)
+    for c in flags.values():
+        c4_pass = c4_pass & c
+    flags["c4_pass"] = c4_pass
+    return flags
+
+
+def with_c4_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc -> doc + c4_text (line-filtered) + the C4 rule flags."""
+    out = df.withColumn("c4_text", c4_clean(F.col(text_col)))
+    for name, col in c4_quality_flags(F.col(text_col)).items():
+        out = out.withColumn(name, col)
+    return out
+
+
+# --- CCNet dedup normalization (Wenzek et al. 2020) --------------------------
+# The hash key CCNet dedups on: lowercase, every digit folded to 0,
+# punctuation stripped, whitespace collapsed. Deliberately ASCII-scoped so
+# the Java (Spark) and RE2 (DuckDB) regex engines agree byte-for-byte.
+
+
+def normalize_for_dedup(text: Column) -> Column:
+    """CCNet-style normalization of a text column into its dedup key:
+    lower -> digits to 0 -> strip non-alnum/space -> collapse whitespace.
+    Pure chained regexp_replace (codegen); pair with fingerprint() or md5
+    for the corpus-wide key. SQL oracle twin: q_ccnet_normalize."""
+    out = F.lower(text)
+    out = F.regexp_replace(out, r"[0-9]", "0")
+    out = F.regexp_replace(out, r"[^a-z0-9\s]", " ")
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
