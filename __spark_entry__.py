@@ -662,6 +662,45 @@ def q_ccnet_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("n_dups", F.count("*").over(w)).orderBy("doc_id")
 
 
+def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity scoring: unigram LM trained on the corpus
+    itself (add-1 smoothing over V known types + one OOV type), per-doc
+    mean token log-prob and perplexity on the 1e-9 integer grid, plus the
+    head/middle/tail percentile buckets. SQL twin recomputes the LM, the
+    scores and the quantile_cont cutoffs from the same parquet."""
+    from webcrawl_spark.operators.lm import (
+        perplexity_buckets, score_perplexity, train_unigram_lm)
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    lm = train_unigram_lm(docs)
+    return perplexity_buckets(score_perplexity(docs, lm)).orderBy("doc_id")
+
+
+def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights toward the English sub-corpus: hashed word
+    bigrams (md5-salted buckets so DuckDB recomputes them bit-for-bit),
+    add-1 smoothed bucket distributions on target (lang='en') vs source
+    (all docs), per-doc sum of log-ratios on the 1e-9 grid."""
+    from webcrawl_spark.operators.lm import dsir_weights
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    target = docs.filter(F.col("lang") == "en")
+    return dsir_weights(docs, target, n=2, n_buckets=4096).orderBy("doc_id")
+
+
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: documents laid end-to-end in doc_id
+    order (one separator token each) and cut into 512-token training
+    windows; per-doc token_offset / first_seq / last_seq / n_seqs via the
+    two-phase distributed prefix sum (no single-partition window —
+    plan-gated in tests/test_lm.py). SQL twin is the naive global window
+    cumsum."""
+    from webcrawl_spark.operators.lm import pack_sequences
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return pack_sequences(docs, seq_len=512).orderBy("doc_id")
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: per-doc count of word 8-grams shared with
     a 'benchmark' set (deterministically derived: the first 200 chars of
@@ -1299,6 +1338,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_interdup": q_interdup,
         "q_c4_quality": q_c4_quality,
         "q_ccnet_normalize": q_ccnet_normalize,
+        "q_perplexity": q_perplexity,
+        "q_dsir": q_dsir,
+        "q_seq_pack": q_seq_pack,
     }
 
 
@@ -1816,6 +1858,116 @@ _CCNET_NORMALIZE_ORACLE_SQL = r"""
     SELECT doc_id, length(norm) AS norm_len, md5(norm) AS norm_key,
            count(*) OVER (PARTITION BY md5(norm)) AS n_dups
     FROM n ORDER BY doc_id
+"""
+
+
+def _perplexity_oracle_sql() -> str:
+    """Twin of q_perplexity: recompute the unigram LM, the add-1 scores
+    and the quantile_cont percentile cutoffs (same literal probabilities
+    as the operator's defaults) entirely in SQL."""
+    words = _WORDS_SQL.format(col="text")
+    p1, p2 = repr(1 / 3), repr(2 / 3)
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({words}) AS token FROM documents
+        ), lm AS (
+          SELECT token, count(*) AS cnt FROM toks GROUP BY token
+        ), tot AS (
+          SELECT sum(cnt)::DOUBLE AS n, count(*)::DOUBLE AS v FROM lm
+        ), sc AS (
+          SELECT t.doc_id, count(*) AS n_tokens,
+                 sum(CASE WHEN l.cnt IS NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS n_oov,
+                 avg(ln(coalesce(l.cnt, 0) + 1.0)
+                     - ln((SELECT n FROM tot)
+                          + 1.0 * ((SELECT v FROM tot) + 1))) AS avg_lp
+          FROM toks t LEFT JOIN lm l USING (token) GROUP BY t.doc_id
+        ), scored AS (
+          SELECT d.doc_id,
+                 coalesce(s.n_tokens, 0) AS n_tokens,
+                 coalesce(s.n_oov, 0) AS n_oov,
+                 CAST(round(s.avg_lp * 1e9, 0) AS BIGINT) AS avg_lp_nano,
+                 CAST(round(exp(-s.avg_lp) * 1e9, 0) AS BIGINT) AS ppl_nano
+          FROM documents d LEFT JOIN sc s USING (doc_id)
+        ), cuts AS (
+          SELECT quantile_cont(ppl_nano, {p1}) AS c1,
+                 quantile_cont(ppl_nano, {p2}) AS c2
+          FROM scored WHERE ppl_nano IS NOT NULL
+        )
+        SELECT doc_id, n_tokens, n_oov, avg_lp_nano, ppl_nano,
+               CASE WHEN ppl_nano IS NULL THEN NULL
+                    WHEN ppl_nano <= (SELECT c1 FROM cuts) THEN 'head'
+                    WHEN ppl_nano <= (SELECT c2 FROM cuts) THEN 'middle'
+                    ELSE 'tail' END AS ppl_bucket
+        FROM scored ORDER BY doc_id
+    """
+
+
+def _dsir_oracle_sql() -> str:
+    """Twin of q_dsir: same md5-salted bucket draw, same add-1 smoothed
+    log-ratio table, recomputed over the parquet in SQL."""
+    from webcrawl_spark.operators import lm as lmmod  # noqa: F401 (parity anchor)
+
+    words = _WORDS_SQL.format(col="text")
+    nb = 4096
+    return f"""
+        WITH cw AS (
+          SELECT doc_id, lang, {words} AS ws FROM documents
+        ), grams AS (
+          SELECT doc_id, lang,
+                 ('0x' || substr(md5('dsir' || unnest(
+                    [array_to_string(list_slice(ws, i, i + 1), ' ')
+                     FOR i IN range(1, greatest(len(ws) - 0, 1))])), 1, 8)
+                 )::UBIGINT % {nb} AS bucket
+          FROM cw
+        ), tgt AS (
+          SELECT bucket, count(*)::DOUBLE AS cnt_t FROM grams
+          WHERE lang = 'en' GROUP BY bucket
+        ), src AS (
+          SELECT bucket, count(*)::DOUBLE AS cnt_s FROM grams
+          GROUP BY bucket
+        ), tots AS (
+          SELECT (SELECT sum(cnt_t) FROM tgt) AS n_t,
+                 (SELECT sum(cnt_s) FROM src) AS n_s
+        ), ratios AS (
+          SELECT s.bucket,
+                 ln(coalesce(t.cnt_t, 0) + 1.0)
+                   - ln((SELECT n_t FROM tots) + 1.0 * {nb})
+                   - ln(coalesce(s.cnt_s, 0) + 1.0)
+                   + ln((SELECT n_s FROM tots) + 1.0 * {nb}) AS logratio
+          FROM src s LEFT JOIN tgt t USING (bucket)
+        ), per_doc AS (
+          SELECT g.doc_id, count(*) AS n_grams,
+                 sum(r.logratio) AS w
+          FROM grams g JOIN ratios r USING (bucket) GROUP BY g.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(p.n_grams, 0) AS n_grams,
+               CAST(round(p.w * 1e9, 0) AS BIGINT) AS dsir_weight_nano
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        ORDER BY d.doc_id
+    """
+
+
+_SEQ_PACK_ORACLE_SQL = f"""
+    WITH w AS (
+      SELECT doc_id, len({_WORDS_SQL.format(col="text")})::BIGINT + 1 AS span
+      FROM documents
+    ), r AS (
+      -- the windowed sum is HUGEINT in DuckDB (float64 via pandas): pin
+      -- every derived column back to BIGINT to match Spark's longs
+      SELECT doc_id, span,
+             (sum(span) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+               AS run
+      FROM w
+    )
+    SELECT doc_id, span - 1 AS n_tokens,
+           (run - span)::BIGINT AS token_offset,
+           ((run - span) // 512)::BIGINT AS first_seq,
+           ((run - 1) // 512)::BIGINT AS last_seq,
+           ((run - 1) // 512 - (run - span) // 512 + 1)::BIGINT AS n_seqs
+    FROM r ORDER BY doc_id
 """
 
 
@@ -2548,6 +2700,9 @@ def oracle_sql() -> dict[str, str]:
         "q_gopher_quality": _gopher_oracle_sql(),
         "q_c4_quality": _c4_oracle_sql(),
         "q_ccnet_normalize": _CCNET_NORMALIZE_ORACLE_SQL,
+        "q_perplexity": _perplexity_oracle_sql(),
+        "q_dsir": _dsir_oracle_sql(),
+        "q_seq_pack": _SEQ_PACK_ORACLE_SQL,
         "q_interdup": _INTERDUP_ORACLE_SQL,
         "q_crawl_round": _crawl_round_oracle_sql(),
         "q_hostrank": _hostrank_oracle_sql(),
