@@ -662,6 +662,18 @@ def q_ccnet_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("n_dups", F.count("*").over(w)).orderBy("doc_id")
 
 
+def q_passage_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-document duplicate-passage REMOVAL (Lee et al. exact-substring
+    dedup at word granularity, n=7 to hit the synthetic corpus's overlap):
+    words covered by any 7-gram shared across >=2 distinct docs are cut,
+    survivors re-joined. SQL twin recomputes windows on the gram strings
+    (Spark side hashes them — 64-bit xxhash64, collision-free here)."""
+    from webcrawl_spark.operators.corpus import remove_duplicate_passages
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return remove_duplicate_passages(docs, n=7).orderBy("doc_id")
+
+
 def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity scoring: unigram LM trained on the corpus
     itself (add-1 smoothing over V known types + one OOV type), per-doc
@@ -1341,6 +1353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_perplexity": q_perplexity,
         "q_dsir": q_dsir,
         "q_seq_pack": q_seq_pack,
+        "q_passage_removal": q_passage_removal,
     }
 
 
@@ -1859,6 +1872,46 @@ _CCNET_NORMALIZE_ORACLE_SQL = r"""
            count(*) OVER (PARTITION BY md5(norm)) AS n_dups
     FROM n ORDER BY doc_id
 """
+
+
+def _passage_removal_oracle_sql(n: int = 7) -> str:
+    """Twin of q_passage_removal: duplicate windows found on the gram
+    STRINGS (no xxhash64 in DuckDB), coverage cut via a nested list
+    comprehension; positions are 1-based here vs 0-based in Spark, same
+    span semantics."""
+    words = _WORDS_SQL.format(col="text")
+    return f"""
+        WITH cw AS (
+          SELECT doc_id, {words} AS ws FROM documents
+        ), cg AS (
+          SELECT doc_id, ws,
+                 unnest(range(1, greatest(len(ws) - {n - 2}, 1)))::INT AS pos
+          FROM cw
+        ), cg2 AS (
+          SELECT doc_id, pos,
+                 array_to_string(list_slice(ws, pos, pos + {n - 1}), ' ')
+                   AS gram
+          FROM cg
+        ), shared AS (
+          SELECT gram FROM cg2 GROUP BY gram
+          HAVING count(DISTINCT doc_id) >= 2
+        ), fl AS (
+          SELECT doc_id, list(pos ORDER BY pos) AS flagged
+          FROM cg2 JOIN shared USING (gram) GROUP BY doc_id
+        ), kept AS (
+          SELECT c.doc_id, len(c.ws) AS nw,
+                 [c.ws[j] FOR j IN range(1, len(c.ws) + 1)
+                  IF len(list_filter(coalesce(f.flagged, []),
+                                     p -> p <= j AND p >= j - {n - 1})) = 0]
+                   AS kw
+          FROM cw c LEFT JOIN fl f USING (doc_id)
+        )
+        SELECT doc_id,
+               coalesce(array_to_string(kw, ' '), '') AS clean_text,
+               nw AS n_words,
+               nw - len(kw) AS n_removed
+        FROM kept ORDER BY doc_id
+    """
 
 
 def _perplexity_oracle_sql() -> str:
@@ -2703,6 +2756,7 @@ def oracle_sql() -> dict[str, str]:
         "q_perplexity": _perplexity_oracle_sql(),
         "q_dsir": _dsir_oracle_sql(),
         "q_seq_pack": _SEQ_PACK_ORACLE_SQL,
+        "q_passage_removal": _passage_removal_oracle_sql(),
         "q_interdup": _INTERDUP_ORACLE_SQL,
         "q_crawl_round": _crawl_round_oracle_sql(),
         "q_hostrank": _hostrank_oracle_sql(),

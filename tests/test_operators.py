@@ -832,3 +832,60 @@ class TestCcnetNormalize:
         out = df.select(
             normalize_for_dedup(F.col("text")).alias("k")).first()["k"]
         assert out == "tabs and newlines spaces"
+
+
+class TestRemoveDuplicatePassages:
+    def test_cross_doc_passage_cut(self, spark):
+        from webcrawl_spark.operators.corpus import remove_duplicate_passages
+
+        shared = "alpha beta gamma delta epsilon zeta"
+        rows = [
+            (1, shared + " unique one two three"),
+            (2, shared + " other tail words here"),
+            (3, "entirely different content with no overlap at all ok"),
+            (4, ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        got = {r["doc_id"]: r for r in
+               remove_duplicate_passages(df, n=6).collect()}
+        assert got[1]["clean_text"] == "unique one two three"
+        assert got[1]["n_removed"] == 6
+        assert got[2]["clean_text"] == "other tail words here"
+        assert got[3]["n_removed"] == 0
+        assert got[4]["clean_text"] == "" and got[4]["n_words"] == 0
+
+    def test_overlapping_windows_cover_union(self, spark):
+        """Two docs sharing a 5-word run with n=4: both window starts are
+        flagged and their union (all 5 words) is removed, not just one
+        window."""
+        from webcrawl_spark.operators.corpus import remove_duplicate_passages
+
+        run = "one two three four five"
+        rows = [(1, "head " + run + " tailone"),
+                (2, "other " + run + " tailtwo")]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        got = {r["doc_id"]: r for r in
+               remove_duplicate_passages(df, n=4).collect()}
+        assert got[1]["clean_text"] == "head tailone"
+        assert got[1]["n_removed"] == 5
+
+    def test_within_doc_repeat_not_removed(self, spark):
+        from webcrawl_spark.operators.corpus import remove_duplicate_passages
+
+        rows = [(1, "a b c d a b c d"), (2, "x y z w v u t s")]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        got = {r["doc_id"]: r["n_removed"] for r in
+               remove_duplicate_passages(df, n=4).collect()}
+        assert got[1] == 0 and got[2] == 0
+
+    def test_mid_document_span_rejoins_clean(self, spark):
+        from webcrawl_spark.operators.corpus import remove_duplicate_passages
+
+        dup = "p q r s"
+        rows = [(1, "before " + dup + " after"),
+                (2, "x " + dup + " y")]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        got = {r["doc_id"]: r["clean_text"] for r in
+               remove_duplicate_passages(df, n=4).collect()}
+        assert got[1] == "before after"
+        assert got[2] == "x y"

@@ -24,6 +24,7 @@ __all__ = [
     "contamination_flags",
     "decontaminate",
     "duplicate_passage_fraction",
+    "remove_duplicate_passages",
 ]
 
 # 32-bit bucket space for the md5-prefix draw.
@@ -188,6 +189,79 @@ def duplicate_passage_fraction(df: DataFrame, n: int = 20,
         .select(id_col,
                 F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
                 F.coalesce("dup_frac", F.lit(0.0)).alias("dup_frac"))
+    )
+
+
+def remove_duplicate_passages(df: DataFrame, n: int = 20, min_docs: int = 2,
+                              text_col: str = "text",
+                              id_col: str = "doc_id") -> DataFrame:
+    """Cut inter-document duplicated passages OUT of the text — the
+    removal counterpart of duplicate_passage_fraction (the Lee et al.
+    2022 / RefinedWeb exact-substring dedup, re-expressed at word
+    granularity): every word covered by a sliding ``n``-word window that
+    occurs in >= ``min_docs`` DISTINCT documents is dropped; the
+    survivors re-join with single spaces. Within-doc repeats don't
+    trigger removal (that's repetition_stats territory).
+
+    Scale shape: the duplicate-window discovery is identical to
+    duplicate_passage_fraction — only (doc, 64-bit window hash, position)
+    rows enter the shuffles; full text joins back by id once, and the
+    span-coverage cut is pure Column array logic (the flagged-positions
+    array is bounded by the doc's own window count). The per-word
+    coverage test is O(words × flagged windows) per doc; flagged windows
+    are rare after the min_docs filter, and the inner probe is over a
+    plain column reference (cheap per element — not the _word_ngrams
+    re-evaluation pitfall, which only bites for expensive free
+    EXPRESSIONS)."""
+    from webcrawl_spark.operators.textstats import _word_ngrams, _words
+
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.transform(
+            _word_ngrams(_words(F.col(text_col)), n),
+            lambda g: F.xxhash64(g),
+        )).alias("_pos", "_h"),
+    )
+    shared = (grams.groupBy("_h")
+              .agg(F.countDistinct("_id").alias("_docs"))
+              .filter(F.col("_docs") >= min_docs).select("_h"))
+    flagged = (
+        grams.join(shared, "_h")
+        .groupBy("_id")
+        .agg(F.sort_array(F.collect_list("_pos")).alias("_flagged"))
+        .select(F.col("_id").alias(id_col), "_flagged")
+    )
+
+    def cut(ws: Column, fl: Column) -> Column:
+        m = F.size(ws)
+        # word j (0-based) is covered iff some flagged window start p
+        # satisfies p <= j <= p + n - 1
+        kept = F.zip_with(
+            ws,
+            F.sequence(F.lit(0), m - 1),
+            lambda w, j: F.when(
+                F.exists(fl, lambda p: (p <= j) & (p >= j - (n - 1))),
+                F.lit(None).cast("string"),
+            ).otherwise(w),
+        )
+        return F.when(m > 0, F.filter(kept, lambda w: w.isNotNull())) \
+                .otherwise(F.array().cast("array<string>"))
+
+    words = F.array(_words(F.col(text_col)))  # bound once per row
+    joined = df.join(flagged, id_col, "left").withColumn(
+        "_kept",
+        F.transform(
+            words,
+            lambda ws: cut(ws, F.coalesce(
+                F.col("_flagged"), F.array().cast("array<int>"))),
+        )[0],
+    )
+    n_words = F.size(words.getItem(0))
+    return joined.select(
+        id_col,
+        F.array_join("_kept", " ").alias("clean_text"),
+        n_words.alias("n_words"),
+        (n_words - F.size("_kept")).alias("n_removed"),
     )
 
 
