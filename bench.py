@@ -140,11 +140,15 @@ def bench_corpus_ops(spark) -> dict[str, float]:
     from pyspark.sql import functions as F
 
     from webcrawl_spark.operators.corpus import (
-        chunk_documents, contamination_flags,
+        chunk_documents, contamination_flags, remove_duplicate_passages,
     )
     from webcrawl_spark.operators.dedup import remove_boilerplate_lines
+    from webcrawl_spark.operators.lm import (
+        dsir_weights, pack_sequences, score_perplexity, train_unigram_lm,
+    )
     from webcrawl_spark.operators.textstats import (
-        redact_pii, with_gopher_flags, with_repetition_stats,
+        normalize_for_dedup, redact_pii, with_c4_flags, with_gopher_flags,
+        with_repetition_stats,
     )
 
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
@@ -163,6 +167,22 @@ def bench_corpus_ops(spark) -> dict[str, float]:
             docs, max_words=128, overlap=16).count(),
         "decontaminate": lambda: contamination_flags(
             docs, bench_set, n=8).count(),
+        # left-join-shaped outputs: aggregate a COMPUTED column, a bare
+        # .count() would be join-eliminated and time nothing
+        "c4_rules": lambda: with_c4_flags(docs).agg(
+            F.sum(F.length("c4_text"))).collect(),
+        "ccnet_normalize": lambda: docs.select(
+            F.md5(normalize_for_dedup(F.col("text"))).alias("k")
+        ).agg(F.count_distinct("k")).collect(),
+        "perplexity": lambda: score_perplexity(
+            docs, train_unigram_lm(docs)).agg(F.sum("ppl_nano")).collect(),
+        "dsir": lambda: dsir_weights(
+            docs, docs.filter(F.col("lang") == "en"), n=2
+        ).agg(F.sum("dsir_weight_nano")).collect(),
+        "seq_pack": lambda: pack_sequences(docs, seq_len=2048).agg(
+            F.max("last_seq")).collect(),
+        "passage_removal": lambda: remove_duplicate_passages(docs, n=7).agg(
+            F.sum("n_removed")).collect(),
     }
     times: dict[str, float] = {}
     for _pass in range(2):

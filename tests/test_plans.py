@@ -290,3 +290,46 @@ def test_ivf_cell_partitioned_table_prunes(spark, tmp_path):
     # and the probe truly reads only the probed cells
     cells = {r["cell"] for r in probed.select("cell").distinct().collect()}
     assert cells <= {0, 3}
+
+
+def test_perplexity_lm_join_broadcasts(spark):
+    """score_perplexity's token->logprob lookup must be a broadcast hash
+    join by default (vocab << token stream); a sort-merge join here means
+    the whole exploded token stream shuffled on the token string."""
+    from webcrawl_spark.operators.lm import score_perplexity, train_unigram_lm
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    plan = _plan(score_perplexity(docs, train_unigram_lm(docs)))
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
+
+
+def test_dsir_ratio_join_broadcasts(spark):
+    """dsir_weights joins a <= n_buckets-row log-ratio table onto the
+    gram stream — must broadcast, never shuffle the gram stream on
+    bucket."""
+    from pyspark.sql import functions as F
+
+    from webcrawl_spark.operators.lm import dsir_weights
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    plan = _plan(dsir_weights(docs, docs.filter(F.col("lang") == "en"),
+                              n=2, n_buckets=256))
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
+
+
+def test_passage_removal_text_never_shuffles(spark):
+    """remove_duplicate_passages: only (_id, _pos, _h) rows may enter an
+    Exchange — the text column joins back by id via broadcast/SMJ on ids,
+    but the window-discovery shuffles must not carry text."""
+    from webcrawl_spark.operators.corpus import remove_duplicate_passages
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    plan = _plan(remove_duplicate_passages(docs, n=8))
+    assert "Python" not in plan
+    # every Exchange's output attribute list must be hash/pos/id-only or
+    # id-keyed; none may materialize the text column
+    import re
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1)
