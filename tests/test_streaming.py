@@ -164,3 +164,60 @@ class TestStreamWarc:
             "SELECT url FROM warc_sink").collect()}
         assert len(got) == 12
         assert "https://s2.example.com/p3" in got
+
+
+class TestStreamCurate:
+    def test_flags_and_ppl_match_batch(self, spark, tmp_path):
+        """Stateless curation gates on a stream must agree with the batch
+        operators: C4/Gopher flags exactly, perplexity within 1 nano
+        (python libm vs JVM libm last-bit)."""
+        from webcrawl_spark.operators.lm import (
+            score_perplexity, train_unigram_lm)
+        from webcrawl_spark.operators.textstats import (
+            with_c4_flags, with_gopher_flags)
+        from webcrawl_spark.streaming import stream_curate
+
+        texts = [
+            "This is a perfectly fine sentence. " * 8,
+            "short junk",
+            "the cat sat on the mat. the dog sat on the log. " * 4,
+            "",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
+        src = str(tmp_path / "curate_src")
+        df.write.mode("overwrite").parquet(src)
+
+        lm = train_unigram_lm(df)
+        batch_ppl = {r["doc_id"]: r["ppl_nano"]
+                     for r in score_perplexity(df, lm).collect()}
+        batch_flags = {r["doc_id"]: r for r in
+                       with_gopher_flags(with_c4_flags(df)).collect()}
+
+        stream = spark.readStream.schema(df.schema).parquet(src)
+        out = stream_curate(stream, lm=lm)
+        assert out.isStreaming
+        _run_stream_to_memory(out, "curate_stream")
+        got = {r["doc_id"]: r for r in
+               spark.sql("select * from curate_stream").collect()}
+
+        assert len(got) == len(texts)
+        for i in got:
+            assert got[i]["c4_pass"] == batch_flags[i]["c4_pass"]
+            assert got[i]["gopher_pass"] == batch_flags[i]["gopher_pass"]
+            b, s = batch_ppl[i], got[i]["ppl_nano"]
+            if b is None:
+                assert s is None
+            else:
+                assert abs(s - b) <= 1, (i, s, b)
+
+    def test_without_lm_flags_only(self, spark, tmp_path):
+        from webcrawl_spark.streaming import stream_curate
+
+        df = spark.createDataFrame(
+            [(1, "A good sentence here today.")], "doc_id int, text string")
+        src = str(tmp_path / "curate_src2")
+        df.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(df.schema).parquet(src)
+        out = stream_curate(stream)
+        assert "ppl_nano" not in out.columns and "c4_pass" in out.columns

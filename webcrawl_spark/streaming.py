@@ -20,6 +20,9 @@ the source becomes Kafka/Kinesis with identical code.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -27,7 +30,7 @@ from .kernels.scrape import ScrapeOptions
 from .operators.scrape import scrape
 
 __all__ = ["stream_scrape", "stream_fetch_metrics", "stream_host_sessions",
-           "stream_exact_dedup", "stream_warc"]
+           "stream_exact_dedup", "stream_warc", "stream_curate"]
 
 
 def stream_warc(spark, path: str, chunk_bytes: int = 64 << 20) -> DataFrame:
@@ -148,6 +151,68 @@ def stream_exact_dedup(
         .dropDuplicatesWithinWatermark(["_fp"])
         .drop("_fp")
     )
+
+
+def stream_curate(
+    docs_stream: DataFrame,
+    lm: DataFrame | None = None,
+    add_k: float = 1.0,
+    max_vocab: int = 1 << 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming twin of the batch curation gates: C4 + Gopher rule flags
+    (pure Column — identical semantics to batch) plus, when a
+    batch-trained unigram ``lm`` DataFrame is supplied, per-doc
+    perplexity against it.
+
+    The batch scorer's explode -> join -> per-doc groupBy shape would be
+    a streaming AGGREGATION (state + watermark + append-mode latency);
+    on a stream the right shape is stateless: the LM's top ``max_vocab``
+    rows are collected once at plan-build time and broadcast into an
+    Arrow-batched pandas UDF that scores each document in one pass —
+    same add-k event space (V known types + one OOV type) as
+    operators.lm.score_perplexity, so batch and stream agree on the
+    1e-9 grid (parity-tested). Downstream: filter on
+    ``c4_pass & gopher_pass`` and a ppl_nano cutoff from the batch
+    percentile pass."""
+    import math
+
+    from pyspark.sql.types import LongType
+
+    from .operators.textstats import c4_quality_flags, gopher_quality_flags
+
+    out = docs_stream
+    for name, col in c4_quality_flags(F.col(text_col)).items():
+        out = out.withColumn(name, col)
+    for name, col in gopher_quality_flags(F.col(text_col)).items():
+        out = out.withColumn(name, col)
+    if lm is None:
+        return out
+
+    rows = (lm.orderBy(F.desc("cnt"), F.asc("token"))
+            .limit(max_vocab).collect())
+    counts = {r["token"]: int(r["cnt"]) for r in rows}
+    totals = lm.agg(F.sum("cnt"), F.count("*")).first()
+    n_total, vocab = int(totals[0] or 0), int(totals[1] or 0)
+    ln_denom = math.log(n_total + add_k * (vocab + 1))
+
+    import re
+
+    word_re = re.compile(r"[^\w]+", re.ASCII)
+
+    @F.pandas_udf(LongType())
+    def ppl_nano(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        def score(t):
+            words = [w for w in word_re.split((t or "").lower()) if w]
+            if not words:
+                return None
+            s = sum(math.log(counts.get(w, 0) + add_k) - ln_denom
+                    for w in words)
+            return round(math.exp(-s / len(words)) * 1e9)
+        for s in batches:
+            yield s.map(score).astype("object")
+
+    return out.withColumn("ppl_nano", ppl_nano(F.col(text_col)))
 
 
 def stream_fetch_metrics(
