@@ -42,6 +42,9 @@ Operator-family mapping (SURVEY.md §2 → query):
   ANN top-k (RP-LSH bucketed)          → q_ann_topk (FULL oracle: bucketing
                                          recomputed in SQL from shared plane
                                          constants + exact rerank)
+  SemDeDup (semantic dedup)            → q_semdedup (cells, pair cosines and
+                                         the keep-lowest-centroid-sim rule
+                                         recomputed from anchor constants)
   multimodal (real PNG/GIF/JPEG + WAV  → q_image_plumbing / q_audio_plumbing
   + MP4 metadata)                        / q_video_plumbing (integer counts
                                          and metadata recomputed in SQL
@@ -743,6 +746,30 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+#: q_semdedup config constants, shared with the generated SQL oracle.
+_SEMDEDUP_CELLS, _SEMDEDUP_SEED, _SEMDEDUP_EPS, _SEMDEDUP_DIM = 16, 11, 0.35, 64
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (semantic dedup, Abbas et al. 2023) in its oracle
+    configuration: seed-derived anchor cells (data-independent — the
+    DuckDB twin recomputes assignment, within-cell pair cosines, and the
+    keep-lowest-centroid-sim removal rule from the same constants). The
+    trained-k-means quantizer is the quality path, covered by
+    tests/test_semdedup.py."""
+    from webcrawl_spark.operators.similarity import random_anchors, semdedup
+
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
+    anchors = random_anchors(_SEMDEDUP_DIM, _SEMDEDUP_CELLS,
+                             seed=_SEMDEDUP_SEED)
+    return (
+        semdedup(emb, anchors, eps=_SEMDEDUP_EPS)
+        .select("vec_id", "cell", F.round("csim", 6).alias("csim"),
+                "removed")
+        .orderBy("vec_id")
+    )
+
+
 #: q_crawl_round site/config constants — shared by the Spark query and the
 #: generated SQL oracle so the two sides cannot drift. limit=None: the
 #: SQL round sim is exact without the sequential limit-replay semantics,
@@ -1345,6 +1372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sample_mix": q_sample_mix,
         "q_chunking": q_chunking,
         "q_ivf_topk": q_ivf_topk,
+        "q_semdedup": q_semdedup,
         "q_decontaminate": q_decontaminate,
         "q_gopher_quality": q_gopher_quality,
         "q_interdup": q_interdup,
@@ -2186,6 +2214,63 @@ def _ivf_oracle_sql() -> str:
     """
 
 
+def _semdedup_oracle_sql() -> str:
+    """Full twin of q_semdedup: cell = first-match argmax over the shared
+    anchor dots (same d{c}/greatest/CASE shape _ivf_oracle_sql proved),
+    csim = own-cell dot / vector norm, within-cell pair cosines via the
+    sequential summation q_embed_neardup proved order-identical, and the
+    removal rule on nano-rounded csims with the id tie-break — the exact
+    comparison the Spark operator runs."""
+    from webcrawl_spark.operators.similarity import random_anchors
+
+    n_cells, dim = _SEMDEDUP_CELLS, _SEMDEDUP_DIM
+    anchors = random_anchors(dim, n_cells, seed=_SEMDEDUP_SEED)
+    # ::DOUBLE on the float element BEFORE the product: DuckDB otherwise
+    # narrows FLOAT * double-literal to FLOAT, rounding every product to
+    # float32 — the Spark side casts the vector to array<double> for the
+    # same reason, so both engines run the identical double sequential sum
+    dots = ",\n                 ".join(
+        "(" + " + ".join(f"embedding[{i + 1}]::DOUBLE*({anchors[c, i]!r})"
+                         for i in range(dim)) + f") AS d{c}"
+        for c in range(n_cells))
+    first_match = " ".join(f"WHEN d{c} = m THEN {c}"
+                           for c in range(n_cells))
+    return f"""
+        WITH d AS (
+          SELECT vec_id, embedding,
+                 {dots}
+          FROM embeddings
+        ), s AS (
+          SELECT vec_id, embedding, CASE {first_match} END AS cell,
+                 m / nrm AS csim, nrm
+          FROM (SELECT *,
+                  greatest({', '.join(f'd{c}' for c in range(n_cells))}) AS m,
+                  sqrt(list_aggregate(
+                    list_transform(embedding, x -> x*x), 'sum')) AS nrm
+                FROM d)
+        ), p AS (
+          SELECT x.vec_id AS a, y.vec_id AS b,
+                 round(x.csim * 1e9)::BIGINT AS ca,
+                 round(y.csim * 1e9)::BIGINT AS cb,
+                 list_aggregate(list_transform(range(1, {dim + 1}),
+                   i -> x.embedding[i::INT]::DOUBLE
+                        * y.embedding[i::INT]::DOUBLE), 'sum')
+                 / (x.nrm * y.nrm) AS cos
+          FROM s x JOIN s y
+            ON x.cell = y.cell AND x.vec_id < y.vec_id
+        ), losers AS (
+          SELECT DISTINCT
+                 CASE WHEN ca > cb OR (ca = cb AND a > b) THEN a ELSE b END
+                 AS vec_id
+          FROM p WHERE cos >= {_SEMDEDUP_EPS}
+        )
+        SELECT s.vec_id, s.cell, round(s.csim, 6) AS csim,
+               (losers.vec_id IS NOT NULL) AS removed
+        FROM s LEFT JOIN losers USING (vec_id)
+        ORDER BY s.vec_id
+    """
+
+
 def _crawl_round_oracle_sql() -> str:
     """SQL replay of the politeness-budgeted round loop for q_crawl_round.
 
@@ -2749,6 +2834,7 @@ def oracle_sql() -> dict[str, str]:
         "q_sample_mix": _sample_mix_oracle_sql(),
         "q_chunking": _CHUNKING_ORACLE_SQL,
         "q_ivf_topk": _ivf_oracle_sql(),
+        "q_semdedup": _semdedup_oracle_sql(),
         "q_decontaminate": _DECONTAMINATE_ORACLE_SQL,
         "q_gopher_quality": _gopher_oracle_sql(),
         "q_c4_quality": _c4_oracle_sql(),

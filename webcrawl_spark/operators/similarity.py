@@ -33,6 +33,7 @@ __all__ = [
     "ivf_cell_udf",
     "ivf_assign",
     "ivf_topk",
+    "semdedup",
 ]
 
 
@@ -214,6 +215,80 @@ def ivf_topk(df: DataFrame, query: list[float], centroids: np.ndarray,
               np.argsort(-scores, kind="stable")[:nprobe]]
     cand = df.filter(F.col("cell").isin(probes))
     return cosine_topk(cand, query, k, vec_col, id_col)
+
+
+def semdedup(df: DataFrame, centroids: np.ndarray, eps: float = 0.2,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by embedding clusters. Every vector is assigned to its
+    nearest centroid's cell; within each cell, pairs with exact cosine
+    >= ``eps`` are semantic duplicates, and from each duplicate pair the
+    member with the HIGHER cosine to its own centroid is removed (the
+    paper keeps the least-typical example per duplicate set, preserving
+    diversity near the cluster edge). Ties break to the higher id so the
+    rule is total and engine-independent; the comparison runs on
+    nano-rounded cosines (round(csim*1e9) as int64 — the jitter between a
+    BLAS and a sequential fold is ~1e-15, five orders below the grid).
+
+    Scale shape: the only join is the within-cell self-join, so the pair
+    count is sum(|cell|^2)/2 — bounded by the SemDeDup knob itself
+    (n_cells grows with the corpus so cells stay ~constant-size; the
+    paper uses k ~ sqrt(N)). Cell assignment is one Arrow-batched UDF
+    pass; at 100 TB, persist the assignment partitioned by ``cell`` and
+    the self-join becomes a partition-local co-located join. Everything
+    after assignment is JVM-side Column algebra (no Python in the pair
+    loop).
+
+    Returns (id_col, cell, csim, removed) — one row per input vector;
+    ``removed`` marks the vectors SemDeDup would drop.
+    """
+    norm_c = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    base = ivf_assign(df, centroids, vec_col)
+    cent_lit = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in norm_c])
+    own = F.element_at(cent_lit, F.col("cell") + 1)
+    # cast the (float) vector up to double BEFORE the product: zip_with
+    # type-coercion otherwise narrows the double centroid to float and
+    # rounds every product to float32 — a 1e-7 drift an engine promoting
+    # to double (e.g. the SQL oracle) never shows
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col).cast("array<double>"), own,
+                   lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+    nrm = F.sqrt(F.aggregate(
+        F.transform(F.col(vec_col), lambda a: a * a),
+        F.lit(0.0), lambda acc, x: acc + x))
+    base = base.select(
+        F.col(id_col), F.col(vec_col).alias("_v"), F.col("cell"),
+        (dot / nrm).alias("csim"), nrm.alias("_nrm"))
+
+    base = base.withColumn("_v", F.col("_v").cast("array<double>"))
+    l, r = base.alias("l"), base.alias("r")
+    pair_dot = F.aggregate(
+        F.zip_with(F.col("l._v"), F.col("r._v"), lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+    pairs = (
+        l.join(r, (F.col("l.cell") == F.col("r.cell"))
+               & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .select(
+            F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"),
+            (pair_dot / (F.col("l._nrm") * F.col("r._nrm"))).alias("cos"),
+            F.round(F.col("l.csim") * F.lit(1e9), 0).cast("long").alias("ca"),
+            F.round(F.col("r.csim") * F.lit(1e9), 0).cast("long").alias("cb"),
+        )
+        .filter(F.col("cos") >= F.lit(eps))
+    )
+    losers = pairs.select(
+        F.when((F.col("ca") > F.col("cb"))
+               | ((F.col("ca") == F.col("cb")) & (F.col("a") > F.col("b"))),
+               F.col("a")).otherwise(F.col("b")).alias(id_col)
+    ).distinct().withColumn("_rm", F.lit(True))
+    return (
+        base.join(losers, id_col, "left")
+        .select(F.col(id_col), F.col("cell"), F.col("csim"),
+                F.coalesce(F.col("_rm"), F.lit(False)).alias("removed"))
+    )
 
 
 def embedding_near_dup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
