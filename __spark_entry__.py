@@ -45,6 +45,9 @@ Operator-family mapping (SURVEY.md §2 → query):
   SemDeDup (semantic dedup)            → q_semdedup (cells, pair cosines and
                                          the keep-lowest-centroid-sim rule
                                          recomputed from anchor constants)
+  quality classifier (fastText-style)  → q_quality_clf (hashed-gram logistic
+                                         gate; integer nano-weights, exact
+                                         int64 oracle; trainer pytest-gated)
   multimodal (real PNG/GIF/JPEG + WAV  → q_image_plumbing / q_audio_plumbing
   + MP4 metadata)                        / q_video_plumbing (integer counts
                                          and metadata recomputed in SQL
@@ -746,6 +749,36 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+#: q_quality_clf config constants, shared with the generated SQL oracle:
+#: seed-derived nano-unit weights (data-independent, the anchors trick) —
+#: the TRAINED-weights path is pytest-gated (tests/test_qualityclf.py
+#: trains distributed LR to >=95% and to 1e-9 numpy parity).
+_QCLF_BUCKETS, _QCLF_SEED, _QCLF_BIAS_NANO = 512, 13, 38_000_000
+
+
+def _qclf_weights_nano() -> list[int]:
+    import numpy as np
+
+    rng = np.random.RandomState(_QCLF_SEED)
+    return [int(x) for x in
+            np.round(rng.standard_normal(_QCLF_BUCKETS) * 2e8)
+            .astype("int64")]
+
+
+def q_quality_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed-n-gram logistic quality gate in its oracle
+    configuration (seeded integer nano-weights, so scoring is pure int64
+    and the DuckDB twin recomputes buckets, counts, and the cleared-
+    division decision rule exactly)."""
+    from webcrawl_spark.operators.qualityclf import score_quality
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return (
+        score_quality(docs, _qclf_weights_nano(), _QCLF_BIAS_NANO)
+        .orderBy("doc_id")
+    )
+
+
 #: q_semdedup config constants, shared with the generated SQL oracle.
 _SEMDEDUP_CELLS, _SEMDEDUP_SEED, _SEMDEDUP_EPS, _SEMDEDUP_DIM = 16, 11, 0.35, 64
 
@@ -1373,6 +1406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chunking": q_chunking,
         "q_ivf_topk": q_ivf_topk,
         "q_semdedup": q_semdedup,
+        "q_quality_clf": q_quality_clf,
         "q_decontaminate": q_decontaminate,
         "q_gopher_quality": q_gopher_quality,
         "q_interdup": q_interdup,
@@ -2214,6 +2248,46 @@ def _ivf_oracle_sql() -> str:
     """
 
 
+def _qclf_oracle_sql() -> str:
+    """Twin of q_quality_clf: same tokenization (the shared _WORDS_SQL
+    idiom), same unigram+bigram stream (the dsir bigram comprehension),
+    same md5-salted buckets, and the identical integer accumulation
+    ``sum(cnt*w_nano)`` + cleared-division rule — int64 end-to-end, so
+    the match is exact, not grid-rounded."""
+    words = _WORDS_SQL.format(col="text")
+    weights = _qclf_weights_nano()
+    values = ", ".join(f"({i}, {w})" for i, w in enumerate(weights))
+    return f"""
+        WITH cw AS (
+          SELECT doc_id, {words} AS ws FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5('qclf' || unnest(list_concat(ws,
+                    [array_to_string(list_slice(ws, i, i + 1), ' ')
+                     FOR i IN range(1, greatest(len(ws) - 0, 1))]))), 1, 8)
+                 )::UBIGINT % {_QCLF_BUCKETS} AS bucket
+          FROM cw
+        ), c AS (
+          SELECT doc_id, bucket, count(*)::BIGINT AS cnt
+          FROM g GROUP BY doc_id, bucket
+        ), w(bucket, w_nano) AS (
+          VALUES {values}
+        ), per_doc AS (
+          SELECT c.doc_id, sum(c.cnt)::BIGINT AS n_grams,
+                 sum(c.cnt * w.w_nano)::BIGINT AS logit_nano
+          FROM c JOIN w USING (bucket) GROUP BY c.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(p.n_grams, 0)::BIGINT AS n_grams,
+               coalesce(p.logit_nano, 0)::BIGINT AS logit_nano,
+               (coalesce(p.logit_nano, 0)
+                + {_QCLF_BIAS_NANO} * coalesce(p.n_grams, 1)) > 0
+                 AS quality
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        ORDER BY d.doc_id
+    """
+
+
 def _semdedup_oracle_sql() -> str:
     """Full twin of q_semdedup: cell = first-match argmax over the shared
     anchor dots (same d{c}/greatest/CASE shape _ivf_oracle_sql proved),
@@ -2835,6 +2909,7 @@ def oracle_sql() -> dict[str, str]:
         "q_chunking": _CHUNKING_ORACLE_SQL,
         "q_ivf_topk": _ivf_oracle_sql(),
         "q_semdedup": _semdedup_oracle_sql(),
+        "q_quality_clf": _qclf_oracle_sql(),
         "q_decontaminate": _DECONTAMINATE_ORACLE_SQL,
         "q_gopher_quality": _gopher_oracle_sql(),
         "q_c4_quality": _c4_oracle_sql(),
