@@ -48,6 +48,9 @@ def main() -> None:
     ap.add_argument("--seen-filter", default="bloom", choices=["bloom", "cuckoo"])
     ap.add_argument("--num-buckets", type=int, default=256)
     ap.add_argument("--max-rounds", type=int, default=None)
+    ap.add_argument("--compact-keys-every", type=int, default=16,
+                    help="consolidate seen-check key files every K rounds "
+                         "(0 disables)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -84,7 +87,8 @@ def main() -> None:
     )
     engine = EngineConfig(num_buckets=args.num_buckets,
                           dedup_key=args.dedup_key,
-                          seen_filter=args.seen_filter)
+                          seen_filter=args.seen_filter,
+                          compact_keys_every=args.compact_keys_every)
     levels = None
     if args.hostrank_levels:
         if not args.priority:

@@ -563,6 +563,95 @@ class TestQueuedCompaction:
         assert c2.fetch_order() == full.fetch_order()
 
 
+class TestKeysCompaction:
+    def test_key_snapshot_parity(self, spark, site, fetch,
+                                 site_pages_df, tmp_path):
+        """Seen-key compaction: frequent key snapshots (every 2 rounds,
+        distributed seen-check forced) produce the identical crawl to no
+        compaction, and the snapshot+delta read returns exactly the
+        full-history per-bucket key set."""
+        from webcrawl_spark.frontier.crawl import _bucket_seen_keys
+
+        seed = f"https://{site.hosts[0]}/"
+        cfg = CrawlConfig(seed_url=seed, limit=None, max_depth=3,
+                          allow_backward_crawling=True, host_budget=6)
+        compacting = run_engine(
+            spark, site_pages_df, cfg, tmp_path / "a",
+            EngineConfig(compact_keys_every=2, small_round_threshold=1))
+        never = run_engine(
+            spark, site_pages_df, cfg, tmp_path / "b",
+            EngineConfig(compact_keys_every=0, small_round_threshold=1))
+        assert compacting.fetch_order() == never.fetch_order()
+        last = compacting.io.latest_round("frontier_keys")
+        assert last is not None and last >= 2
+        # superseded snapshots are pruned: exactly one remains
+        import os as _os
+        snap_dirs = [e for e in _os.listdir(
+            _os.path.join(str(tmp_path / "a" / "crawl"), "frontier_keys"))
+            if e.startswith("round=")]
+        assert snap_dirs == [f"round={last}"]
+        committed = compacting.io.committed_round()
+        fdir = compacting.io._table_dir("frontier")
+        key_col = compacting._dedup_col()
+        buckets = {
+            r["host_bucket"]
+            for r in compacting.frontier().select("host_bucket").distinct()
+            .collect()
+        }
+        for b in buckets:
+            full = _bucket_seen_keys(fdir, b, committed, key_col)
+            snap = _bucket_seen_keys(fdir, b, committed, key_col,
+                                     keys_round=last)
+            assert sorted(full.to_pylist()) == sorted(snap.to_pylist())
+            assert len(snap.to_pylist()) == len(set(snap.to_pylist()))
+
+    def test_resume_across_key_snapshot(self, spark, site, fetch,
+                                        site_pages_df, tmp_path):
+        seed = f"https://{site.hosts[0]}/"
+        cfg = CrawlConfig(seed_url=seed, limit=None, max_depth=2,
+                          allow_backward_crawling=True, host_budget=5)
+        eng = dict(compact_keys_every=2, small_round_threshold=1)
+        full = run_engine(spark, site_pages_df, cfg, tmp_path / "full",
+                          EngineConfig(**eng))
+        work = str(tmp_path / "resumed")
+        c1 = SparkCrawl(spark, site_pages_df, cfg, work,
+                        engine=EngineConfig(**eng))
+        c1.run(max_rounds=3)
+        c2 = SparkCrawl(spark, site_pages_df, cfg, work,
+                        engine=EngineConfig(**eng))
+        c2.run()
+        assert c2.fetch_order() == full.fetch_order()
+
+    def test_crashed_key_snapshot_rolled_back(self, spark, site, fetch,
+                                              site_pages_df, tmp_path):
+        """An uncommitted frontier_keys round (crash mid-compaction) is
+        removed on the next run and never consulted."""
+        import os
+
+        seed = f"https://{site.hosts[0]}/"
+        cfg = CrawlConfig(seed_url=seed, limit=None, max_depth=2,
+                          allow_backward_crawling=True, host_budget=5)
+        work = str(tmp_path / "crash")
+        c1 = SparkCrawl(spark, site_pages_df, cfg, work,
+                        engine=EngineConfig(compact_keys_every=2,
+                                            small_round_threshold=1))
+        c1.run(max_rounds=2)
+        junk = os.path.join(work, "frontier_keys", "round=99",
+                            "host_bucket=0")
+        os.makedirs(junk)
+        with open(os.path.join(junk, "zzz.parquet"), "wb") as fh:
+            fh.write(b"not parquet")
+        c2 = SparkCrawl(spark, site_pages_df, cfg, work,
+                        engine=EngineConfig(compact_keys_every=2,
+                                            small_round_threshold=1))
+        c2.run()
+        assert not os.path.exists(os.path.join(work, "frontier_keys",
+                                               "round=99"))
+        baseline = run_engine(spark, site_pages_df, cfg, tmp_path / "base",
+                              EngineConfig(small_round_threshold=1))
+        assert c2.fetch_order() == baseline.fetch_order()
+
+
 class TestBloomBootstrap:
     def test_resume_with_bloom_on_nobloom_checkpoint(self, spark, site, fetch,
                                                      site_pages_df, tmp_path):

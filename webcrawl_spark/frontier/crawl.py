@@ -37,6 +37,12 @@ merge-on-read equality deletes applied at scan). Per-round read cost is
 O(queued) + O(rounds since compaction) — it never rescans the full fetch
 history, so the round job's fixed cost stays flat as the crawl ages.
 
+Seen-key compaction: the exact seen-check's per-bucket key read ages the
+same way (one frontier file per bucket per round), so every
+``compact_keys_every`` rounds the dedup-key column is consolidated into a
+``frontier_keys`` snapshot (one file per bucket; ≙ Iceberg
+rewrite_data_files) and tasks read snapshot + post-snapshot deltas.
+
 Bloom shard lifecycle (all executor-side):
 - build/update: cogroup(previous shard blobs, this round's new url-hashes)
   by host_bucket → applyInPandas merge → append to the bloom_shards table.
@@ -93,7 +99,8 @@ __all__ = ["SparkCrawl", "EngineConfig"]
 # markdown/links columns away); bloom shards persist per round so resume
 # never rescans the frontier.
 TABLES = ["frontier", "crawl_result", "round_metrics", "host_budget",
-          "bloom_shards", "frontier_queued", "fetched_seqs", "robots_cache"]
+          "bloom_shards", "frontier_queued", "frontier_keys",
+          "fetched_seqs", "robots_cache"]
 
 FRONTIER_SCHEMA = (
     "url string, url_canon string, host string, host_bucket int, "
@@ -123,6 +130,7 @@ class EngineConfig:
         extract_markdown: bool = True,
         small_round_threshold: int = 5000,
         compact_queued_every: int = 8,
+        compact_keys_every: int = 16,
         ssrf_guard: bool = True,
         live_robots: bool = False,
     ) -> None:
@@ -146,6 +154,12 @@ class EngineConfig:
         # MERGE/compaction cadence); between compactions the queued view is
         # snapshot + deltas − recent fetched seqs (merge-on-read)
         self.compact_queued_every = compact_queued_every
+        # consolidate the frontier's per-bucket dedup-KEY column into a
+        # frontier_keys snapshot every K rounds (parquet backend; ≙ Iceberg
+        # rewrite_data_files): the bucket-local exact seen-check then reads
+        # one consolidated file + the post-snapshot round deltas instead of
+        # one file per round for the crawl's lifetime. 0 disables.
+        self.compact_keys_every = compact_keys_every
         # live (fetch_udf/cond_fetch_udf) mode only: never dial loopback/
         # private/link-local hosts (safeFetch.ts semantics) — denied rows
         # get status 403, the fetch UDF is never invoked for them. Corpus
@@ -251,7 +265,8 @@ _ROBOTS_FETCH_FAILED = "\x00robots-fetch-failed"
 
 
 def _bucket_seen_keys(frontier_dir: str, bucket: int, committed: int,
-                      key_col: str, paths: list[str] | None = None):
+                      key_col: str, paths: list[str] | None = None,
+                      keys_round: int | None = None):
     """One bucket's frontier dedup-key column as a pyarrow ChunkedArray,
     read executor-side (column-pruned, committed rounds only, new rounds
     incrementally on cache hits; values never materialize as Python
@@ -270,13 +285,23 @@ def _bucket_seen_keys(frontier_dir: str, bucket: int, committed: int,
         # parquet backend: partition-pruned directory glob. The Iceberg
         # backend passes explicit committed file paths from the .files
         # metadata table instead (dirs can hold orphaned uncommitted files).
+        # With a committed frontier_keys snapshot (keys_round), the read is
+        # that snapshot's ONE consolidated per-bucket file plus only the
+        # round deltas after it — O(bucket keys + rounds since compaction)
+        # instead of one file per round for the crawl's whole lifetime.
         paths = []
+        if keys_round is not None:
+            paths.extend(_glob.glob(os.path.join(
+                os.path.dirname(frontier_dir), "frontier_keys",
+                f"round={keys_round}", f"host_bucket={bucket}",
+                "*.parquet")))
+        floor = keys_round if keys_round is not None else -1
         for rdir in _glob.glob(os.path.join(frontier_dir, "round=*")):
             try:
                 rnd = int(os.path.basename(rdir).split("=", 1)[1])
             except ValueError:
                 continue
-            if rnd > committed:
+            if rnd > committed or rnd <= floor:
                 continue
             paths.extend(_glob.glob(os.path.join(
                 rdir, f"host_bucket={bucket}", "*.parquet")))
@@ -539,6 +564,63 @@ class SparkCrawl:
             return
         self.io.append(remaining, "frontier_queued", round_no,
                        partition_by=["host_bucket"])
+
+    def _maybe_compact_keys(self, round_no: int) -> None:
+        """Every compact_keys_every rounds, consolidate the frontier's
+        (host_bucket, dedup-key) column into one per-bucket file under
+        ``frontier_keys/round=N`` — the read the bucket-local exact
+        seen-check does ages as O(rounds) files per bucket without this
+        (the Iceberg equivalent is rewrite_data_files, so the parquet
+        backend owns it). Incremental: previous snapshot + round deltas
+        after it; only the key column is ever read or written. Runs before
+        the round commit, so a crashed compaction is rolled back with the
+        round."""
+        every = self.engine.compact_keys_every
+        if every <= 0 or round_no == 0 or round_no % every != 0:
+            return
+        if self.io.kind != "parquet":
+            return
+        key_col = self._dedup_col()
+        cols = ["host_bucket", key_col]
+        prev = self.io.latest_round("frontier_keys")
+        # upto_round=round_no: read_rounds otherwise stops at the COMMITTED
+        # round (round_no-1 mid-round) and the snapshot would silently drop
+        # this round's keys — which the seen-check then never reads again,
+        # because it skips all per-round files <= the snapshot round
+        delta = self.io.read_rounds("frontier",
+                                    prev if prev is not None else -1,
+                                    upto_round=round_no)
+        keys = delta.select(*cols) if delta is not None else None
+        if prev is not None:
+            base = self.io.read_round("frontier_keys", prev).select(*cols)
+            keys = base if keys is None else base.unionByName(keys)
+        if keys is None:
+            return
+        keys = keys.repartition(
+            self.engine.num_buckets, "host_bucket",
+        ).localCheckpoint(eager=True)
+        if keys.count() == 0:
+            return
+        self.io.append(keys, "frontier_keys", round_no,
+                       partition_by=["host_bucket"])
+        # prune superseded snapshots (≙ Iceberg expire_snapshots): the new
+        # one contains every key they held (it was just materialized via
+        # localCheckpoint, so nothing still reads them). Safe against a
+        # crash before this round commits: rollback drops the new snapshot
+        # too, and with NO snapshot the seen-check falls back to the
+        # per-round files — slower, never wrong (frontier round files are
+        # never deleted).
+        import glob as _glob
+        import shutil as _shutil
+
+        for rdir in _glob.glob(os.path.join(
+                self.io._table_dir("frontier_keys"), "round=*")):
+            try:
+                rnd = int(os.path.basename(rdir).split("=", 1)[1])
+            except ValueError:
+                continue
+            if rnd < round_no:
+                _shutil.rmtree(rdir, ignore_errors=True)
 
     def _load_state(self) -> None:
         committed = self.io.committed_round()
@@ -827,9 +909,13 @@ class SparkCrawl:
         if self.io.kind == "parquet":
             frontier_dir = self.io._table_dir("frontier")
             files_map = None          # tasks glob their bucket's round dirs
+            # latest committed key-snapshot: tasks read it instead of the
+            # per-round files it covers (see _maybe_compact_keys)
+            keys_round = self.io.latest_round("frontier_keys", committed)
         else:
             frontier_dir = f"{self.io.root}#frontier"   # cache key only
             files_map = self.io.bucket_data_files("frontier", committed)
+            keys_round = None   # Iceberg compaction ≙ rewrite_data_files
 
         def probe(key, cand: pd.DataFrame, shard: pd.DataFrame) -> pd.DataFrame:
             if not len(cand):
@@ -852,6 +938,7 @@ class SparkCrawl:
                 frontier_dir, bucket, committed, key_col,
                 paths=None if files_map is None
                 else files_map.get(bucket, []),
+                keys_round=keys_round,
             )
             # arrow-native membership: the C++ kernel builds the hash set
             # from the key column directly — candidate keys and bucket keys
@@ -1320,6 +1407,7 @@ class SparkCrawl:
                                    n_rows=n_new)
         t = self._trace(round_no, "bloom shard write", t)
         self._maybe_compact_queued(queued, selected, new_rows_file, round_no)
+        self._maybe_compact_keys(round_no)
         t = self._trace(round_no, "queued compaction", t)
 
         # ---- per-round metrics + per-bucket lineage ----
