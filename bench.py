@@ -183,6 +183,8 @@ def bench_corpus_ops(spark) -> dict[str, float]:
             F.max("last_seq")).collect(),
         "passage_removal": lambda: remove_duplicate_passages(docs, n=7).agg(
             F.sum("n_removed")).collect(),
+        "quality_clf": lambda: _score_quality_workload(docs),
+        "semdedup": lambda: _semdedup_workload(spark),
     }
     times: dict[str, float] = {}
     for _pass in range(2):
@@ -193,6 +195,32 @@ def bench_corpus_ops(spark) -> dict[str, float]:
             if name not in times or dt < times[name]:
                 times[name] = dt
     return times
+
+
+def _score_quality_workload(docs) -> None:
+    """fastText-style gate inference: seeded nano-weights (the q_quality_clf
+    config), aggregated so the left-join shape can't be eliminated."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from webcrawl_spark.operators.qualityclf import score_quality
+
+    rng = np.random.RandomState(13)
+    wn = [int(x) for x in
+          np.round(rng.standard_normal(512) * 2e8).astype("int64")]
+    score_quality(docs, wn, 38_000_000).agg(
+        F.sum("logit_nano"), F.sum(F.col("quality").cast("int"))).collect()
+
+
+def _semdedup_workload(spark) -> None:
+    """SemDeDup over the embeddings table (anchor-quantizer config)."""
+    from pyspark.sql import functions as F
+
+    from webcrawl_spark.operators.similarity import random_anchors, semdedup
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    semdedup(emb, random_anchors(64, 16, seed=11), eps=0.35).agg(
+        F.sum(F.col("removed").cast("int"))).collect()
 
 
 def bench_graph(spark) -> dict:
