@@ -48,6 +48,9 @@ Operator-family mapping (SURVEY.md §2 → query):
   quality classifier (fastText-style)  → q_quality_clf (hashed-gram logistic
                                          gate; integer nano-weights, exact
                                          int64 oracle; trainer pytest-gated)
+  image near-dup dedup (dHash)         → q_image_dhash (decode → integer
+                                         dHash bands → banded pairs →
+                                         Hamming, recomputed in integer SQL)
   multimodal (real PNG/GIF/JPEG + WAV  → q_image_plumbing / q_audio_plumbing
   + MP4 metadata)                        / q_video_plumbing (integer counts
                                          and metadata recomputed in SQL
@@ -1171,6 +1174,43 @@ def q_image_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+#: q_image_dhash constants: the q_image_plumbing PNG family plus a "twin"
+#: per image (last two pixel columns brightened by 1) — near-duplicates
+#: whose dHash bands, pair candidates, and Hamming distances the DuckDB
+#: oracle recomputes from the same integer formulas.
+_DHASH_MAXHAM = 16
+
+
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup detection end-to-end: REAL PNG decode → integer
+    dHash (block-sum cross-multiplication, no float averaging) → banded
+    pigeonhole pair candidates → exact Hamming verify. The oracle
+    recomputes the whole chain — block sums from the _IMG_PIX formula,
+    band ints, the band-equality candidate set, and bit_count Hamming —
+    in pure integer SQL."""
+    import numpy as np
+
+    from webcrawl_spark.kernels.imagekit import encode_png
+    from webcrawl_spark.operators.multimodal import (
+        dhash_near_dup_pairs, image_dhash,
+    )
+
+    rows = []
+    for i in range(_IMG_N):
+        w = eval(_IMG_W)                      # noqa: S307 — module constants
+        h = eval(_IMG_H)
+        x, y = np.meshgrid(np.arange(w), np.arange(h))
+        gray = (eval(_IMG_PIX) % 256).astype(np.uint8)  # noqa: S307
+        rows.append((f"img{i:02d}", bytearray(encode_png(gray))))
+        twin = ((eval(_IMG_PIX) + (x >= w - 2) * 37) % 256).astype(np.uint8)  # noqa: S307
+        rows.append((f"img{i:02d}t", bytearray(encode_png(twin))))
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    return (
+        dhash_near_dup_pairs(image_dhash(df), max_hamming=_DHASH_MAXHAM)
+        .orderBy("id_a", "id_b")
+    )
+
+
 #: q_audio_plumbing synthetic-WAV constants (data-independent, shared by
 #: the Spark side and the generated SQL oracle). Sample formula (already
 #: in the canonical 16-bit domain): s(t, i) = ((t*2657 + i*911) % 65536)
@@ -1407,6 +1447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivf_topk": q_ivf_topk,
         "q_semdedup": q_semdedup,
         "q_quality_clf": q_quality_clf,
+        "q_image_dhash": q_image_dhash,
         "q_decontaminate": q_decontaminate,
         "q_gopher_quality": q_gopher_quality,
         "q_interdup": q_interdup,
@@ -2248,6 +2289,65 @@ def _ivf_oracle_sql() -> str:
     """
 
 
+def _image_dhash_oracle_sql() -> str:
+    """Twin of q_image_dhash in pure integer SQL: pixel grids from the
+    shared _IMG_* formulas (+ the twin's last-two-columns +1), the same
+    floor block map, cross-multiplied block-sum comparisons, band ints,
+    the band-equality candidate join, and bit_count Hamming."""
+    max_w, max_h = 8 + 4 * 3, 5 + 6 * 2     # formula maxima: 20, 17
+    band_cols = ", ".join(
+        f"sum(CASE WHEN r // 2 = {b} THEN bit * (1 << ((r % 2) * 8 + c)) "
+        f"ELSE 0 END)::INT AS b{b}" for b in range(4))
+    return f"""
+        WITH imgs AS (
+          SELECT i, tw,
+                 'img' || lpad(i::VARCHAR, 2, '0')
+                       || (CASE WHEN tw = 1 THEN 't' ELSE '' END) AS img_id,
+                 8 + (i % 5) * 3 AS w, 5 + ((i * 3) % 7) * 2 AS h
+          FROM range(25) t(i), (VALUES (0), (1)) s(tw)
+        ), px AS (
+          SELECT img_id, w, h, xx.range AS x, yy.range AS y,
+                 (((xx.range * 5 + yy.range * 7 + i * 13) % 256)
+                  + CASE WHEN tw = 1 AND xx.range >= w - 2
+                         THEN 37 ELSE 0 END) % 256 AS lum
+          FROM imgs, range({max_w}) xx, range({max_h}) yy
+          WHERE xx.range < w AND yy.range < h
+        ), bp AS (
+          SELECT img_id, (y * 8) // h AS r, (x * 9) // w AS c,
+                 sum(lum) AS s, count(*) AS n
+          FROM px GROUP BY img_id, (y * 8) // h, (x * 9) // w
+        ), blocks AS (
+          SELECT g.img_id, g.r, g.c, coalesce(b.s, 0) AS s,
+                 greatest(coalesce(b.n, 0), 1) AS n
+          FROM (SELECT img_id, rr.range AS r, cc.range AS c
+                FROM imgs, range(8) rr, range(9) cc) g
+          LEFT JOIN bp b
+            ON b.img_id = g.img_id AND b.r = g.r AND b.c = g.c
+        ), bits AS (
+          SELECT l.img_id, l.r, l.c,
+                 CASE WHEN l.s * rt.n > rt.s * l.n THEN 1 ELSE 0 END AS bit
+          FROM blocks l JOIN blocks rt
+            ON rt.img_id = l.img_id AND rt.r = l.r AND rt.c = l.c + 1
+          WHERE l.c < 8
+        ), h AS (
+          SELECT img_id, {band_cols}
+          FROM bits GROUP BY img_id
+        )
+        SELECT l.img_id AS id_a, r2.img_id AS id_b,
+               (bit_count(xor(l.b0, r2.b0)) + bit_count(xor(l.b1, r2.b1))
+                + bit_count(xor(l.b2, r2.b2))
+                + bit_count(xor(l.b3, r2.b3)))::INT AS hamming
+        FROM h l JOIN h r2
+          ON l.img_id < r2.img_id
+          AND (l.b0 = r2.b0 OR l.b1 = r2.b1 OR l.b2 = r2.b2
+               OR l.b3 = r2.b3)
+        WHERE bit_count(xor(l.b0, r2.b0)) + bit_count(xor(l.b1, r2.b1))
+              + bit_count(xor(l.b2, r2.b2))
+              + bit_count(xor(l.b3, r2.b3)) <= {_DHASH_MAXHAM}
+        ORDER BY id_a, id_b
+    """
+
+
 def _qclf_oracle_sql() -> str:
     """Twin of q_quality_clf: same tokenization (the shared _WORDS_SQL
     idiom), same unigram+bigram stream (the dsir bigram comprehension),
@@ -2910,6 +3010,7 @@ def oracle_sql() -> dict[str, str]:
         "q_ivf_topk": _ivf_oracle_sql(),
         "q_semdedup": _semdedup_oracle_sql(),
         "q_quality_clf": _qclf_oracle_sql(),
+        "q_image_dhash": _image_dhash_oracle_sql(),
         "q_decontaminate": _DECONTAMINATE_ORACLE_SQL,
         "q_gopher_quality": _gopher_oracle_sql(),
         "q_c4_quality": _c4_oracle_sql(),

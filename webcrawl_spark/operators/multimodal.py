@@ -35,11 +35,15 @@ __all__ = [
     "AUDIO_META_SCHEMA",
     "RESIZE_SCHEMA",
     "VIDEO_META_SCHEMA",
+    "DHASH_SCHEMA",
     "image_features",
     "audio_features",
     "video_metadata",
     "resize_images",
     "frame_sample_plan",
+    "dhash_from_luminance",
+    "image_dhash",
+    "dhash_near_dup_pairs",
 ]
 
 IMAGE_META_SCHEMA = T.StructType([
@@ -347,4 +351,141 @@ def frame_sample_plan(df: DataFrame, duration_col: str = "duration_s",
     ).select(
         id_col, "frame_idx",
         (F.col("frame_idx") / F.lit(fps)).alias("frame_ts"),
+    )
+
+
+DHASH_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType()),
+    T.StructField("format", T.StringType()),
+    T.StructField("b0", T.IntegerType()),
+    T.StructField("b1", T.IntegerType()),
+    T.StructField("b2", T.IntegerType()),
+    T.StructField("b3", T.IntegerType()),
+])
+
+
+def dhash_from_luminance(lum: np.ndarray,
+                         grid: int = 8) -> tuple[int, int, int, int]:
+    """Difference hash (dHash) of a decoded luminance grid, as four 16-bit
+    bands — INTEGER-exact end to end, so an oracle can recompute it.
+
+    The image is partitioned into grid×(grid+1) area blocks by the
+    standard floor map (pixel (x,y) → block (y*grid//H, x*(grid+1)//W));
+    bit (r,c) is set iff block (r,c) is strictly brighter than block
+    (r,c+1), compared by integer cross-multiplication of block sums and
+    pixel counts (sum_l * n_r > sum_r * n_l) — no float averaging, no
+    rounding. Band b holds rows 2b and 2b+1 (bit position
+    (r%2)*grid + c), giving four 16-bit ints that double as the LSH band
+    keys for near-dup grouping."""
+    h, w = lum.shape
+    if h < 1 or w < 2:
+        raise ValueError("dhash needs at least a 1x2 image")
+    cols = grid + 1
+    r_idx = (np.arange(h) * grid) // h
+    c_idx = (np.arange(w) * cols) // w
+    lum64 = lum.astype(np.int64)
+    sums = np.zeros((grid, cols), dtype=np.int64)
+    cnts = np.zeros((grid, cols), dtype=np.int64)
+    np.add.at(sums, (r_idx[:, None], c_idx[None, :]), lum64)
+    np.add.at(cnts, (r_idx[:, None], c_idx[None, :]),
+              np.ones((h, w), dtype=np.int64))
+    # images narrower/shorter than the grid leave empty blocks; treat an
+    # empty block as brightness 0 (cnt 1) so the comparison stays total
+    cnts = np.maximum(cnts, 1)
+    left, right = sums[:, :-1], sums[:, 1:]
+    nl, nr = cnts[:, :-1], cnts[:, 1:]
+    bits = (left * nr) > (right * nl)          # (grid, grid) bools
+    bands = []
+    for b in range(4):
+        v = 0
+        for rr in range(2):
+            for c in range(grid):
+                if bits[2 * b + rr, c]:
+                    v |= 1 << (rr * grid + c)
+        bands.append(int(v))
+    return bands[0], bands[1], bands[2], bands[3]
+
+
+def image_dhash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    fake: bool = False,
+    batch_rows: int = 64,
+) -> DataFrame:
+    """Perceptual hash per image: decode (real PNG/GIF path) → dHash bands.
+    Same mapInPandas shape as image_features — the binary column never
+    shuffles; only (id, format, 4×int16-band) rows leave the scan stage.
+    Undecodable rows classify (``unsupported:<fmt>`` / ``error``) with
+    null bands."""
+    from ..kernels.imagekit import UnsupportedImage, decode_image
+
+    def decode_lum(raw: bytes) -> tuple[str, np.ndarray]:
+        if fake:
+            crc = zlib.crc32(raw or b"")
+            rng = np.random.RandomState(crc & 0x7FFFFFFF)
+            return "png", rng.randint(0, 256, size=(16, 16), dtype=np.uint8)
+        _, _, fmt, lum = decode_image(raw)
+        return fmt, lum
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for media_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    fmt, lum = decode_lum(raw)
+                    b0, b1, b2, b3 = dhash_from_luminance(lum)
+                except UnsupportedImage as u:
+                    fmt, b0, b1, b2, b3 = f"unsupported:{u.fmt}", \
+                        None, None, None, None
+                except Exception:
+                    fmt, b0, b1, b2, b3 = "error", None, None, None, None
+                out_rows.append((str(media_id), fmt, b0, b1, b2, b3))
+                if len(out_rows) >= batch_rows:
+                    yield pd.DataFrame(out_rows, columns=[
+                        f.name for f in DHASH_SCHEMA])
+                    out_rows = []
+            if out_rows:
+                yield pd.DataFrame(out_rows, columns=[
+                    f.name for f in DHASH_SCHEMA])
+
+    return df.select(id_col, payload_col).mapInPandas(run, DHASH_SCHEMA)
+
+
+def dhash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 10,
+                         id_col: str = "media_id") -> DataFrame:
+    """Near-duplicate image pairs from dHash bands: banded pigeonhole LSH.
+    Candidates come from four band-equality self-joins (hash joins on
+    small int keys — never all-pairs) and are verified by the exact
+    Hamming distance (bit_count of the four XORs, all JVM-side). A pair
+    with Hamming ≤ 3 is GUARANTEED a clean shared band (4 bands can't all
+    be hit by 3 flips); beyond that recall is the standard banding
+    trade-off — flips spread over ≥4 distinct bands make a pair
+    invisible, increasingly unlikely for genuinely near-duplicate images
+    whose differing bits cluster in the edited region. Returns
+    (id_a, id_b, hamming) with hamming ≤ max_hamming."""
+    good = hashes.filter(F.col("b0").isNotNull()) \
+        .select(F.col(id_col).alias("_id"), "b0", "b1", "b2", "b3")
+    l, r = good.alias("l"), good.alias("r")
+    cand = None
+    for b in ("b0", "b1", "b2", "b3"):
+        pairs = l.join(r, (F.col(f"l.{b}") == F.col(f"r.{b}"))
+                       & (F.col("l._id") < F.col("r._id")))
+        sel = pairs.select(F.col("l._id").alias("id_a"),
+                           F.col("r._id").alias("id_b"))
+        cand = sel if cand is None else cand.unionByName(sel)
+    cand = cand.distinct()
+    la = good.select(F.col("_id").alias("id_a"),
+                     *[F.col(b).alias(f"{b}_a") for b in
+                       ("b0", "b1", "b2", "b3")])
+    rb = good.select(F.col("_id").alias("id_b"),
+                     *[F.col(b).alias(f"{b}_b") for b in
+                       ("b0", "b1", "b2", "b3")])
+    ham = sum(F.bit_count(F.col(f"{b}_a").bitwiseXOR(F.col(f"{b}_b")))
+              for b in ("b0", "b1", "b2", "b3"))
+    return (
+        cand.join(la, "id_a").join(rb, "id_b")
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
     )
