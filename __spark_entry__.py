@@ -51,6 +51,9 @@ Operator-family mapping (SURVEY.md §2 → query):
   image near-dup dedup (dHash)         → q_image_dhash (decode → integer
                                          dHash bands → banded pairs →
                                          Hamming, recomputed in integer SQL)
+  audio near-dup dedup (contour hash)  → q_audio_ahash (WAV decode → 1-D
+                                         loudness-contour bands → same
+                                         banded pairing, integer oracle)
   multimodal (real PNG/GIF/JPEG + WAV  → q_image_plumbing / q_audio_plumbing
   + MP4 metadata)                        / q_video_plumbing (integer counts
                                          and metadata recomputed in SQL
@@ -1211,6 +1214,35 @@ def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup detection: REAL WAV decode → integer loudness-
+    contour hash (1-D dHash over |amplitude| block sums) → the same
+    banded pigeonhole pairing as images. The _AUD_* sample formulas plus
+    a clipped +977 offset twin per clip are recomputed by the oracle in
+    pure integer SQL."""
+    import numpy as np
+
+    from webcrawl_spark.kernels.audiokit import encode_wav
+    from webcrawl_spark.operators.multimodal import (
+        audio_ahash, dhash_near_dup_pairs,
+    )
+
+    rows = []
+    for i in range(_AUD_N):
+        rate = eval(_AUD_RATE)                # noqa: S307 — module constants
+        n = eval(_AUD_LEN)                    # noqa: S307
+        t = np.arange(n, dtype=np.int64)
+        s = (eval(_AUD_SAMP) - 32768).astype(np.int64)  # noqa: S307
+        rows.append((f"aud{i:02d}", bytearray(encode_wav(s, rate))))
+        twin = np.minimum(s + 977, 32767)
+        rows.append((f"aud{i:02d}t", bytearray(encode_wav(twin, rate))))
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    return (
+        dhash_near_dup_pairs(audio_ahash(df), max_hamming=_DHASH_MAXHAM)
+        .orderBy("id_a", "id_b")
+    )
+
+
 #: q_audio_plumbing synthetic-WAV constants (data-independent, shared by
 #: the Spark side and the generated SQL oracle). Sample formula (already
 #: in the canonical 16-bit domain): s(t, i) = ((t*2657 + i*911) % 65536)
@@ -1448,6 +1480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semdedup": q_semdedup,
         "q_quality_clf": q_quality_clf,
         "q_image_dhash": q_image_dhash,
+        "q_audio_ahash": q_audio_ahash,
         "q_decontaminate": q_decontaminate,
         "q_gopher_quality": q_gopher_quality,
         "q_interdup": q_interdup,
@@ -2348,6 +2381,55 @@ def _image_dhash_oracle_sql() -> str:
     """
 
 
+def _audio_ahash_oracle_sql() -> str:
+    """Twin of q_audio_ahash: sample streams from the shared _AUD_SAMP
+    formula (+ the twin's clipped +977 offset), the floor block map over
+    65 blocks, cross-multiplied |amplitude| sums, band ints, band-equality
+    candidates, bit_count Hamming — all integers."""
+    max_n = 401 + (_AUD_N - 1) * 38
+    band_cols = ", ".join(
+        f"sum(CASE WHEN j // 16 = {b} THEN bit * (1 << (j % 16)) "
+        f"ELSE 0 END)::INT AS b{b}" for b in range(4))
+    return f"""
+        WITH auds AS (
+          SELECT i, tw,
+                 'aud' || lpad(i::VARCHAR, 2, '0')
+                       || (CASE WHEN tw = 1 THEN 't' ELSE '' END) AS aud_id,
+                 401 + i * 38 AS n
+          FROM range({_AUD_N}) t(i), (VALUES (0), (1)) s(tw)
+        ), smp AS (
+          SELECT aud_id, n, tt.range AS t,
+                 abs(least(((tt.range * 2657 + i * 911) % 65536) - 32768
+                           + CASE WHEN tw = 1 THEN 977 ELSE 0 END,
+                           32767)) AS mag
+          FROM auds, range({max_n}) tt WHERE tt.range < n
+        ), blk AS (
+          SELECT aud_id, (t * 65) // n AS k, sum(mag) AS s, count(*) AS c
+          FROM smp GROUP BY aud_id, (t * 65) // n
+        ), bits AS (
+          SELECT l.aud_id, l.k AS j,
+                 CASE WHEN l.s * r.c > r.s * l.c THEN 1 ELSE 0 END AS bit
+          FROM blk l JOIN blk r ON r.aud_id = l.aud_id AND r.k = l.k + 1
+          WHERE l.k < 64
+        ), h AS (
+          SELECT aud_id, {band_cols}
+          FROM bits GROUP BY aud_id
+        )
+        SELECT l.aud_id AS id_a, r2.aud_id AS id_b,
+               (bit_count(xor(l.b0, r2.b0)) + bit_count(xor(l.b1, r2.b1))
+                + bit_count(xor(l.b2, r2.b2))
+                + bit_count(xor(l.b3, r2.b3)))::INT AS hamming
+        FROM h l JOIN h r2
+          ON l.aud_id < r2.aud_id
+          AND (l.b0 = r2.b0 OR l.b1 = r2.b1 OR l.b2 = r2.b2
+               OR l.b3 = r2.b3)
+        WHERE bit_count(xor(l.b0, r2.b0)) + bit_count(xor(l.b1, r2.b1))
+              + bit_count(xor(l.b2, r2.b2))
+              + bit_count(xor(l.b3, r2.b3)) <= {_DHASH_MAXHAM}
+        ORDER BY id_a, id_b
+    """
+
+
 def _qclf_oracle_sql() -> str:
     """Twin of q_quality_clf: same tokenization (the shared _WORDS_SQL
     idiom), same unigram+bigram stream (the dsir bigram comprehension),
@@ -3011,6 +3093,7 @@ def oracle_sql() -> dict[str, str]:
         "q_semdedup": _semdedup_oracle_sql(),
         "q_quality_clf": _qclf_oracle_sql(),
         "q_image_dhash": _image_dhash_oracle_sql(),
+        "q_audio_ahash": _audio_ahash_oracle_sql(),
         "q_decontaminate": _DECONTAMINATE_ORACLE_SQL,
         "q_gopher_quality": _gopher_oracle_sql(),
         "q_c4_quality": _c4_oracle_sql(),

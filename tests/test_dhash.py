@@ -123,3 +123,58 @@ class TestImageDhashSpark:
             ._jdf.queryExecution().executedPlan().toString()
         assert "NestedLoop" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestAudioAhash:
+    def test_matches_scalar_reference(self):
+        from webcrawl_spark.operators.multimodal import ahash_from_samples
+
+        rng = np.random.RandomState(3)
+        for n in (130, 801, 4097):
+            s = rng.randint(-32768, 32768, size=n).astype(np.int64)
+            cols = 65
+            sums = np.zeros(cols, dtype=np.int64)
+            cnts = np.zeros(cols, dtype=np.int64)
+            for t in range(n):
+                k = (t * cols) // n
+                sums[k] += abs(int(s[t]))
+                cnts[k] += 1
+            cnts = np.maximum(cnts, 1)
+            bands = [0, 0, 0, 0]
+            for j in range(64):
+                if sums[j] * cnts[j + 1] > sums[j + 1] * cnts[j]:
+                    bands[j // 16] |= 1 << (j % 16)
+            assert ahash_from_samples(s) == tuple(bands)
+
+    def test_time_stretch_invariance(self):
+        from webcrawl_spark.operators.multimodal import ahash_from_samples
+
+        rng = np.random.RandomState(8)
+        s = rng.randint(-32768, 32768, size=650).astype(np.int64)
+        assert ahash_from_samples(s) == ahash_from_samples(np.repeat(s, 3))
+
+    def test_spark_path_and_pairing(self, spark):
+        from webcrawl_spark.kernels.audiokit import encode_wav
+        from webcrawl_spark.operators.multimodal import (
+            audio_ahash, dhash_near_dup_pairs,
+        )
+
+        rng = np.random.RandomState(5)
+        base = rng.randint(-30000, 30000, size=1601).astype(np.int64)
+        quiet = base // 2                 # same contour, half the volume
+        other = rng.randint(-30000, 30000, size=1601).astype(np.int64)
+        rows = [
+            ("base", bytearray(encode_wav(base, 8000))),
+            ("quiet", bytearray(encode_wav(quiet, 8000))),
+            ("other", bytearray(encode_wav(other, 8000))),
+            ("junk", bytearray(b"not audio")),
+        ]
+        df = spark.createDataFrame(rows, "media_id string, payload binary")
+        hashes = audio_ahash(df)
+        got = {r["media_id"]: (r["format"], r["b0"]) for r in hashes.collect()}
+        assert got["junk"][0] == "error" and got["junk"][1] is None
+        pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+                 for r in dhash_near_dup_pairs(hashes,
+                                               max_hamming=8).collect()}
+        assert ("base", "quiet") in pairs and pairs[("base", "quiet")] <= 8
+        assert ("base", "other") not in pairs

@@ -44,6 +44,8 @@ __all__ = [
     "dhash_from_luminance",
     "image_dhash",
     "dhash_near_dup_pairs",
+    "ahash_from_samples",
+    "audio_ahash",
 ]
 
 IMAGE_META_SCHEMA = T.StructType([
@@ -489,3 +491,67 @@ def dhash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 10,
         .select("id_a", "id_b", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def ahash_from_samples(samples: np.ndarray,
+                       grid: int = 64) -> tuple[int, int, int, int]:
+    """Loudness-contour hash: the 1-D dHash twin for audio. The decoded
+    (canonical 16-bit) sample stream is partitioned into grid+1 area
+    blocks by the floor map (sample t → block t*(grid+1)//n); bit j is
+    set iff block j is strictly louder than block j+1, compared by integer
+    cross-multiplication of per-block |amplitude| sums and counts — exact,
+    recomputable by any engine. Returns four 16-bit bands (bit j → band
+    j//16), the same shape dhash_near_dup_pairs consumes."""
+    n = len(samples)
+    if n < 2:
+        raise ValueError("ahash needs at least 2 samples")
+    cols = grid + 1
+    k = (np.arange(n, dtype=np.int64) * cols) // n
+    mag = np.abs(samples.astype(np.int64))
+    sums = np.zeros(cols, dtype=np.int64)
+    cnts = np.zeros(cols, dtype=np.int64)
+    np.add.at(sums, k, mag)
+    np.add.at(cnts, k, 1)
+    cnts = np.maximum(cnts, 1)
+    bits = (sums[:-1] * cnts[1:]) > (sums[1:] * cnts[:-1])
+    bands = [0, 0, 0, 0]
+    for j in range(grid):
+        if bits[j]:
+            bands[j // 16] |= 1 << (j % 16)
+    return bands[0], bands[1], bands[2], bands[3]
+
+
+def audio_ahash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    batch_rows: int = 64,
+) -> DataFrame:
+    """Perceptual hash per audio clip: real WAV decode → loudness-contour
+    bands. Same mapInPandas/classify shape as audio_features; feed the
+    output to dhash_near_dup_pairs for banded near-dup grouping."""
+    from ..kernels.audiokit import UnsupportedAudio, decode_audio
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for media_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    fmt, _, _, samples = decode_audio(raw)
+                    b0, b1, b2, b3 = ahash_from_samples(samples)
+                except UnsupportedAudio as u:
+                    fmt, b0, b1, b2, b3 = f"unsupported:{u.fmt}", \
+                        None, None, None, None
+                except Exception:
+                    fmt, b0, b1, b2, b3 = "error", None, None, None, None
+                out_rows.append((str(media_id), fmt, b0, b1, b2, b3))
+                if len(out_rows) >= batch_rows:
+                    yield pd.DataFrame(out_rows, columns=[
+                        f.name for f in DHASH_SCHEMA])
+                    out_rows = []
+            if out_rows:
+                yield pd.DataFrame(out_rows, columns=[
+                    f.name for f in DHASH_SCHEMA])
+
+    return df.select(id_col, payload_col).mapInPandas(run, DHASH_SCHEMA)
