@@ -54,6 +54,9 @@ Operator-family mapping (SURVEY.md §2 → query):
   audio near-dup dedup (contour hash)  → q_audio_ahash (WAV decode → 1-D
                                          loudness-contour bands → same
                                          banded pairing, integer oracle)
+  byte-level CDC dedup                 → q_cdc (content-defined chunk
+                                         boundaries + dup-bytes stats,
+                                         rebuilt verbatim in SQL)
   multimodal (real PNG/GIF/JPEG + WAV  → q_image_plumbing / q_audio_plumbing
   + MP4 metadata)                        / q_video_plumbing (integer counts
                                          and metadata recomputed in SQL
@@ -1214,6 +1217,38 @@ def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: q_cdc payload constants: 20 ASCII payloads from per-doc char formulas
+#: with a SHARED middle segment (positions 200-399) so cross-document
+#: duplicate chunks exist; the oracle rebuilds payloads, boundaries,
+#: chunk hashes, and the dup-bytes stats in SQL.
+_CDC_N, _CDC_SHARED = 20, (200, 400)
+_CDC_LEN = "600 + i * 37"
+_CDC_CHR = "65 + (j * 7 + i * 13) % 26"       # per-doc stream
+_CDC_CHR_SHARED = "65 + (j * 11) % 26"        # common segment
+
+
+def q_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (the WARC-store byte-dedup
+    primitive): md5-window boundaries, chunk hashes, per-doc
+    duplicate-bytes stats — every stage pure integer/string work the
+    DuckDB twin recomputes from the shared payload formulas."""
+    from webcrawl_spark.operators.cdc import (
+        cdc_chunks, duplicate_bytes_fraction,
+    )
+
+    lo, hi = _CDC_SHARED
+    rows = []
+    for i in range(_CDC_N):
+        n = eval(_CDC_LEN)                    # noqa: S307 — module constants
+        payload = bytes(
+            eval(_CDC_CHR_SHARED if lo <= j < hi else _CDC_CHR,  # noqa: S307
+                 None, {"i": i, "j": j})      # genexp scope can't see i
+            for j in range(n))
+        rows.append((i, bytearray(payload)))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    return duplicate_bytes_fraction(cdc_chunks(df)).orderBy("doc_id")
+
+
 def q_audio_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-dup detection: REAL WAV decode → integer loudness-
     contour hash (1-D dHash over |amplitude| block sums) → the same
@@ -1481,6 +1516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_clf": q_quality_clf,
         "q_image_dhash": q_image_dhash,
         "q_audio_ahash": q_audio_ahash,
+        "q_cdc": q_cdc,
         "q_decontaminate": q_decontaminate,
         "q_gopher_quality": q_gopher_quality,
         "q_interdup": q_interdup,
@@ -2381,6 +2417,64 @@ def _image_dhash_oracle_sql() -> str:
     """
 
 
+def _cdc_oracle_sql() -> str:
+    """Twin of q_cdc: payload strings rebuilt char-by-char from the shared
+    formulas, the same md5-window boundary rule (window 8, divisor 64,
+    1-based substr), chunk index = running boundary count, chunk md5 over
+    the reassembled span, then the identical dup-bytes aggregation."""
+    max_n = 600 + (_CDC_N - 1) * 37
+    lo, hi = _CDC_SHARED
+    return f"""
+        WITH docs AS (
+          SELECT i AS doc_id, {_CDC_LEN.replace('i', 'i')} AS n
+          FROM range({_CDC_N}) t(i)
+        ), ch AS (
+          SELECT doc_id, n, jj.range AS j,
+                 chr((CASE WHEN jj.range >= {lo} AND jj.range < {hi}
+                          THEN {_CDC_CHR_SHARED.replace('j', 'jj.range')}
+                          ELSE {_CDC_CHR.replace('j', 'jj.range')
+                                        .replace('i', 'doc_id')} END)::INT)
+                   AS c
+          FROM docs, range({max_n}) jj WHERE jj.range < n
+        ), s AS (
+          SELECT doc_id, n, string_agg(c, '' ORDER BY j) AS payload
+          FROM ch GROUP BY doc_id, n
+        ), pos AS (
+          SELECT doc_id, pp.range AS q, substr(payload, pp.range, 1) AS c,
+                 CASE WHEN pp.range >= 8 AND
+                   ('0x' || substr(md5(substr(payload, pp.range - 7, 8)),
+                                   1, 8))::UBIGINT % 64 = 0
+                 THEN 1 ELSE 0 END AS bd
+          FROM s, range(1, {max_n + 1}) pp WHERE pp.range <= n
+        ), kpos AS (
+          SELECT doc_id, q, c,
+                 coalesce(sum(bd) OVER (PARTITION BY doc_id ORDER BY q
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS chunk_idx
+          FROM pos
+        ), chunks AS (
+          SELECT doc_id, chunk_idx, count(*) AS chunk_len,
+                 md5(string_agg(c, '' ORDER BY q)) AS chunk_md5
+          FROM kpos GROUP BY doc_id, chunk_idx
+        ), owners AS (
+          SELECT chunk_md5, count(DISTINCT doc_id) AS n_docs
+          FROM chunks GROUP BY chunk_md5
+        )
+        SELECT c.doc_id,
+               count(*)::INT AS n_chunks,
+               sum(c.chunk_len)::BIGINT AS n_bytes,
+               sum(CASE WHEN o.n_docs > 1 THEN c.chunk_len ELSE 0 END)
+                 ::BIGINT AS dup_bytes,
+               CAST(round(sum(CASE WHEN o.n_docs > 1 THEN c.chunk_len
+                              ELSE 0 END) * 1e9
+                          / sum(c.chunk_len), 0) AS BIGINT)
+                 AS dup_frac_nano
+        FROM chunks c JOIN owners o USING (chunk_md5)
+        GROUP BY c.doc_id
+        ORDER BY c.doc_id
+    """
+
+
 def _audio_ahash_oracle_sql() -> str:
     """Twin of q_audio_ahash: sample streams from the shared _AUD_SAMP
     formula (+ the twin's clipped +977 offset), the floor block map over
@@ -3094,6 +3188,7 @@ def oracle_sql() -> dict[str, str]:
         "q_quality_clf": _qclf_oracle_sql(),
         "q_image_dhash": _image_dhash_oracle_sql(),
         "q_audio_ahash": _audio_ahash_oracle_sql(),
+        "q_cdc": _cdc_oracle_sql(),
         "q_decontaminate": _DECONTAMINATE_ORACLE_SQL,
         "q_gopher_quality": _gopher_oracle_sql(),
         "q_c4_quality": _c4_oracle_sql(),
