@@ -57,6 +57,9 @@ Operator-family mapping (SURVEY.md §2 → query):
   byte-level CDC dedup                 → q_cdc (content-defined chunk
                                          boundaries + dup-bytes stats,
                                          rebuilt verbatim in SQL)
+  bigram LM perplexity (CCNet order-2) → q_bigram_ppl (conditional add-1
+                                         scores + percentile buckets,
+                                         full SQL twin)
   multimodal (real PNG/GIF/JPEG + WAV  → q_image_plumbing / q_audio_plumbing
   + MP4 metadata)                        / q_video_plumbing (integer counts
                                          and metadata recomputed in SQL
@@ -701,6 +704,22 @@ def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents")["documents"]
     lm = train_unigram_lm(docs)
     return perplexity_buckets(score_perplexity(docs, lm)).orderBy("doc_id")
+
+
+def q_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-2 CCNet scoring: conditional bigram perplexity
+    p(w2|w1) = (c(w1 w2)+1)/(c_ctx(w1)+V_cont+1) with context and
+    continuation-vocab counts derived from the trained table, plus the
+    same head/middle/tail buckets. The SQL twin recomputes the bigram
+    table, both denominator counts, the scores, and the quantile
+    cutoffs."""
+    from webcrawl_spark.operators.lm import (
+        perplexity_buckets, score_perplexity_bigram, train_bigram_lm)
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    lm = train_bigram_lm(docs)
+    return perplexity_buckets(
+        score_perplexity_bigram(docs, lm)).orderBy("doc_id")
 
 
 def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1517,6 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_dhash": q_image_dhash,
         "q_audio_ahash": q_audio_ahash,
         "q_cdc": q_cdc,
+        "q_bigram_ppl": q_bigram_ppl,
         "q_decontaminate": q_decontaminate,
         "q_gopher_quality": q_gopher_quality,
         "q_interdup": q_interdup,
@@ -2120,6 +2140,59 @@ def _perplexity_oracle_sql() -> str:
           FROM scored WHERE ppl_nano IS NOT NULL
         )
         SELECT doc_id, n_tokens, n_oov, avg_lp_nano, ppl_nano,
+               CASE WHEN ppl_nano IS NULL THEN NULL
+                    WHEN ppl_nano <= (SELECT c1 FROM cuts) THEN 'head'
+                    WHEN ppl_nano <= (SELECT c2 FROM cuts) THEN 'middle'
+                    ELSE 'tail' END AS ppl_bucket
+        FROM scored ORDER BY doc_id
+    """
+
+
+def _bigram_ppl_oracle_sql() -> str:
+    """Twin of q_bigram_ppl: the dsir bigram-stream comprehension, gram
+    and context counts, the conditional add-1 score, nano grid,
+    quantile_cont buckets."""
+    words = _WORDS_SQL.format(col="text")
+    p1, p2 = repr(1 / 3), repr(2 / 3)
+    return f"""
+        WITH cw AS (
+          SELECT doc_id, {words} AS ws FROM documents
+        ), grams AS (
+          SELECT doc_id, unnest(
+            [array_to_string(list_slice(ws, i, i + 1), ' ')
+             FOR i IN range(1, greatest(len(ws) - 0, 1))]) AS gram
+          FROM cw
+        ), lm AS (
+          SELECT gram, count(*) AS cnt FROM grams GROUP BY gram
+        ), ctx AS (
+          SELECT split_part(gram, ' ', 1) AS w1, sum(cnt) AS ctx_cnt
+          FROM lm GROUP BY split_part(gram, ' ', 1)
+        ), vc AS (
+          SELECT count(DISTINCT split_part(gram, ' ', 2))::DOUBLE AS v
+          FROM lm
+        ), sc AS (
+          SELECT g.doc_id, count(*) AS n_bigrams,
+                 sum(CASE WHEN l.cnt IS NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS n_oov,
+                 avg(ln(coalesce(l.cnt, 0) + 1.0)
+                     - ln(coalesce(c.ctx_cnt, 0)
+                          + 1.0 * ((SELECT v FROM vc) + 1))) AS avg_lp
+          FROM grams g LEFT JOIN lm l USING (gram)
+          LEFT JOIN ctx c ON c.w1 = split_part(g.gram, ' ', 1)
+          GROUP BY g.doc_id
+        ), scored AS (
+          SELECT d.doc_id,
+                 coalesce(s.n_bigrams, 0) AS n_bigrams,
+                 coalesce(s.n_oov, 0) AS n_oov,
+                 CAST(round(s.avg_lp * 1e9, 0) AS BIGINT) AS avg_lp_nano,
+                 CAST(round(exp(-s.avg_lp) * 1e9, 0) AS BIGINT) AS ppl_nano
+          FROM documents d LEFT JOIN sc s USING (doc_id)
+        ), cuts AS (
+          SELECT quantile_cont(ppl_nano, {p1}) AS c1,
+                 quantile_cont(ppl_nano, {p2}) AS c2
+          FROM scored WHERE ppl_nano IS NOT NULL
+        )
+        SELECT doc_id, n_bigrams, n_oov, avg_lp_nano, ppl_nano,
                CASE WHEN ppl_nano IS NULL THEN NULL
                     WHEN ppl_nano <= (SELECT c1 FROM cuts) THEN 'head'
                     WHEN ppl_nano <= (SELECT c2 FROM cuts) THEN 'middle'
@@ -3189,6 +3262,7 @@ def oracle_sql() -> dict[str, str]:
         "q_image_dhash": _image_dhash_oracle_sql(),
         "q_audio_ahash": _audio_ahash_oracle_sql(),
         "q_cdc": _cdc_oracle_sql(),
+        "q_bigram_ppl": _bigram_ppl_oracle_sql(),
         "q_decontaminate": _DECONTAMINATE_ORACLE_SQL,
         "q_gopher_quality": _gopher_oracle_sql(),
         "q_c4_quality": _c4_oracle_sql(),

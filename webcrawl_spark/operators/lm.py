@@ -34,7 +34,9 @@ from webcrawl_spark.operators.textstats import _word_ngrams, _words
 
 __all__ = [
     "train_unigram_lm",
+    "train_bigram_lm",
     "score_perplexity",
+    "score_perplexity_bigram",
     "perplexity_buckets",
     "dsir_weights",
     "pack_sequences",
@@ -57,6 +59,72 @@ def train_unigram_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
     return (
         df.select(F.explode(_words(F.col(text_col))).alias("token"))
         .groupBy("token").agg(F.count("*").alias("cnt"))
+    )
+
+
+def train_bigram_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Word-bigram counts ``(gram, cnt)`` where ``gram`` is the
+    space-joined pair — the order-2 LM table (CCNet trains order-5; the
+    conditional-probability scoring shape below is identical at any
+    order, only the gram width changes). Same one-explode/one-shuffle
+    shape as train_unigram_lm."""
+    return (
+        df.select(F.explode(
+            _word_ngrams(_words(F.col(text_col)), 2)).alias("gram"))
+        .groupBy("gram").agg(F.count("*").alias("cnt"))
+    )
+
+
+def score_perplexity_bigram(df: DataFrame, lm: DataFrame,
+                            add_k: float = 1.0, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            broadcast_lm: bool = True) -> DataFrame:
+    """Per-document CONDITIONAL bigram log-probability and perplexity:
+
+        p(w2 | w1) = (c(w1 w2) + k) / (c_ctx(w1) + k * (V_cont + 1))
+
+    with ``c_ctx(w1)`` the bigram-start count and ``V_cont`` the number
+    of distinct continuation types — both derived from the trained table
+    itself, so the scorer needs only ``lm``. Documents with < 2 words
+    have no transitions and keep NULL scores (the unigram scorer's
+    empty-doc convention). Shapes: one explode, one gram join + one
+    context join (both broadcast by default), one per-doc aggregation —
+    the unigram scorer's plan with one extra small join."""
+    ctx = lm.select(F.substring_index("gram", " ", 1).alias("w1"), "cnt") \
+        .groupBy("w1").agg(F.sum("cnt").alias("ctx_cnt"))
+    v_cont = lm.select(
+        F.substring_index("gram", " ", -1).alias("w2")
+    ).distinct().count()
+
+    grams = df.select(
+        id_col,
+        F.explode(_word_ngrams(_words(F.col(text_col)), 2)).alias("gram"),
+    ).withColumn("w1", F.substring_index("gram", " ", 1))
+    lm_side = F.broadcast(lm) if broadcast_lm else lm
+    ctx_side = F.broadcast(ctx) if broadcast_lm else ctx
+    scored = (
+        grams.join(lm_side, "gram", "left").join(ctx_side, "w1", "left")
+        .select(
+            id_col,
+            (F.log(F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(add_k))
+             - F.log(F.coalesce(F.col("ctx_cnt"), F.lit(0))
+                     + F.lit(add_k * (v_cont + 1)))).alias("lp"),
+            F.col("cnt").isNull().cast("long").alias("oov"),
+        )
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_bigrams"),
+             F.sum("oov").alias("n_oov"),
+             F.avg("lp").alias("avg_lp"))
+    )
+    return (
+        df.select(id_col).join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.coalesce(F.col("n_oov"), F.lit(0)).alias("n_oov"),
+            _nano(F.col("avg_lp")).alias("avg_lp_nano"),
+            _nano(F.exp(-F.col("avg_lp"))).alias("ppl_nano"),
+        )
     )
 
 
