@@ -76,7 +76,42 @@ def workloads(docs):
         "chunking": lambda: chunk_documents(
             docs, max_words=128, overlap=16).agg(
             F.sum("n_words_chunk")).collect(),
+        "bigram_ppl": lambda: _bigram_ppl(docs),
+        "quality_clf": lambda: _quality_clf(docs),
+        "cdc_dedup": lambda: _cdc_dedup(docs),
     }
+
+
+def _bigram_ppl(docs):
+    from webcrawl_spark.operators.lm import (
+        score_perplexity_bigram, train_bigram_lm,
+    )
+
+    score_perplexity_bigram(docs, train_bigram_lm(docs)).agg(
+        F.sum("ppl_nano")).collect()
+
+
+def _quality_clf(docs):
+    import numpy as np
+
+    from webcrawl_spark.operators.qualityclf import score_quality
+
+    rng = np.random.RandomState(13)
+    wn = [int(x) for x in
+          np.round(rng.standard_normal(512) * 2e8).astype("int64")]
+    score_quality(docs, wn, 38_000_000).agg(
+        F.sum("logit_nano")).collect()
+
+
+def _cdc_dedup(docs):
+    from webcrawl_spark.operators.cdc import (
+        cdc_chunks, duplicate_bytes_fraction,
+    )
+
+    payloads = docs.select(
+        "doc_id", F.encode("text", "utf-8").alias("payload"))
+    duplicate_bytes_fraction(cdc_chunks(payloads)).agg(
+        F.sum("dup_bytes")).collect()
 
 
 def best_of_2(fn) -> float:
