@@ -90,6 +90,12 @@ def score_perplexity_bigram(df: DataFrame, lm: DataFrame,
     empty-doc convention). Shapes: one explode, one gram join + one
     context join (both broadcast by default), one per-doc aggregation —
     the unigram scorer's plan with one extra small join."""
+    # pin the LM: it is consumed three times (context aggregation, V_cont
+    # count, gram join) and is usually an unmaterialized explode+groupBy
+    # over the training corpus — without the pin the corpus is re-tokenized
+    # and re-shuffled for each consumer (guide §5: cut lineage of reused
+    # intermediates; the vocab table is orders smaller than the corpus)
+    lm = lm.localCheckpoint(eager=False)
     ctx = lm.select(F.substring_index("gram", " ", 1).alias("w1"), "cnt") \
         .groupBy("w1").agg(F.sum("cnt").alias("ctx_cnt"))
     v_cont = lm.select(
@@ -142,6 +148,9 @@ def score_perplexity(df: DataFrame, lm: DataFrame, add_k: float = 1.0,
     scores. Shapes: one explode, one token join (broadcast by default —
     a real-corpus vocab is ~1e6-1e8 rows, so flip ``broadcast_lm=False``
     to shuffle-join instead), one per-doc aggregation."""
+    # pin the LM: consumed twice (totals + the scoring join); unpinned, the
+    # training corpus behind it would be tokenized and shuffled twice
+    lm = lm.localCheckpoint(eager=False)
     totals = lm.agg(F.sum("cnt").alias("n"), F.count("*").alias("v")).first()
     n_total = int(totals["n"] or 0)
     vocab = int(totals["v"] or 0)
@@ -192,6 +201,11 @@ def perplexity_buckets(scored: DataFrame, probs: tuple[float, float] = (1 / 3, 2
     else:
         cuts_row = vals.agg(
             F.approx_percentile("ppl_nano", pcts, 10000).alias("c")).first()
+    if cuts_row["c"] is None:
+        # empty input / all-null ppl_nano: no percentiles exist — every row
+        # keeps a NULL bucket (the scorer's empty-doc convention)
+        return scored.withColumn("ppl_bucket",
+                                 F.lit(None).cast("string"))
     c1, c2 = [float(c) for c in cuts_row["c"]]
     bucket = (
         F.when(F.col("ppl_nano").isNull(), F.lit(None).cast("string"))
@@ -227,12 +241,22 @@ def dsir_weights(df: DataFrame, target: DataFrame, n: int = 2,
             *cols, (sample_bucket(F.col("gram"), salt) % n_buckets)
             .alias("bucket"))
 
-    def dist(frame: DataFrame) -> DataFrame:
-        return grams(frame).groupBy("bucket").agg(
-            F.count("*").alias("cnt"))
-
-    tgt = dist(target).withColumnRenamed("cnt", "cnt_t")
-    src = dist(df).withColumnRenamed("cnt", "cnt_s")
+    # ONE gram pass over each corpus (was three over ``df`` and two over
+    # ``target``: every .first() and every downstream consumer re-exploded
+    # and re-md5'd the text). The source side reduces once to per-doc
+    # bucket counts — the sufficient statistic for BOTH the source
+    # distribution (sum over docs) and the per-doc weights (cnt·logratio);
+    # the pinned tables are ≤ docs×buckets-per-doc and ≤ n_buckets rows.
+    gcounts = (
+        grams(df, id_col)
+        .groupBy(id_col, "bucket").agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    tgt = (grams(target).groupBy("bucket")
+           .agg(F.count("*").alias("cnt_t"))
+           .localCheckpoint(eager=False))
+    src = (gcounts.groupBy("bucket").agg(F.sum("cnt").alias("cnt_s"))
+           .localCheckpoint(eager=False))
     n_t = tgt.agg(F.sum("cnt_t")).first()[0] or 0
     n_s = src.agg(F.sum("cnt_s")).first()[0] or 0
     ratios = (
@@ -246,11 +270,11 @@ def dsir_weights(df: DataFrame, target: DataFrame, n: int = 2,
         )
     )
     per_doc = (
-        grams(df, id_col)
+        gcounts
         .join(F.broadcast(ratios), "bucket", "left")
         .groupBy(id_col)
-        .agg(F.count("*").alias("n_grams"),
-             F.sum("logratio").alias("w"))
+        .agg(F.sum("cnt").alias("n_grams"),
+             F.sum(F.col("logratio") * F.col("cnt")).alias("w"))
     )
     return (
         df.select(id_col).join(per_doc, id_col, "left")
@@ -289,7 +313,14 @@ def pack_sequences(df: DataFrame, seq_len: int = 2048,
     )
     w = (Window.partitionBy("_pid").orderBy(id_col)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    local = base.withColumn("_run", F.sum("_span").over(w))
+    # Pin BEFORE the offsets collect: repartitionByRange resamples its range
+    # bounds per execution (and AQE can change partition counts), so an
+    # unpinned plan could assign different _pid/_run values in the offsets
+    # pass vs the returned join — silently wrong placements, and rows whose
+    # _pid is absent from off_df dropped by the inner join. The pin also
+    # halves the work: the tokenize+shuffle runs once, not twice.
+    local = base.withColumn("_run", F.sum("_span").over(w)) \
+        .localCheckpoint(eager=True)
     part_totals = (
         local.groupBy("_pid").agg(F.max("_run").alias("_total"))
         .orderBy("_pid").collect()

@@ -96,7 +96,9 @@ def train_quality_classifier(df: DataFrame, n_buckets: int = 4096,
     )
     labels = df.select(
         F.col(id_col), F.col(label_col).cast("double").alias("y"))
-    # docs whose text yields zero grams contribute only to the bias
+    # docs whose text yields zero grams are excluded from training entirely
+    # (they have no feature rows, so they appear in neither the gradient nor
+    # the bias term, and n_docs counts only the docs the error sum covers)
     labeled = labels.join(
         feats.select(id_col).distinct(), id_col, "left_semi")
     n_docs = labeled.count()
