@@ -217,6 +217,42 @@ def ivf_topk(df: DataFrame, query: list[float], centroids: np.ndarray,
     return cosine_topk(cand, query, k, vec_col, id_col)
 
 
+def _cell_csim_udf(centroids: np.ndarray):
+    """(vector) → struct(cell int, csim double): nearest-centroid cell AND
+    own-centroid cosine in one Arrow pass. The centroid matrix lives in
+    the UDF closure (shipped once per task), never in the Catalyst plan —
+    this replaces the r5 literal centroid array, whose O(n_cells × dim)
+    plan doubles exploded at SemDeDup's own n_cells ~ √N scaling.
+
+    Arithmetic pinned to the oracle contract: cell dots are double
+    products (vector cast up before the multiply); the vector norm uses
+    float32 products accumulated in double — exactly what the un-cast
+    Spark ``transform(v, a*a)`` fold and the DuckDB
+    ``list_transform(embedding, x->x*x)`` both compute."""
+    norm_c = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+
+    def batch(vecs: pd.Series) -> pd.DataFrame:
+        v32 = np.stack([np.asarray(v, dtype="float32") for v in vecs])
+        dots = v32.astype("float64") @ norm_c.T
+        cell = np.argmax(dots, axis=1)
+        nrm = np.sqrt((v32 * v32).astype("float64").sum(axis=1))
+        csim = dots[np.arange(len(cell)), cell] / nrm
+        return pd.DataFrame({"cell": cell.astype("int32"), "csim": csim})
+
+    return pandas_udf(batch, T.StructType([
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("csim", T.DoubleType()),
+    ]))
+
+
+def _nano_half_up(x: np.ndarray) -> np.ndarray:
+    """round(x*1e9) with HALF_UP (away from zero) — Spark's F.round."""
+    y = x * 1e9
+    return np.where(y >= 0, np.floor(y + 0.5), np.ceil(y - 0.5)) \
+        .astype(np.int64)
+
+
 def semdedup(df: DataFrame, centroids: np.ndarray, eps: float = 0.2,
              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
@@ -230,65 +266,62 @@ def semdedup(df: DataFrame, centroids: np.ndarray, eps: float = 0.2,
     nano-rounded cosines (round(csim*1e9) as int64 — the jitter between a
     BLAS and a sequential fold is ~1e-15, five orders below the grid).
 
-    Scale shape: the only join is the within-cell self-join, so the pair
-    count is sum(|cell|^2)/2 — bounded by the SemDeDup knob itself
-    (n_cells grows with the corpus so cells stay ~constant-size; the
-    paper uses k ~ sqrt(N)). Cell assignment is one Arrow-batched UDF
-    pass; at 100 TB, persist the assignment partitioned by ``cell`` and
-    the self-join becomes a partition-local co-located join. Everything
-    after assignment is JVM-side Column algebra (no Python in the pair
-    loop).
+    Scale shape (r6): ONE Arrow pass assigns (cell, csim) — no centroid
+    literals in the plan — then ONE shuffle groups each cell into a task
+    where a blocked float64 GEMM decides removal directly: a member is
+    removed iff some same-cell partner has pair cosine >= eps and a
+    (nano-csim, id)-lexicographically smaller key. Nothing pairwise is
+    ever materialized or shuffled (the r5 shape shuffled the self-join's
+    O(sum |cell|²) pair rows and evaluated one interpreted Catalyst
+    HOF fold per pair — 65× slower at the sf1 bench size). Per-task
+    memory is O(|cell| × dim) for the vectors plus an O(block × |cell|)
+    score tile; |cell| stays ~constant under the paper's n_cells ~ √N
+    knob, the same bound the r5 self-join relied on for its pair count.
 
     Returns (id_col, cell, csim, removed) — one row per input vector;
     ``removed`` marks the vectors SemDeDup would drop.
     """
-    norm_c = centroids / np.maximum(
-        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
-    base = ivf_assign(df, centroids, vec_col)
-    cent_lit = F.array(*[
-        F.array(*[F.lit(float(x)) for x in c]) for c in norm_c])
-    own = F.element_at(cent_lit, F.col("cell") + 1)
-    # cast the (float) vector up to double BEFORE the product: zip_with
-    # type-coercion otherwise narrows the double centroid to float and
-    # rounds every product to float32 — a 1e-7 drift an engine promoting
-    # to double (e.g. the SQL oracle) never shows
-    dot = F.aggregate(
-        F.zip_with(F.col(vec_col).cast("array<double>"), own,
-                   lambda a, b: a * b),
-        F.lit(0.0), lambda acc, x: acc + x)
-    nrm = F.sqrt(F.aggregate(
-        F.transform(F.col(vec_col), lambda a: a * a),
-        F.lit(0.0), lambda acc, x: acc + x))
-    base = base.select(
-        F.col(id_col), F.col(vec_col).alias("_v"), F.col("cell"),
-        (dot / nrm).alias("csim"), nrm.alias("_nrm"))
+    assigned = df.select(
+        F.col(id_col), F.col(vec_col).alias("_v"),
+        _cell_csim_udf(centroids)(F.col(vec_col)).alias("_cs"),
+    ).select(id_col, "_v", F.col("_cs.cell").alias("cell"),
+             F.col("_cs.csim").alias("csim"))
 
-    base = base.withColumn("_v", F.col("_v").cast("array<double>"))
-    l, r = base.alias("l"), base.alias("r")
-    pair_dot = F.aggregate(
-        F.zip_with(F.col("l._v"), F.col("r._v"), lambda a, b: a * b),
-        F.lit(0.0), lambda acc, x: acc + x)
-    pairs = (
-        l.join(r, (F.col("l.cell") == F.col("r.cell"))
-               & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
-        .select(
-            F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"),
-            (pair_dot / (F.col("l._nrm") * F.col("r._nrm"))).alias("cos"),
-            F.round(F.col("l.csim") * F.lit(1e9), 0).cast("long").alias("ca"),
-            F.round(F.col("r.csim") * F.lit(1e9), 0).cast("long").alias("cb"),
-        )
-        .filter(F.col("cos") >= F.lit(eps))
-    )
-    losers = pairs.select(
-        F.when((F.col("ca") > F.col("cb"))
-               | ((F.col("ca") == F.col("cb")) & (F.col("a") > F.col("b"))),
-               F.col("a")).otherwise(F.col("b")).alias(id_col)
-    ).distinct().withColumn("_rm", F.lit(True))
-    return (
-        base.join(losers, id_col, "left")
-        .select(F.col(id_col), F.col("cell"), F.col("csim"),
-                F.coalesce(F.col("_rm"), F.lit(False)).alias("removed"))
-    )
+    out_schema = T.StructType([
+        T.StructField(id_col, df.schema[id_col].dataType),
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("csim", T.DoubleType()),
+        T.StructField("removed", T.BooleanType()),
+    ])
+
+    def flag(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf[[id_col, "cell", "csim"]].copy()
+        n = len(pdf)
+        if n < 2:
+            out["removed"] = [False] * n
+            return out
+        ids = pdf[id_col].to_numpy()
+        v32 = np.stack([np.asarray(v, dtype="float32") for v in pdf["_v"]])
+        v64 = v32.astype("float64")
+        # same arithmetic as the r5 pair expression: double products for
+        # the pair dot, float32-product norms (see _cell_csim_udf)
+        nrm = np.sqrt((v32 * v32).astype("float64").sum(axis=1))
+        ca = _nano_half_up(pdf["csim"].to_numpy())
+        removed = np.zeros(n, dtype=bool)
+        blk = max(1, min(n, 8_000_000 // n))   # ≤ ~64 MB score tile
+        for s in range(0, n, blk):
+            e = min(n, s + blk)
+            cos = (v64[s:e] @ v64.T) / (nrm[s:e, None] * nrm[None, :])
+            dup = cos >= eps
+            dup[np.arange(e - s), np.arange(s, e)] = False   # no self-pair
+            worse = (ca[s:e, None] > ca[None, :]) | (
+                (ca[s:e, None] == ca[None, :])
+                & (ids[s:e, None] > ids[None, :]))
+            removed[s:e] = (dup & worse).any(axis=1)
+        out["removed"] = removed
+        return out
+
+    return assigned.groupBy("cell").applyInPandas(flag, out_schema)
 
 
 def embedding_near_dup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
