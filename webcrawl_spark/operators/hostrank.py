@@ -37,7 +37,7 @@ Scale shape (10^10-URL corpus → ~10^7-10^8 hosts):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Observation, functions as F
 
 from ..functions import links_udf, url_host
 
@@ -85,39 +85,89 @@ def host_pagerank(edges: DataFrame, n_iter: int = 10,
     (localCheckpoint'd) DataFrame; the internal edge cache is released
     before returning.
     """
+    # size the cached tables from the DATA, not from shuffle.partitions:
+    # every iteration re-scans them, so a tiny graph cached in 32-200
+    # near-empty partitions pays (stages × partitions × iterations) task
+    # launches of pure overhead (measured: 10 HITS iterations on 40k edges
+    # took 13.8 s with 8-partition caches, 169.7 s with 200), while a
+    # 10^8-edge graph still gets one ~2M-row partition per task
+    n_e = edges.count()
+    p_e = max(1, -(-n_e // 2_000_000))
     edges = (edges.groupBy("src", "dst")
              .agg(F.sum("weight").alias("w")))
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    # partition the (big) edge table on the per-iteration join key ONCE:
+    # every iteration's rank⋈edges join then reuses the cached layout and
+    # only the (small) rank table moves — without this the edges were
+    # re-shuffled on src every iteration (guide §2.4: operations keyed the
+    # same way should share one exchange)
     e_norm = (edges.join(outw, "src")
               .select("src", "dst", (F.col("w") / F.col("ow")).alias("p"))
+              .repartition(p_e, "src")
               .persist())
+    # hosts carry a precomputed ``dang`` flag (no out-edges): the dangling
+    # mass is then a filter+agg over the rank table instead of a per-
+    # iteration distinct + anti-join re-derived from the edge table
+    src_hosts = e_norm.select(F.col("src").alias("host")).distinct()
     hosts = (edges.select(F.col("src").alias("host"))
              .union(edges.select(F.col("dst").alias("host")))
-             .distinct().persist())
+             .distinct()
+             .join(src_hosts.withColumn("_out", F.lit(True)), "host", "left")
+             .select("host", F.col("_out").isNull().alias("dang"))
+             .repartition(p_e, "host")
+             .persist())
     n = hosts.count()
     if n == 0:
         e_norm.unpersist()
         hosts.unpersist()
         return edges.sparkSession.createDataFrame(
             [], "host string, rank double")
-    src_hosts = e_norm.select(F.col("src").alias("host")).distinct()
     ranks = hosts.withColumn("rank", F.lit(1.0 / n))
+    # dangling mass as a DRIVER SCALAR carried between iterations: with the
+    # per-iteration checkpoint (the default cadence), each iteration's mass
+    # is observed for free on the checkpoint materialization instead of a
+    # broadcast scalar subquery — which Spark executes as a SEPARATE pass
+    # over the rank table every iteration (no exchange reuse into scalar
+    # subqueries; the same effect doubles HITS's half-steps, see host_hits)
+    use_obs = checkpoint_every == 1
+    dm = None
+    if use_obs:
+        dm = float(ranks.filter(F.col("dang"))
+                   .agg(F.coalesce(F.sum("rank"), F.lit(0.0))).first()[0])
     for i in range(n_iter):
-        dang = (ranks.join(src_hosts, "host", "left_anti")
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")))
         contrib = (ranks.join(e_norm, ranks["host"] == e_norm["src"])
                    .groupBy(F.col("dst").alias("host"))
                    .agg(F.sum(F.col("rank") * F.col("p")).alias("m")))
-        ranks = (hosts.join(contrib, "host", "left")
-                 .crossJoin(F.broadcast(dang))
-                 .select("host",
-                         (F.lit((1.0 - damping) / n)
-                          + F.lit(damping)
-                          * (F.coalesce(F.col("m"), F.lit(0.0))
-                             + F.col("dm") / n)).alias("rank")))
-        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
-            ranks = ranks.localCheckpoint(eager=True)
-    ranks = ranks.localCheckpoint(eager=True)
+        if use_obs:
+            new_ranks = (hosts.join(contrib, "host", "left")
+                         .select("host", "dang",
+                                 (F.lit((1.0 - damping) / n)
+                                  + F.lit(damping)
+                                  * (F.coalesce(F.col("m"), F.lit(0.0))
+                                     + F.lit(dm) / n)).alias("rank")))
+            if i + 1 < n_iter:
+                obs = Observation(f"pr_dang_{i}")
+                ranks = new_ranks.observe(
+                    obs,
+                    F.coalesce(F.sum(F.when(F.col("dang"), F.col("rank"))),
+                               F.lit(0.0)).alias("dm"),
+                ).localCheckpoint(eager=True)
+                dm = float(obs.get["dm"])
+            else:
+                ranks = new_ranks
+        else:
+            dang = (ranks.filter(F.col("dang"))
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")))
+            ranks = (hosts.join(contrib, "host", "left")
+                     .crossJoin(F.broadcast(dang))
+                     .select("host", "dang",
+                             (F.lit((1.0 - damping) / n)
+                              + F.lit(damping)
+                              * (F.coalesce(F.col("m"), F.lit(0.0))
+                                 + F.col("dm") / n)).alias("rank")))
+            if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+                ranks = ranks.localCheckpoint(eager=True)
+    ranks = ranks.select("host", "rank").localCheckpoint(eager=True)
     e_norm.unpersist()
     hosts.unpersist()
     return ranks
@@ -141,20 +191,75 @@ def host_hits(edges: DataFrame, n_iter: int = 10,
     each half-step is one shuffle keyed on the gathering side; the L2
     norm is a 1-row aggregate broadcast back (no driver collect);
     lineage is truncated by a final localCheckpoint."""
-    e = (edges.groupBy("src", "dst").agg(F.sum("weight").alias("w"))
-         .persist())
+    # data-derived cache partitioning — see host_pagerank's p_e note
+    n_e = edges.count()
+    p_e = max(1, -(-n_e // 2_000_000))
+    e = edges.groupBy("src", "dst").agg(F.sum("weight").alias("w"))
+    # two cached copies, each partitioned on its half-step's join key, so
+    # the per-iteration joins move only the (small) score tables — the
+    # edge table is shuffled exactly twice for the whole run instead of
+    # twice per iteration (guide §2.4)
+    e_src = e.repartition(p_e, "src").persist()
+    e_dst = e.repartition(p_e, "dst").persist()
     hosts = (e.select(F.col("src").alias("host"))
              .union(e.select(F.col("dst").alias("host")))
-             .distinct().persist())
+             .distinct().repartition(p_e, "host").persist())
     if hosts.count() == 0:
-        e.unpersist()
+        e_src.unpersist()
+        e_dst.unpersist()
         hosts.unpersist()
         return edges.sparkSession.createDataFrame(
             [], "host string, hub double, authority double")
     scores = hosts.select("host", F.lit(1.0).alias("hub"),
                           F.lit(1.0).alias("authority"))
+    if checkpoint_every == 1:
+        # Default path: store the RAW half-step vectors and carry their L2
+        # norms as driver scalars observed on each iteration's checkpoint
+        # materialization. The L2 normalization is a scalar divide, so any
+        # positive multiple of the true vector normalizes to the same
+        # result — consumers divide by the stored vector's own observed
+        # norm and the scalar cancels exactly (fp rounding ~1e-15/step,
+        # six orders below the oracle's 1e-9 grid). This removes the two
+        # per-iteration norm scalar subqueries, each of which Spark
+        # executed as a SEPARATE full re-run of the half-step join+agg
+        # (scalar subqueries reuse no exchanges: the r5 shape computed
+        # every half-step twice).
+        hn = 1.0  # the original recurrence feeds the UNnormalized ones
+        an = 1.0
+        for i in range(n_iter):
+            auth = (scores.join(e_src, scores["host"] == e_src["src"])
+                    .groupBy(F.col("dst").alias("host"))
+                    .agg(F.sum((F.col("hub") / F.lit(hn)) * F.col("w"))
+                         .alias("a_raw")))
+            hub = (auth.join(e_dst, auth["host"] == e_dst["dst"])
+                   .groupBy(F.col("src").alias("host"))
+                   .agg(F.sum(F.col("a_raw") * F.col("w")).alias("h_raw")))
+            scores = (hosts.join(hub, "host", "left")
+                      .join(auth, "host", "left")
+                      .select("host",
+                              F.coalesce(F.col("h_raw"), F.lit(0.0))
+                              .alias("hub"),
+                              F.coalesce(F.col("a_raw"), F.lit(0.0))
+                              .alias("authority")))
+            obs = Observation(f"hits_norms_{i}")
+            scores = scores.observe(
+                obs,
+                F.sqrt(F.sum(F.col("hub") * F.col("hub"))).alias("hn"),
+                F.sqrt(F.sum(F.col("authority") * F.col("authority")))
+                .alias("an"),
+            ).localCheckpoint(eager=True)
+            m = obs.get
+            hn, an = float(m["hn"]), float(m["an"])
+        scores = scores.select(
+            "host", (F.col("hub") / F.lit(hn)).alias("hub"),
+            (F.col("authority") / F.lit(an)).alias("authority"),
+        ).localCheckpoint(eager=True)
+        e_src.unpersist()
+        e_dst.unpersist()
+        hosts.unpersist()
+        return scores
     for i in range(n_iter):
-        auth = (scores.join(e, scores["host"] == e["src"])
+        auth = (scores.join(e_src, scores["host"] == e_src["src"])
                 .groupBy(F.col("dst").alias("host"))
                 .agg(F.sum(F.col("hub") * F.col("w")).alias("a_raw")))
         a_norm = auth.agg(
@@ -162,7 +267,7 @@ def host_hits(edges: DataFrame, n_iter: int = 10,
         auth = (auth.crossJoin(F.broadcast(a_norm))
                 .select("host", (F.col("a_raw") / F.col("nrm"))
                         .alias("authority")))
-        hub = (auth.join(e, auth["host"] == e["dst"])
+        hub = (auth.join(e_dst, auth["host"] == e_dst["dst"])
                .groupBy(F.col("src").alias("host"))
                .agg(F.sum(F.col("authority") * F.col("w")).alias("h_raw")))
         h_norm = hub.agg(
@@ -183,7 +288,8 @@ def host_hits(edges: DataFrame, n_iter: int = 10,
         if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
             scores = scores.localCheckpoint(eager=True)
     scores = scores.localCheckpoint(eager=True)
-    e.unpersist()
+    e_src.unpersist()
+    e_dst.unpersist()
     hosts.unpersist()
     return scores
 

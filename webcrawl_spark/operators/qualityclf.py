@@ -160,13 +160,24 @@ def score_quality(df: DataFrame, weights_nano: Sequence[int],
     wdf = spark.createDataFrame(
         [(int(i), int(weights_nano[i])) for i in range(n_buckets)],
         "bucket long, w_nano long")
-    counts = hashed_gram_counts(
-        df, n_buckets, n_max, salt, text_col, id_col)
+    # broadcast-join the weights straight onto the gram stream and reduce
+    # per doc in ONE aggregation: Σ_instances w_nano ≡ Σ_b cnt_b·w_nano_b
+    # (pure int64, exactly associative), so the r5 (id, bucket) count
+    # shuffle bought nothing — map-side partial aggregation now compresses
+    # each doc to one row per map task before the only shuffle
+    grams = (
+        df.select(F.col(id_col),
+                  F.explode(_gram_array(F.col(text_col), n_max))
+                  .alias("gram"))
+        .select(F.col(id_col),
+                (sample_bucket(F.col("gram"), salt) % n_buckets)
+                .alias("bucket"))
+    )
     per_doc = (
-        counts.join(F.broadcast(wdf), "bucket", "left")
+        grams.join(F.broadcast(wdf), "bucket", "left")
         .groupBy(id_col)
-        .agg(F.sum("cnt").alias("n_grams"),
-             F.sum(F.col("cnt") * F.coalesce("w_nano", F.lit(0)))
+        .agg(F.count("*").alias("n_grams"),
+             F.sum(F.coalesce("w_nano", F.lit(0)))
              .alias("logit_nano"))
     )
     return (
