@@ -652,6 +652,36 @@ class TestKeysCompaction:
         assert c2.fetch_order() == baseline.fetch_order()
 
 
+class TestDriverFastTailParity:
+    def test_driver_tail_matches_distributed_state(self, spark, site, fetch,
+                                                   site_pages_df, tmp_path):
+        """The small-round driver tail (classify + exact seen check +
+        admission replay + shard update on the driver) must leave
+        byte-equivalent crawl STATE to the fully distributed stages:
+        identical fetch order, frontier rows (urls, canon, buckets,
+        priorities, seqs), and per-round metrics. small_round_threshold=1
+        forces every round down the distributed path; the default routes
+        these small rounds through the driver tail."""
+        seed = f"https://{site.hosts[0]}/"
+        cfg = CrawlConfig(seed_url=seed, limit=None, max_depth=2,
+                          allow_backward_crawling=True, host_budget=4)
+        drv = run_engine(spark, site_pages_df, cfg, tmp_path / "drv",
+                         EngineConfig())
+        dist = run_engine(spark, site_pages_df, cfg, tmp_path / "dist",
+                          EngineConfig(small_round_threshold=1))
+        assert drv.fetch_order() == dist.fetch_order()
+        cols = ["url", "url_canon", "host", "host_bucket", "depth",
+                "priority", "seq"]
+        f_drv = sorted(tuple(r[c] for c in cols)
+                       for r in drv.frontier().collect())
+        f_dist = sorted(tuple(r[c] for c in cols)
+                        for r in dist.frontier().collect())
+        assert f_drv == f_dist
+        m_drv = sorted(tuple(r) for r in drv.metrics().collect())
+        m_dist = sorted(tuple(r) for r in dist.metrics().collect())
+        assert m_drv == m_dist
+
+
 class TestBloomBootstrap:
     def test_resume_with_bloom_on_nobloom_checkpoint(self, spark, site, fetch,
                                                      site_pages_df, tmp_path):

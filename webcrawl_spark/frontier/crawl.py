@@ -1292,7 +1292,15 @@ class SparkCrawl:
             *(["_x.markdown"] if eng.extract_markdown else []),
             F.col("_x.links").alias("links"),
         ).withColumn("round", F.lit(round_no))
+        # candidate count observed ON the write job (was a separate
+        # count over the pinned classified candidates): gates the
+        # small-round paths with zero extra passes
+        obs_cand = Observation(f"cand_{round_no}")
+        combined = combined.observe(
+            obs_cand,
+            F.coalesce(F.sum(F.size("links")), F.lit(0)).alias("n_cand"))
         io.append(combined, "crawl_result", round_no)
+        n_candidates = int(obs_cand.get["n_cand"])
         t = self._trace(round_no, "fetch+extract write", t)
         combined_file = io.read_round("crawl_result", round_no)
         # fetched-seq sidecar (≙ an Iceberg equality-delete file): one tiny
@@ -1300,9 +1308,20 @@ class SparkCrawl:
         # wide crawl_result files (one per extraction task per round).
         # Sourced from the PINNED selection (seq sets are identical by
         # construction: combined = fetched(selected) 1:1) — no read-back of
-        # the just-written round files.
-        io.append(selected.select("seq").coalesce(1),
-                  "fetched_seqs", round_no)
+        # the just-written round files. Small selections are written
+        # driver-side (append_local — the _write_admitted precedent: same
+        # file layout, none of the per-round Spark write fixed cost); the
+        # collected (seq, host_bucket) rows also serve the round metrics.
+        sel_rows = None
+        if n_selected < eng.small_round_threshold:
+            sel_rows = selected.select("seq", "host_bucket").collect()
+            io.append_local(
+                pd.DataFrame({"seq": [r["seq"] for r in sel_rows]})
+                .astype({"seq": "int64"}),
+                "fetched_seqs", round_no, schema="seq long")
+        else:
+            io.append(selected.select("seq").coalesce(1),
+                      "fetched_seqs", round_no)
         t = self._trace(round_no, "fetched-seq sidecar", t)
 
         if use_bucket:
@@ -1326,70 +1345,90 @@ class SparkCrawl:
             )
         t = self._trace(round_no, "token update", t)
 
-        # ---- admission (F1) over the link lineage ----
-        cand = combined_file.select(
-            F.col("priority").alias("source_priority"),
-            F.col("seq").alias("source_seq"),
-            F.posexplode("links").alias("link_pos", "link"),
-        )
-        cls = self._pin(
-            cand.withColumn("c", _classify_f1_udf(cfg)(F.col("link")))
-        )
-        # candidate count for the small-round gate: a count over the pinned
-        # (localCheckpoint'ed) data — no recompute, bounded driver value
-        n_candidates = cls.count()
-        t = self._trace(round_no, "classify pin", t)
-        allowed = (
-            cls.filter(F.col("c.allowed"))
-            .select("source_priority", "source_seq", "link_pos", "link")
-            .withColumn("url_canon", canonicalize_url(F.col("link")))
-        )
-        dedup = self._dedup_col()
-        dedup_col = F.col("link") if dedup == "url" else F.col("url_canon")
-        allowed = (
-            allowed.withColumn("dedup_key", dedup_col)
-            .withColumn("dedup_hash", F.xxhash64("dedup_key"))
-            .withColumn(
-                "cand_bucket",
-                F.pmod(F.xxhash64(url_host(F.col("link"))),
-                       F.lit(eng.num_buckets)).cast("int"),
+        # ---- admission (F1) + seen check + frontier write ----
+        # Small-round DRIVER tail (the _write_admitted/_admit_small_round
+        # precedent, extended to the whole post-extract chain): when the
+        # candidate count is bounded, classification, the exact bucket-
+        # local seen check, the admission replay, and the shard update run
+        # on the driver against the SAME kernels and committed files the
+        # distributed stages use — one Spark job (the link collect)
+        # instead of four python-stage jobs of pure fixed cost. Bit-parity
+        # by construction: the pandas UDFs are thin wrappers over these
+        # exact python kernels, and the Bloom prefilter has no false
+        # negatives, so prefilter+exact-read ≡ the driver's exact read.
+        drv = None
+        shard_table_exists = (eng.use_bloom
+                              and io.latest_round("bloom_shards") is not None)
+        driver_fast = (limit is None and io.kind == "parquet"
+                       and n_candidates < eng.small_round_threshold)
+        if driver_fast:
+            n_new, drv = self._driver_round_tail(
+                round_no, update_shards=shard_table_exists)
+            t = self._trace(round_no, "driver classify+admit", t)
+            cls = flagged = shards = None
+        else:
+            cand = combined_file.select(
+                F.col("priority").alias("source_priority"),
+                F.col("seq").alias("source_seq"),
+                F.posexplode("links").alias("link_pos", "link"),
             )
-        )
+            cls = self._pin(
+                cand.withColumn("c", _classify_f1_udf(cfg)(F.col("link")))
+            )
+            t = self._trace(round_no, "classify pin", t)
+            allowed = (
+                cls.filter(F.col("c.allowed"))
+                .select("source_priority", "source_seq", "link_pos", "link")
+                .withColumn("url_canon", canonicalize_url(F.col("link")))
+            )
+            dedup = self._dedup_col()
+            dedup_col = (F.col("link") if dedup == "url"
+                         else F.col("url_canon"))
+            allowed = (
+                allowed.withColumn("dedup_key", dedup_col)
+                .withColumn("dedup_hash", F.xxhash64("dedup_key"))
+                .withColumn(
+                    "cand_bucket",
+                    F.pmod(F.xxhash64(url_host(F.col("link"))),
+                           F.lit(eng.num_buckets)).cast("int"),
+                )
+            )
 
-        # ---- seen-set check (bucket-local, no frontier shuffle) ----
-        # Bloom path: ONE cogroup stage computes exact is_seen — shard
-        # membership prefilter + per-bucket exact key read, all task-local
-        # (see _bloom_probe). The frontier never enters a shuffle here.
-        # No-bloom path (reference-parity/testing mode): classic exact
-        # left join against the frontier key column.
-        shards = self._shards_df() if eng.use_bloom else None
-        if shards is not None:
-            flagged = self._pin(
-                self._bloom_probe(allowed, shards, n_rows=n_candidates))
-            t = self._trace(round_no, "seen-check probe pin", t)
-        else:
-            frontier_keys = self._frontier_df().select(
-                F.col(dedup).alias("seen_key"))
-            flagged = allowed.join(
-                frontier_keys.withColumn("is_seen_j", F.lit(True)),
-                allowed["dedup_key"] == F.col("seen_key"), "left",
-            ).withColumn(
-                "is_seen", F.coalesce(F.col("is_seen_j"), F.lit(False))
-            ).drop("is_seen_j", "seen_key")
+            # ---- seen-set check (bucket-local, no frontier shuffle) ----
+            # Bloom path: ONE cogroup stage computes exact is_seen — shard
+            # membership prefilter + per-bucket exact key read, all
+            # task-local (see _bloom_probe). The frontier never enters a
+            # shuffle here. No-bloom path (reference-parity/testing mode):
+            # classic exact left join against the frontier key column.
+            shards = self._shards_df() if eng.use_bloom else None
+            if shards is not None:
+                flagged = self._pin(
+                    self._bloom_probe(allowed, shards, n_rows=n_candidates))
+                t = self._trace(round_no, "seen-check probe pin", t)
+            else:
+                frontier_keys = self._frontier_df().select(
+                    F.col(dedup).alias("seen_key"))
+                flagged = allowed.join(
+                    frontier_keys.withColumn("is_seen_j", F.lit(True)),
+                    allowed["dedup_key"] == F.col("seen_key"), "left",
+                ).withColumn(
+                    "is_seen", F.coalesce(F.col("is_seen_j"), F.lit(False))
+                ).drop("is_seen_j", "seen_key")
 
-        # ---- admission + new frontier rows ----
-        if limit is not None:
-            n_new = self._admit_with_limit_replay(flagged, limit, round_no)
-        elif n_candidates < eng.small_round_threshold:
-            n_new = self._admit_small_round(flagged, round_no)
-        else:
-            n_new = self._admit_distributed(flagged, round_no)
-        t = self._trace(round_no, "admission+frontier write", t)
+            # ---- admission + new frontier rows ----
+            if limit is not None:
+                n_new = self._admit_with_limit_replay(flagged, limit,
+                                                      round_no)
+            elif n_candidates < eng.small_round_threshold:
+                n_new = self._admit_small_round(flagged, round_no)
+            else:
+                n_new = self._admit_distributed(flagged, round_no)
+            t = self._trace(round_no, "admission+frontier write", t)
 
         new_rows_file = (io.read_round("frontier", round_no)
                          if n_new else None)
-        if eng.use_bloom:
-            if shards is None:
+        if eng.use_bloom and not (driver_fast and shard_table_exists):
+            if not shard_table_exists:
                 # bootstrap: the shard table doesn't cover the committed
                 # frontier (resume of a pre-bloom checkpoint, or a crawl
                 # started with use_bloom=False) — seeding from only this
@@ -1411,31 +1450,46 @@ class SparkCrawl:
         t = self._trace(round_no, "queued compaction", t)
 
         # ---- per-round metrics + per-bucket lineage ----
-        # ONE collect for all three metric groups (denial reasons, new-url
-        # buckets, fetched buckets): unioned tiny aggs over pinned data run
-        # as parallel stages of a single job instead of three driver
-        # round-trips per round (the round's fixed cost is job-count-bound)
-        stats = (
-            cls.filter(~F.col("c.allowed"))
-            .groupBy(F.lit("denial").alias("kind"),
-                     F.col("c.denial_reason").alias("key"))
-            .count()
-            .unionByName(
-                selected.groupBy(
-                    F.lit("bucket_fetched").alias("kind"),
-                    F.col("host_bucket").cast("string").alias("key"),
-                ).count())
-        )
-        if n_new:
-            stats = stats.unionByName(
-                new_rows_file.groupBy(
+        # Metric groups already known on the driver (small selections, the
+        # driver-fast tail) are filled directly; any remaining distributed
+        # groups run as ONE unioned agg + collect (parallel stages of a
+        # single job — the round's fixed cost is job-count-bound). A fully
+        # driver-resident round runs no metrics job at all.
+        grouped: dict[str, dict] = {"denial": {}, "bucket_new": {},
+                                    "bucket_fetched": {}}
+        stats = None
+
+        def _union(base, piece):
+            return piece if base is None else base.unionByName(piece)
+
+        if drv is not None:
+            grouped["denial"] = drv["denials"]
+            grouped["bucket_new"] = {
+                str(k): v for k, v in drv["bucket_new"].items()}
+        else:
+            stats = _union(stats, cls.filter(~F.col("c.allowed"))
+                           .groupBy(F.lit("denial").alias("kind"),
+                                    F.col("c.denial_reason").alias("key"))
+                           .count())
+            if n_new:
+                stats = _union(stats, new_rows_file.groupBy(
                     F.lit("bucket_new").alias("kind"),
                     F.col("host_bucket").cast("string").alias("key"),
                 ).count())
-        grouped: dict[str, dict] = {"denial": {}, "bucket_new": {},
-                                    "bucket_fetched": {}}
-        for r in stats.collect():
-            grouped[r["kind"]][r["key"]] = r["count"]
+        if sel_rows is not None:
+            fetched: dict[str, int] = {}
+            for r in sel_rows:
+                k = str(r["host_bucket"])
+                fetched[k] = fetched.get(k, 0) + 1
+            grouped["bucket_fetched"] = fetched
+        else:
+            stats = _union(stats, selected.groupBy(
+                F.lit("bucket_fetched").alias("kind"),
+                F.col("host_bucket").cast("string").alias("key"),
+            ).count())
+        if stats is not None:
+            for r in stats.collect():
+                grouped[r["kind"]][r["key"]] = r["count"]
         denials = grouped["denial"]
         bucket_counts = {int(k): v for k, v in grouped["bucket_new"].items()}
         fetched_buckets = {int(k): v
@@ -1445,7 +1499,7 @@ class SparkCrawl:
             {
                 "round": round_no, "fetched": n_selected, "new_urls": n_new,
                 "processed": self._processed + n_selected,
-                "denials": denials,
+                "denials": {k: denials[k] for k in sorted(denials)},
                 "bucket_new_counts": {
                     str(k): v for k, v in sorted(bucket_counts.items())
                 },
@@ -1538,6 +1592,151 @@ class SparkCrawl:
         self._write_admitted(admitted, round_no)
         self._trace(round_no, "  small: write", t)
         return len(admitted)
+
+    def _driver_round_tail(self, round_no: int,
+                           update_shards: bool) -> tuple[int, dict]:
+        """Driver-side classify → exact seen check → admission replay →
+        frontier + shard writes for small rounds (gate: candidate count <
+        small_round_threshold, parquet backend, no limit). One Spark job
+        (the link collect) replaces the classify python stage, the probe
+        cogroup, the flagged collect, and the shard-merge cogroup — four
+        jobs of pure per-round fixed cost at this size. Semantics are the
+        distributed path's by construction:
+
+        - classification calls the SAME classify_link kernel the pandas
+          UDF wraps, walking links in the (source_priority, source_seq,
+          link_pos) order the small-round replay already used;
+        - the seen check is the same committed per-bucket key read
+          (_bucket_seen_keys: snapshot + deltas, driver process keeps the
+          same incremental cache) _bloom_probe's tasks do — the Bloom
+          prefilter has no false negatives, so prefilter+exact ≡ exact;
+        - the admission replay is _admit_small_round's loop verbatim, and
+          the frontier write is the existing append_local path;
+        - the shard update adds the same xxhash64 key hashes to the same
+          deserialized blobs the cogroup merge would (python xxh64 twin,
+          bit-parity gated in tests).
+
+        Returns (n_new, {"denials": {...}, "bucket_new": {...}}) — the
+        metric groups the distributed stats job would have aggregated.
+        """
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from ..kernels.xxh64 import spark_bucket, xxhash64
+
+        cfg, eng, io = self.cfg, self.engine, self.io
+        rows = (io.read_round("crawl_result", round_no)
+                .select("priority", "seq", "links")
+                .filter(F.size("links") > 0).collect())
+        opts = cfg.filter_options()
+        base = urlkit.parse_url(opts.base_url)
+        initial = urlkit.parse_url(opts.initial_url)
+        excludes = _compile_patterns(opts.excludes)
+        includes = _compile_patterns(opts.includes)
+        robot = _build_robot(opts)
+        use_url_key = eng.dedup_key == "url"
+        denials: dict[str, int] = {}
+        flagged: list[tuple] = []   # (link, url_canon, dedup_key, bucket)
+        for r in sorted(rows, key=lambda r: (r["priority"], r["seq"])):
+            for link in r["links"]:
+                ok, _url, reason = classify_link(
+                    link or "", opts, _base=base, _initial=initial,
+                    _excludes=excludes, _includes=includes, _robot=robot)
+                if not ok:
+                    denials[reason] = denials.get(reason, 0) + 1
+                    continue
+                canon = urlkit.canonicalize_url(link) if link else ""
+                key = link if use_url_key else canon
+                bucket = spark_bucket(
+                    urlkit.url_host(link) if link else "", eng.num_buckets)
+                flagged.append((link, canon, key, bucket))
+        t = time.perf_counter()
+        committed = io.committed_round()
+        key_col = self._dedup_col()
+        frontier_dir = io._table_dir("frontier")
+        keys_round = io.latest_round("frontier_keys", committed)
+        by_bucket: dict[int, list[int]] = {}
+        for i, f in enumerate(flagged):
+            by_bucket.setdefault(f[3], []).append(i)
+        is_seen = [False] * len(flagged)
+        for b, idxs in by_bucket.items():
+            seen = _bucket_seen_keys(frontier_dir, b, committed, key_col,
+                                     keys_round=keys_round)
+            if len(seen) == 0:
+                continue
+            hits = pc.is_in(
+                pa.array([flagged[i][2] for i in idxs], type=pa.string()),
+                value_set=seen).to_pylist()
+            for i, h in zip(idxs, hits):
+                is_seen[i] = bool(h)
+        t = self._trace(round_no, "  driver: seen check", t)
+        pr = self._priority_of_batch([f[0] for f in flagged])
+        round_new: set[str] = set()
+        admitted: list[tuple] = []
+        new_hashes: dict[int, list[int]] = {}
+        bucket_new: dict[int, int] = {}
+        seq = self._next_seq
+        for f, seen_f in zip(flagged, is_seen):
+            link, canon, key, bucket = f
+            if seen_f or key in round_new:
+                continue
+            round_new.add(key)
+            admitted.append((
+                link, canon, urlkit.url_host(link), 0,
+                urlkit.get_url_depth(urlkit.url_path(link)),
+                pr(link), round_no, seq,
+            ))
+            seq += 1
+            new_hashes.setdefault(bucket, []).append(xxhash64(key))
+            bucket_new[bucket] = bucket_new.get(bucket, 0) + 1
+        self._write_admitted(admitted, round_no)
+        if update_shards and admitted:
+            self._driver_update_shards(new_hashes, round_no)
+        self._trace(round_no, "  driver: admit+writes", t)
+        return len(admitted), {"denials": denials, "bucket_new": bucket_new}
+
+    def _driver_update_shards(self, new_hashes: dict[int, list[int]],
+                              round_no: int) -> None:
+        """Driver twin of _write_shards' cogroup merge for small rounds:
+        deserializes the same latest-round blobs, adds the same key
+        hashes, writes the identical (host_bucket, blob) table layout via
+        append_local. Bloom bit-OR is insertion-order-independent; the
+        probe's exactness never depends on the filter either way (it only
+        prefilters the exact per-bucket key read)."""
+        import glob as _glob
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        io, eng = self.io, self.engine
+        m_bits, k = self._shard_params()
+        latest = io.latest_round("bloom_shards")
+        blobs: dict[int, bytes] = {}
+        if latest is not None:
+            paths = _glob.glob(os.path.join(
+                io._table_dir("bloom_shards"), f"round={latest}",
+                "*.parquet"))
+            if paths:
+                tbl = pq.read_table(paths, columns=["host_bucket", "blob"])
+                for b, blob in zip(tbl.column(0).to_pylist(),
+                                   tbl.column(1).to_pylist()):
+                    blobs[int(b)] = bytes(blob)
+        out = dict(blobs)
+        cuckoo_nb = buckets_for(eng.bloom_keys_per_shard)
+        for b, hashes in new_hashes.items():
+            if b in blobs:
+                shard = shard_from_bytes(blobs[b])
+            elif eng.seen_filter == "cuckoo":
+                shard = CuckooShard(cuckoo_nb)
+            else:
+                shard = BloomShard(m_bits, k)
+            shard.add(np.array(hashes, dtype=np.int64).astype(np.uint64))
+            out[b] = shard.to_bytes()
+        pdf = pd.DataFrame(
+            {"host_bucket": sorted(out),
+             "blob": [out[b] for b in sorted(out)]}).astype(
+            {"host_bucket": "int32"})
+        io.append_local(pdf, "bloom_shards", round_no)
 
     def _admit_with_limit_replay(
         self, flagged: DataFrame, limit: int, round_no: int,
