@@ -203,22 +203,19 @@ def minhash_signatures_md5(num_perm: int = 32, shingle_k: int = 5,
 
 def _band_buckets(df: DataFrame, sig_col: str, num_perm: int, bands: int,
                   id_col: str) -> DataFrame:
+    """(doc, band, bucket) — ONE generator pass: the r5 shape unioned one
+    projection per band, scanning the signature table ``bands`` times;
+    posexplode over the per-band hash array emits the same rows (band =
+    position, identical xxhash64 bucket values) in a single scan."""
     rows_per_band = num_perm // bands
-    pieces = []
-    for band in range(bands):
-        piece = df.select(
-            F.col(id_col).alias("doc"),
-            F.lit(band).alias("band"),
-            F.xxhash64(
-                F.slice(F.col(sig_col), band * rows_per_band + 1, rows_per_band)
-                .cast("array<string>").cast("string")
-            ).alias("bucket"),
-        )
-        pieces.append(piece)
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.unionByName(p)
-    return out
+    band_hashes = F.array(*[
+        F.xxhash64(
+            F.slice(F.col(sig_col), band * rows_per_band + 1, rows_per_band)
+            .cast("array<string>").cast("string"))
+        for band in range(bands)])
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(band_hashes).alias("band", "bucket"))
 
 
 def minhash_lsh_pairs(
@@ -389,17 +386,12 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
         F.col(id_col).alias("doc"),
         (simhash or simhash_column_fnv())(F.col(text_col)).alias("sim"),
     ).localCheckpoint(eager=False)  # self-cleaning pin, see minhash_lsh_pairs
-    pieces = []
-    for block in range(4):
-        shift = block * 16
-        pieces.append(sims.select(
-            "doc", "sim", F.lit(block).alias("block"),
-            F.shiftright(F.col("sim"), shift).bitwiseAND(F.lit(0xFFFF))
-            .alias("key"),
-        ))
-    banded = pieces[0]
-    for p in pieces[1:]:
-        banded = banded.unionByName(p)
+    # one generator pass over the 4 bit-blocks (see _band_buckets)
+    block_keys = F.array(*[
+        F.shiftright(F.col("sim"), block * 16).bitwiseAND(F.lit(0xFFFF))
+        for block in range(4)])
+    banded = sims.select(
+        "doc", "sim", F.posexplode(block_keys).alias("block", "key"))
     left, right = banded.alias("l"), banded.alias("r")
     cand = (
         left.join(right, (F.col("l.block") == F.col("r.block"))
