@@ -49,6 +49,55 @@ class TestChunkPayload:
             [(0, 0, hashlib.md5(b"").hexdigest())]
 
 
+class TestGearBoundaries:
+    """The vectorized gear window hash (the 100-TB default path): scalar
+    parity, coverage, and the same shift-resilience property the md5 form
+    carries."""
+
+    def test_matches_scalar_reference(self):
+        from webcrawl_spark.operators.cdc import (
+            _boundaries_gear, _gear_table,
+        )
+
+        data = _rand_bytes(3000, 21)
+        window, divisor = 8, 64
+        table = _gear_table()
+        expect = []
+        for p in range(window - 1, len(data)):
+            h = 0
+            for i in range(window):
+                h = (h + (int(table[data[p - i]]) << i)) % (1 << 64)
+            if h % divisor == 0:
+                expect.append(p)
+        assert _boundaries_gear(data, window, divisor) == expect
+
+    def test_chunks_cover_payload_exactly(self):
+        data = _rand_bytes(5000, 22)
+        chunks = chunk_payload(data, hash_kind="gear")
+        assert sum(ln for _, ln, _ in chunks) == len(data)
+        start = 0
+        for _, ln, h in chunks:
+            assert hashlib.md5(data[start:start + ln]).hexdigest() == h
+            start += ln
+
+    def test_shift_resilience(self):
+        tail = _rand_bytes(4000, 23)
+        a = chunk_payload(_rand_bytes(64, 24) + tail, hash_kind="gear")
+        b = chunk_payload(_rand_bytes(91, 25) + tail, hash_kind="gear")
+        ha = {h for _, _, h in a}
+        hb = {h for _, _, h in b}
+        shared = ha & hb
+        assert len(shared) >= min(len(ha), len(hb)) - 3
+        assert len(shared) > 5
+
+    def test_short_and_empty_payloads(self):
+        assert chunk_payload(b"", hash_kind="gear") == \
+            [(0, 0, hashlib.md5(b"").hexdigest())]
+        short = b"abc"
+        assert chunk_payload(short, hash_kind="gear") == \
+            [(0, 3, hashlib.md5(short).hexdigest())]
+
+
 class TestCdcSpark:
     def test_spark_matches_direct(self, spark):
         payloads = {i: _rand_bytes(2000 + i * 97, 10 + i) for i in range(6)}
@@ -79,3 +128,25 @@ class TestCdcSpark:
         assert out[1]["dup_bytes"] > 2000
         assert out[2]["dup_bytes"] == 0
         assert out[2]["dup_frac_nano"] == 0
+
+
+class TestGearGeneralForms:
+    def test_non_power_of_two_divisor_and_window(self):
+        """Exercises the uint64 general path (divisor not a power of two)
+        and a window with multiple set bits (binary-doubling combine)."""
+        from webcrawl_spark.operators.cdc import (
+            _boundaries_gear, _gear_table,
+        )
+
+        data = _rand_bytes(2000, 31)
+        for window, divisor in [(5, 63), (11, 100), (8, 64), (16, 1 << 20)]:
+            table = _gear_table()
+            expect = []
+            for p in range(window - 1, len(data)):
+                h = 0
+                for i in range(window):
+                    h = (h + (int(table[data[p - i]]) << i)) % (1 << 64)
+                if h % divisor == 0:
+                    expect.append(p)
+            got = _boundaries_gear(data, window, divisor)
+            assert got == expect, (window, divisor)
