@@ -79,6 +79,7 @@ def workloads(docs):
         "bigram_ppl": lambda: _bigram_ppl(docs),
         "quality_clf": lambda: _quality_clf(docs),
         "cdc_dedup": lambda: _cdc_dedup(docs),
+        "cdc_dedup_gear": lambda: _cdc_dedup(docs, "gear"),
     }
 
 
@@ -103,14 +104,15 @@ def _quality_clf(docs):
         F.sum("logit_nano")).collect()
 
 
-def _cdc_dedup(docs):
+def _cdc_dedup(docs, hash_kind: str = "md5"):
     from webcrawl_spark.operators.cdc import (
         cdc_chunks, duplicate_bytes_fraction,
     )
 
     payloads = docs.select(
         "doc_id", F.encode("text", "utf-8").alias("payload"))
-    duplicate_bytes_fraction(cdc_chunks(payloads)).agg(
+    duplicate_bytes_fraction(
+        cdc_chunks(payloads, hash_kind=hash_kind)).agg(
         F.sum("dup_bytes")).collect()
 
 

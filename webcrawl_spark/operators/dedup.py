@@ -57,13 +57,25 @@ def _ensure_parallel(df: DataFrame) -> DataFrame:
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
-    """Keep one row (lowest id) per exact normalized-text duplicate group."""
+    """Keep one row (lowest id) per exact normalized-text duplicate group.
+
+    Scale shape: only (id, fingerprint) rows enter the window shuffle —
+    the r5 form ran the window over the FULL rows, shipping every
+    document's text through the exchange just to compare 8-byte hashes
+    (the guide-§8 antipattern). Losers (row_number > 1 within a
+    fingerprint group) leave via an id-only anti-join, which AQE
+    broadcasts whenever duplicates are rare — the common corpus case —
+    so the text column never moves at all."""
     normalized = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
-    w = Window.partitionBy(F.xxhash64(normalized)).orderBy(id_col)
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1).drop("_rn")
+    fp = df.select(F.col(id_col).alias("_ed_id"),
+                   F.xxhash64(normalized).alias("_ed_h"))
+    w = Window.partitionBy("_ed_h").orderBy("_ed_id")
+    losers = (
+        fp.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select(F.col("_ed_id").alias(id_col))
     )
+    return df.join(losers, id_col, "left_anti")
 
 
 def remove_boilerplate_lines(df: DataFrame, text_col: str = "text",
@@ -490,7 +502,9 @@ def dup_components(pairs: DataFrame, left: str = "doc_a",
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    from pyspark.sql import Observation
+
+    for it in range(max_iter):
         neigh = (
             edges.join(labels, edges["b"] == labels["node"])
             .groupBy(F.col("a").alias("node"))
@@ -498,25 +512,29 @@ def dup_components(pairs: DataFrame, left: str = "doc_a",
         )
         stepped = (
             labels.join(neigh, "node", "left")
-            .select("node",
+            .select("node", F.col("label").alias("_old"),
                     F.least("label",
                             F.coalesce("nlabel", "label")).alias("label"))
         )
         # pointer doubling: label ← label(label) (always ≤ current label)
         lab2 = stepped.select(F.col("node").alias("label"),
                               F.col("label").alias("_ll"))
+        # convergence probe observed ON the checkpoint materialization
+        # (was a separate join+count job per round): the previous label
+        # travels as _old through the step, so changed-row counting is a
+        # free aggregate of the same pass
+        obs = Observation(f"cc_changed_{it}")
         doubled = (
             stepped.join(lab2, "label", "left")
-            .select("node",
+            .select("node", "_old",
                     F.coalesce("_ll", F.col("label")).alias("label"))
+            .observe(obs, F.coalesce(
+                F.sum((F.col("label") != F.col("_old")).cast("long")),
+                F.lit(0)).alias("changed"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            doubled.join(labels.withColumnRenamed("label", "_old"), "node")
-            .filter(F.col("label") != F.col("_old")).limit(1).count()
-        )
-        labels = doubled
-        if changed == 0:
+        labels = doubled.select("node", "label")
+        if int(obs.get["changed"]) == 0:
             break
     return labels.select(F.col("node").alias("doc"),
                          F.col("label").alias("component"))

@@ -2,11 +2,13 @@
 columns with typed metadata, processed via mapInPandas in bounded Arrow
 batches.
 
-IMAGE decode is REAL for PNG and GIF (kernels/imagekit.py — stdlib
-zlib + the same predictor math the PDF kernel uses): dimensions, format,
-and an 8-bin luminance-histogram feature from actual decoded pixels.
-Formats whose entropy codecs aren't in the stdlib (JPEG/WebP/AVIF)
-classify as ``unsupported:<fmt>`` with null dims — a clean refusal
+IMAGE decode is REAL for PNG, GIF (kernels/imagekit.py — stdlib zlib +
+the same predictor math the PDF kernel uses) and JPEG, baseline AND
+progressive (kernels/jpegkit.py — full Huffman entropy decode + IDCT):
+dimensions, format, and an 8-bin luminance-histogram feature from
+actual decoded pixels. Formats whose codecs aren't implementable from
+the stdlib (WebP/AVIF, arithmetic JPEG) classify as
+``unsupported:<fmt>`` with null dims — a clean refusal
 (parity with the PDF engine's DCTDecode refusal), never silent garbage;
 undecodable bytes classify as ``error``. AUDIO decode is REAL for WAV
 (kernels/audiokit.py — RIFF PCM 8/16/32-bit, any channel count,
