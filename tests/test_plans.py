@@ -327,7 +327,11 @@ def test_passage_removal_text_never_shuffles(spark):
 
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     plan = _plan(remove_duplicate_passages(docs, n=8))
-    assert "Python" not in plan
+    # the span-coverage rebuild is ONE Arrow-vectorized stage (r6 — the
+    # Catalyst exists-per-word scan was O(words × flagged) per doc); no
+    # row-pickled Python may appear
+    assert "BatchEvalPython" not in plan
+    assert plan.count("ArrowEvalPython") <= 1
     # every Exchange's output attribute list must be hash/pos/id-only or
     # id-keyed; none may materialize the text column
     import re
