@@ -1226,9 +1226,13 @@ class SparkCrawl:
         # never touches the html column. On a real cluster with 10^7-row
         # rounds, swap the broadcast for a bucketed/co-partitioned pages
         # table on url hash — the join logic is unchanged.
-        selected = self._pin(picked)
+        # selection count observed on the pin's materialization — no
+        # separate count job (the hostrank Observation pattern)
+        obs_sel = Observation(f"sel_{round_no}")
+        selected = self._pin(
+            picked.observe(obs_sel, F.count(F.lit(1)).alias("n")))
+        n_selected = int(obs_sel.get["n"])
         t = self._trace(round_no, "selection pin", t)
-        n_selected = selected.count()
         if n_selected == 0:
             self._done = True
             self._commit(round_no, done=True)
