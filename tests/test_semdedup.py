@@ -118,7 +118,7 @@ class TestSemdedupNumpyParity:
 
 class TestSemdedupPlan:
     def test_pair_join_is_keyed_not_cartesian(self, spark):
-        # the self-join must key on cell (hash/sort-merge join) — a
+        # the per-cell grouping must key on cell — a
         # BroadcastNestedLoopJoin here is the all-pairs plan that dies at
         # corpus scale
         vecs = np.random.RandomState(0).standard_normal((50, 8)) \
@@ -128,3 +128,24 @@ class TestSemdedupPlan:
             ._jdf.queryExecution().executedPlan().toString()
         assert "NestedLoop" not in plan
         assert "CartesianProduct" not in plan
+
+    def test_no_centroid_literals_in_plan(self, spark):
+        """The centroid matrix must live in the UDF closure, never as an
+        O(n_cells × dim) literal array in the Catalyst plan (the r5
+        scale-shape flag: SemDeDup's own n_cells ~ √N scaling would blow
+        the plan up long before the data). Gate: no element_at indexing
+        and plan size independent of n_cells."""
+        vecs = np.random.RandomState(1).standard_normal((30, 16)) \
+            .astype("float32")
+        df = _df_from_vecs(spark, vecs)
+
+        def plan_of(n_cells):
+            return semdedup(df, random_anchors(16, n_cells, seed=5),
+                            eps=0.5) \
+                ._jdf.queryExecution().optimizedPlan().toString()
+
+        small, big = plan_of(4), plan_of(256)
+        assert "element_at" not in big
+        # 64× the centroids must not inflate the plan (literals would
+        # add ~n_cells × dim float literals)
+        assert len(big) < len(small) + 1000
