@@ -51,6 +51,21 @@ __all__ = [
 ]
 
 
+def _edge_cache_partitions(edges: DataFrame, n_e: int) -> int:
+    """Partition count for the per-iteration edge caches, derived from the
+    DATA (never from spark.sql.shuffle.partitions): every iteration
+    re-scans these tables, so a tiny graph cached in 32-200 near-empty
+    partitions pays (stages × partitions × iterations) task launches of
+    pure overhead — measured 13.8 s vs 169.7 s for 10 HITS iterations on
+    40k edges at 8 vs 200 partitions. ~250k edge rows per task keeps the
+    CPU-bound iteration scans parallel (1M edges: PageRank 16.4 → 10.9 s
+    at 32 cores vs one 2M-row partition), capped toward ~5M-row
+    (~150 MB) partitions once the graph far exceeds the core count."""
+    sc = edges.sparkSession.sparkContext
+    cap = max(sc.defaultParallelism * 4, -(-n_e // 5_000_000))
+    return max(1, min(-(-n_e // 250_000), cap))
+
+
 def host_link_edges(pages: DataFrame, url_col: str = "url",
                     html_col: str = "html") -> DataFrame:
     """(url, html) pages → weighted host→host edges (src, dst, weight).
@@ -85,14 +100,8 @@ def host_pagerank(edges: DataFrame, n_iter: int = 10,
     (localCheckpoint'd) DataFrame; the internal edge cache is released
     before returning.
     """
-    # size the cached tables from the DATA, not from shuffle.partitions:
-    # every iteration re-scans them, so a tiny graph cached in 32-200
-    # near-empty partitions pays (stages × partitions × iterations) task
-    # launches of pure overhead (measured: 10 HITS iterations on 40k edges
-    # took 13.8 s with 8-partition caches, 169.7 s with 200), while a
-    # 10^8-edge graph still gets one ~2M-row partition per task
     n_e = edges.count()
-    p_e = max(1, -(-n_e // 2_000_000))
+    p_e = _edge_cache_partitions(edges, n_e)
     edges = (edges.groupBy("src", "dst")
              .agg(F.sum("weight").alias("w")))
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
@@ -191,9 +200,8 @@ def host_hits(edges: DataFrame, n_iter: int = 10,
     each half-step is one shuffle keyed on the gathering side; the L2
     norm is a 1-row aggregate broadcast back (no driver collect);
     lineage is truncated by a final localCheckpoint."""
-    # data-derived cache partitioning — see host_pagerank's p_e note
     n_e = edges.count()
-    p_e = max(1, -(-n_e // 2_000_000))
+    p_e = _edge_cache_partitions(edges, n_e)
     e = edges.groupBy("src", "dst").agg(F.sum("weight").alias("w"))
     # two cached copies, each partitioned on its half-step's join key, so
     # the per-iteration joins move only the (small) score tables — the
