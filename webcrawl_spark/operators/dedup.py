@@ -65,7 +65,10 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     (the guide-§8 antipattern). Losers (row_number > 1 within a
     fingerprint group) leave via an id-only anti-join, which AQE
     broadcasts whenever duplicates are rare — the common corpus case —
-    so the text column never moves at all."""
+    so the text column never moves at all. The trade: the input is
+    SCANNED twice (fingerprint pass + join side) — strictly cheaper than
+    shuffling the payload at cluster scale, but pin ``df`` first if it
+    is an expensive unmaterialized lineage."""
     normalized = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     fp = df.select(F.col(id_col).alias("_ed_id"),
                    F.xxhash64(normalized).alias("_ed_h"))
